@@ -1,0 +1,103 @@
+"""Golden-fixture harness: run the reference parser on fixture docs.
+
+Imports the reference implementation directly from the read-only checkout
+at ``/root/reference/pvsyst_parser.py`` (never copied into this repo) and
+injects a fake ``pdfplumber`` module whose ``open()`` decodes the GRAFT
+text-layer container — so the reference sees exactly the same per-page
+text the Spark pipeline decodes, and its JSON/text outputs are the
+byte-identity goldens (BASELINE.json correctness gate).
+
+The CLI path ``PVsystParser.parse_pdf`` is the behavioral source of truth
+(the FastAPI path is dead code — SURVEY.md §8).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import importlib.util
+import io
+import os
+import sys
+import types
+from pathlib import Path
+
+REFERENCE_PATH = os.environ.get(
+    "PVSYST_REFERENCE_PATH", "/root/reference/pvsyst_parser.py"
+)
+
+
+class _FakePage:
+    def __init__(self, text: str) -> None:
+        self._text = text
+
+    def extract_text(self) -> str:
+        return self._text
+
+
+class _FakePdf:
+    def __init__(self, pages: list[str]) -> None:
+        self.pages = [_FakePage(p) for p in pages]
+
+    def __enter__(self) -> "_FakePdf":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        return None
+
+
+def _fake_open(path):
+    from pvsyst_pdf_parser_spark.io.payload import decode_textlayer_pdf
+
+    payload = Path(path).read_bytes()
+    return _FakePdf(decode_textlayer_pdf(payload))
+
+
+_reference_module = None
+
+
+def load_reference():
+    """Import the reference parser with the fake pdfplumber injected."""
+    global _reference_module
+    if _reference_module is not None:
+        return _reference_module
+    fake = types.ModuleType("pdfplumber")
+    fake.open = _fake_open
+    sys.modules.setdefault("pdfplumber", fake)
+    spec = importlib.util.spec_from_file_location("_reference_pvsyst", REFERENCE_PATH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    _reference_module = mod
+    return mod
+
+
+def run_reference(pages: list[str], workdir: str, stem: str) -> tuple[str, str]:
+    """Run the reference CLI path on per-page text; return (json, txt) strings."""
+    from pvsyst_pdf_parser_spark.io.payload import encode_textlayer_pdf
+
+    mod = load_reference()
+    wd = Path(workdir)
+    wd.mkdir(parents=True, exist_ok=True)
+    pdf_path = wd / f"{stem}.pdf"
+    pdf_path.write_bytes(encode_textlayer_pdf(pages))
+
+    parser = mod.PVsystParser()
+    with contextlib.redirect_stdout(io.StringIO()):
+        parser.parse_pdf(str(pdf_path), str(wd))
+
+    json_text = (wd / f"{stem}_structured_v3.json").read_text(encoding="utf-8")
+    report_text = (wd / f"{stem}_analysis_v3.txt").read_text(encoding="utf-8")
+    return json_text, report_text
+
+
+def generate_goldens(docs, out_dir: str) -> dict[str, tuple[str, str]]:
+    """Run the reference on every fixture doc; write + return goldens by url."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    goldens: dict[str, tuple[str, str]] = {}
+    for doc in docs:
+        stem = f"doc_{doc.spec.doc_id:05d}"
+        json_text, report_text = run_reference(doc.pages, str(out / "_work"), stem)
+        (out / f"{stem}_structured_v3.json").write_text(json_text, encoding="utf-8")
+        (out / f"{stem}_analysis_v3.txt").write_text(report_text, encoding="utf-8")
+        goldens[doc.url] = (json_text, report_text)
+    return goldens

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Designed for a multi-executor cluster at 10^12-document scale; in this
+sandbox it runs on local[N].  All settings are plain Spark SQL conf —
+nothing proprietary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # Let AQE re-plan shuffles at runtime (partition coalescing, skew join).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDFs / mapInPandas (the decode stage).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Large binary payloads: keep Arrow batches small enough to fit in
+    # executor python-worker memory even with multi-MB PDFs per row.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+    # Per-url dimension sides are tiny — broadcast aggressively.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "pvsyst-extract",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox;
+    under spark-submit on a real cluster leave it unset.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
