@@ -1,0 +1,59 @@
+"""Combination unnest (reference A10, :463-501) — two-level lateral
+explode: inverter_ids × (mppt_ids | synthesized from mppt_count | null).
+
+combo_seq reconstructs the reference's list order (arrays in block
+order, inverters outer, MPPTs inner) for the order-dependent consumers
+(first-linked-type lookup, last-wins association overwrite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def expand_combinations(fields_df: DataFrame) -> DataFrame:
+    """(url, combo_seq, array_id, inverter, mppt, original_notation)."""
+    eff_mppts = F.when(F.size("mppt_ids") > 0, F.col("mppt_ids")).otherwise(
+        F.when(
+            F.col("mppt_count").isNotNull() & (F.col("mppt_count") > 0),
+            F.expr(
+                "transform(sequence(1, mppt_count), i -> concat('MPPT ', cast(i as string)))"
+            ),
+        )
+    )
+
+    inv_level = (
+        fields_df.filter(F.size("inverter_ids") > 0)  # no inverters → no combos (:474)
+        .select(
+            "url",
+            "rank",
+            "array_id",
+            "original_notation",
+            eff_mppts.alias("eff_mppts"),
+            F.posexplode("inverter_ids").alias("inv_pos", "inverter"),
+        )
+    )
+
+    combos = inv_level.select(
+        "url",
+        "rank",
+        "array_id",
+        "original_notation",
+        "inv_pos",
+        "inverter",
+        F.posexplode_outer("eff_mppts").alias("mppt_pos", "mppt"),
+    )
+
+    return combos.select(
+        "url",
+        (
+            F.col("rank").cast("long") * 1_000_000
+            + F.col("inv_pos") * 1_000
+            + F.coalesce(F.col("mppt_pos"), F.lit(0))
+        ).alias("combo_seq"),
+        "array_id",
+        "inverter",
+        "mppt",
+        "original_notation",
+    )

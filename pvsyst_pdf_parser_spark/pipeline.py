@@ -1,0 +1,80 @@
+"""End-to-end extraction pipeline (reference query lifecycle, SURVEY §3.4).
+
+    pages table ──mapInPandas decode (S1/S2)──▶ per-page rows
+      ├─▶ doc frame (one groupBy on url — the only wide exchange of raw text)
+      │     ├─ scan UDF: section/orientation match positions (C1)
+      │     ├─ equipment projection (P1-P4)
+      │     ├─ section slicing windows (C2) → losses/TIP content
+      │     └─ monthly line explode→filter→project (P7)
+      ├─▶ combined array text (A1) ─▶ block finditer (A2) ─▶ validity/
+      │     dedupe/tail-split/pending windows (A3-A7) ─▶ field projection
+      │     (A5/A6) + range expansion (A8/A9)
+      │     └─ single-config fallback union (A12/A13)
+      ├─▶ combination unnest (A10) ─▶ MPPT gap-fill (G1)
+      └─▶ per-url joins ─▶ assembly UDF (O1-O7) ─▶ (url, extracted_json,
+            report_text)
+
+Every aggregation/window/join keys on url, so after the doc-frame
+exchange Catalyst reuses the hash(url) clustering; AQE handles sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .arrays.blocks import array_blocks, combined_array_text
+from .arrays.expand import expand_combinations
+from .arrays.fields import array_fields
+from .arrays.mppt import assign_missing_mppt_labels
+from .arrays.single import single_config_fields
+from .io.pages import decode_pages_df, doc_frame
+from .output.assemble import assemble_documents, assembly_frame
+from .text.equipment import with_equipment_columns
+from .text.monthly import monthly_rows, monthly_rows_agg
+from .text.scan import scan_positions
+from .text.sections import per_url_section_columns, section_contents
+
+# reference :1557 — case-sensitive glued-units total
+_TOTAL_MODULES_PAT = r"Nb\.\s*of\s*modules\s*(\d+)units?"
+
+
+def extract_documents(
+    pages_table: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → (url, kind, n_pages,
+    extracted_json, report_text)."""
+    page_df = decode_pages_df(pages_table, num_partitions=num_partitions)
+
+    docs = doc_frame(page_df)
+    docs = docs.withColumn("scan", scan_positions("doc_text")).select(
+        "*",
+        F.col("scan.sections").alias("sec_matches"),
+        F.col("scan.oris").alias("oris"),
+        F.col("scan.tilts").alias("tilts"),
+    ).drop("scan")
+    docs = with_equipment_columns(docs)
+    docs = docs.withColumn(
+        "total_modules_line",
+        F.nullif(F.regexp_extract("doc_text", _TOTAL_MODULES_PAT, 1), F.lit("")).cast(
+            "int"
+        ),
+    )
+
+    sections = section_contents(docs)
+    section_cols = per_url_section_columns(sections)
+
+    monthly_agg = monthly_rows_agg(monthly_rows(docs))
+
+    comb = combined_array_text(page_df)
+    blocks = array_blocks(comb)
+    fields = array_fields(blocks)
+    equip = docs.select("url", "inverter_manufacturer", "inverter_model")
+    single = single_config_fields(comb, equip, fields.select("url").distinct())
+    all_fields = fields.unionByName(single)
+
+    combos = assign_missing_mppt_labels(expand_combinations(all_fields))
+
+    doc_cols = docs.drop("doc_text", "sec_matches")
+    assembly = assembly_frame(doc_cols, section_cols, monthly_agg, all_fields, combos)
+    return assemble_documents(assembly)

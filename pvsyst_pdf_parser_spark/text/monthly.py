@@ -1,0 +1,61 @@
+"""Monthly balance-table extraction (reference P7) — pure relational.
+
+The reference scans every line: month-name prefix, ≥8 whitespace tokens,
+numeric parts[1]; GlobHor = parts[1], E_Grid = parts[-2], commas
+stripped (pvsyst_parser.py:1499-1551).  Here: posexplode(split(doc_text,
+'\\n')) → filter → split → element_at — filter and projection stay in
+whole-stage codegen; no UDF, no shuffle (line order key kept for the
+dict-insertion-order replay in assembly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MONTH_PREFIX = (
+    r"^(January|February|March|April|May|June|July|August|September|October"
+    r"|November|December)\b"
+)
+
+
+def monthly_rows(doc_df: DataFrame, text_col: str = "doc_text") -> DataFrame:
+    """(url, line_seq, month, globhor, e_grid) — one row per accepted line."""
+    lines = doc_df.select(
+        "url", F.posexplode(F.split(F.col(text_col), "\n")).alias("line_seq", "raw_line")
+    ).withColumn("line", F.trim("raw_line"))
+
+    month = F.regexp_extract("line", MONTH_PREFIX, 1)
+    parts = F.split("line", r"\s+")
+
+    candidates = (
+        lines.filter(month != "")
+        .withColumn("month", month)
+        .withColumn("parts", parts)
+        .filter(F.size("parts") >= 8)
+        # reference: re.match(r"[-\d.,]+$", parts[1])  (:1530)
+        .filter(F.col("parts")[1].rlike(r"^[-\d.,]+$"))
+        .withColumn(
+            "globhor",
+            F.regexp_replace(F.col("parts")[1], ",", "").cast("double"),
+        )
+        .withColumn(
+            "e_grid",
+            F.regexp_replace(
+                F.element_at("parts", -2), ",", ""
+            ).cast("double"),
+        )
+        # reference drops the row if either float() raises (:1536-1540)
+        .filter(F.col("globhor").isNotNull() & F.col("e_grid").isNotNull())
+        .select("url", "line_seq", "month", "globhor", "e_grid")
+    )
+    return candidates
+
+
+def monthly_rows_agg(monthly_df: DataFrame) -> DataFrame:
+    """Per-url ordered array of month rows (for the assembly join)."""
+    return monthly_df.groupBy("url").agg(
+        F.array_sort(
+            F.collect_list(F.struct("line_seq", "month", "globhor", "e_grid"))
+        ).alias("monthly_rows")
+    )

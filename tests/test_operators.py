@@ -1,0 +1,165 @@
+"""Operator-level unit tests (SURVEY §2 rows) on small DataFrames,
+differential against the reference implementation where applicable."""
+
+from __future__ import annotations
+
+import pytest
+
+INV_SPECS = [
+    "INV01", "INV02-05", "INV02-05, 7,8", "INV R1-3", "01-03", "R1-3",
+    "7", "02-05, 7,8", "A1-B3", "INV 09", "garbage", "", "INV5-3",
+    "INV110-112", "INV01,INV02", " 4 , 6-8 ", "INVx", "1-2,R1", "INV02-05,",
+    "INV 1 - 2", "inv03", "03 - 01",
+]
+MPPT_SPECS = [
+    "1-2", "MPPT 1-3", "1,3,5", "MPPT1", "2-1", "", "x", "1-3,5",
+    "MPPT 10-12", " 4 ", "1 - 3", "MPPT  2,4",
+]
+
+
+def test_inverter_range_expansion_matches_reference(spark, reference):
+    from pvsyst_pdf_parser_spark.arrays.ranges import expand_inverter_spec
+
+    ref = reference.PVsystParser()
+    df = spark.createDataFrame([(s,) for s in INV_SPECS], "spec string")
+    got = {r["spec"]: r["out"] for r in df.withColumn(
+        "out", expand_inverter_spec("spec")).collect()}
+    for s in INV_SPECS:
+        assert got[s] == ref.parse_inverter_range(s), s
+
+
+def test_mppt_range_expansion_matches_reference(spark, reference):
+    from pvsyst_pdf_parser_spark.arrays.ranges import expand_mppt_spec
+
+    ref = reference.PVsystParser()
+    df = spark.createDataFrame([(s,) for s in MPPT_SPECS], "spec string")
+    got = {r["spec"]: r["out"] for r in df.withColumn(
+        "out", expand_mppt_spec("spec")).collect()}
+    for s in MPPT_SPECS:
+        assert got[s] == ref.parse_mppt_range(s), s
+
+
+TWOCOL_LINES = [
+    ("Manufacturer LONGi Solar Manufacturer Huawei", "Manufacturer"),
+    ("Manufacturer   Only One", "Manufacturer"),
+    ("Manufacturer LeftCol    RightCol", "Manufacturer"),
+    ("Model A-1 Model B-2", "Model"),
+    ("no label here", "Manufacturer"),
+    ("Manufacturer", "Manufacturer"),
+]
+
+
+def test_two_column_values_matches_reference(spark, reference):
+    import pyspark.sql.functions as F
+
+    from pvsyst_pdf_parser_spark.text.twocol import two_column_values
+
+    for line, label in TWOCOL_LINES:
+        want = reference.PVsystParser._two_column_values(line, label)
+        df = spark.createDataFrame([(line,)], "line string")
+        left, right = two_column_values(F.col("line"), label)
+        row = df.select(left.alias("l"), right.alias("r")).collect()[0]
+        assert (row["l"], row["r"]) == want, (line, label)
+
+
+def test_monthly_rows(spark, reference):
+    """P7 differential on a synthetic balance table."""
+    from pvsyst_pdf_parser_spark.text.monthly import monthly_rows
+
+    text = "\n".join(
+        [
+            "Balances and main results",
+            "January 57.2 25.7 15.7 62.9 60.1 104,988 101,930 0.845",
+            "February x 25.7 15.7 62.9 60.1 104,988 101,930 0.845",  # parts[1] not numeric
+            "March 10.0 1 2",  # too few columns
+            "April 88.1 39.6 18.5 96.9 92.5 160,000 155,000 0.83",
+            "NotAMonth 1 2 3 4 5 6 7 8",
+        ]
+    )
+    df = spark.createDataFrame([("u", text)], "url string, doc_text string")
+    rows = monthly_rows(df).orderBy("line_seq").collect()
+    assert [(r["month"], r["globhor"], r["e_grid"]) for r in rows] == [
+        ("January", 57.2, 101930.0),
+        ("April", 88.1, 155000.0),
+    ]
+
+    # differential: the reference on the same text as a 1-page doc
+    parser = reference.PVsystParser()
+    monthly = parser.extract_monthly_production({1: {"full_text": text}})
+    assert monthly == {r["month"]: r["e_grid"] for r in rows}
+    assert parser.system_monthly_globhor == {r["month"]: r["globhor"] for r in rows}
+
+
+def test_gap_fill_mppt_labels(spark):
+    """G1: missing combos get smallest unused numbers per inverter."""
+    from pvsyst_pdf_parser_spark.arrays.mppt import assign_missing_mppt_labels
+
+    combos = spark.createDataFrame(
+        [
+            ("u", 1, "1", "INV01", "MPPT 1", "Array #1"),
+            ("u", 2, "1", "INV01", "MPPT 3", "Array #1"),
+            ("u", 3, "2", "INV01", None, "Array #2"),
+            ("u", 4, "3", "INV01", None, "Array #3"),
+            ("u", 5, "2", "INV02", None, "Array #2"),
+        ],
+        "url string, combo_seq long, array_id string, inverter string, "
+        "mppt string, original_notation string",
+    )
+    out = {
+        (r["inverter"], r["array_id"]): r["mppt"]
+        for r in assign_missing_mppt_labels(combos).collect()
+    }
+    # INV01 used {1,3} → array2 gets 2, array3 gets 4; INV02 → 1
+    assert out[("INV01", "2")] == "MPPT 2"
+    assert out[("INV01", "3")] == "MPPT 4"
+    assert out[("INV02", "2")] == "MPPT 1"
+
+
+def test_allocation_invariants(spark, pages_parquet, goldens, fixture_docs):
+    """Property: per array, Σ allocated strings == array strings; Σ dc_kwp
+    ≈ array kWp (within rounding)."""
+    import json
+
+    for d in fixture_docs:
+        data = json.loads(goldens[d.url][0])
+        arrays = data["array_configurations"]
+        per_array_strings: dict = {}
+        per_array_dc: dict = {}
+        for inv in data["associations"].values():
+            for assoc in inv.values():
+                cid = assoc["config_id"]
+                per_array_strings[cid] = per_array_strings.get(cid, 0) + (
+                    assoc.get("strings") or 0
+                )
+                per_array_dc[cid] = per_array_dc.get(cid, 0.0) + (
+                    assoc.get("dc_kwp") or 0.0
+                )
+        for cid, total in per_array_strings.items():
+            want = arrays[cid].get("strings")
+            if want is not None:
+                assert total == want, (d.url, cid)
+
+
+def test_payload_roundtrip():
+    from pvsyst_pdf_parser_spark.io.payload import (
+        decode_textlayer_pdf,
+        encode_textlayer_pdf,
+        sniff_kind,
+    )
+
+    pages = ["page one\ntext", "page two ° mΩ"]
+    blob = encode_textlayer_pdf(pages)
+    assert sniff_kind(blob) == "pdf"
+    assert decode_textlayer_pdf(blob) == pages
+    assert sniff_kind(b"<!DOCTYPE html><html>...") == "html"
+    assert sniff_kind(None, "plain") == "text"
+    assert sniff_kind(None, None) == "unknown"
+
+
+def test_htmlstrip_recovers_main_content(fixture_docs):
+    from pvsyst_pdf_parser_spark.io.htmlstrip import extract_main_text
+
+    html_docs = [d for d in fixture_docs if d.spec.kind == "html"]
+    assert html_docs
+    for d in html_docs:
+        assert extract_main_text(d.payload) == d.pages[0]
