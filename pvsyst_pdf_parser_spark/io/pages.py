@@ -55,9 +55,14 @@ def decode_pages_df(pages_table: DataFrame, num_partitions: int | None = None) -
     """
     src = pages_table.select("url", "html", "text")
     if num_partitions:
-        # salt by url hash: uniform doc spread; byte skew bounded by the
-        # Arrow batch cap + many-partitions-per-core
-        src = src.repartition(num_partitions, F.xxhash64("url"))
+        # hash-partition by url: uniform doc spread (byte skew bounded by
+        # the Arrow batch cap + several-partitions-per-core), and — key
+        # plan property — downstream groupBy/window/join on url all
+        # satisfy their ClusteredDistribution from THIS exchange.
+        # (repartition on xxhash64(url) would have the same distribution
+        # but a partitioning expression Catalyst can't reuse: measured
+        # 135 exchanges vs ~10.)
+        src = src.repartition(num_partitions, F.col("url"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

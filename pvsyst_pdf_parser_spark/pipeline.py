@@ -45,7 +45,25 @@ def extract_documents(
     """pages(url, warc_ts, html, text, lang) → (url, kind, n_pages,
     extracted_json, report_text)."""
     page_df = decode_pages_df(pages_table, num_partitions=num_partitions)
+    return extract_decoded(page_df)
 
+
+def extract_decoded(page_df: DataFrame) -> DataFrame:
+    """Decoded per-page rows → final per-url results (shared by the
+    one-shot and resumable entry points).
+
+    The DAG fans out from two frames (per-page rows, per-doc text) into
+    ~6 branches (sections, monthly, equipment, blocks, single-config,
+    assembly).  Without materialization Spark re-executes the decode +
+    doc-text build once per branch — measured 5-10× wall-time
+    amplification — so the fan-out roots are persisted MEMORY_AND_DISK
+    (the reference's redundant all_text rebuild, pvsyst_parser.py:123
+    etc., is the same bug in miniature).  On a cluster this is the
+    standard cache-the-scan-once pattern; eviction spills to local disk.
+    """
+    from pyspark import StorageLevel
+
+    page_df = page_df.persist(StorageLevel.MEMORY_AND_DISK)
     docs = doc_frame(page_df)
     docs = docs.withColumn("scan", scan_positions("doc_text")).select(
         "*",
@@ -60,15 +78,16 @@ def extract_documents(
             "int"
         ),
     )
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
 
     sections = section_contents(docs)
     section_cols = per_url_section_columns(sections)
 
     monthly_agg = monthly_rows_agg(monthly_rows(docs))
 
-    comb = combined_array_text(page_df)
+    comb = combined_array_text(page_df).persist(StorageLevel.MEMORY_AND_DISK)
     blocks = array_blocks(comb)
-    fields = array_fields(blocks)
+    fields = array_fields(blocks).persist(StorageLevel.MEMORY_AND_DISK)
     equip = docs.select("url", "inverter_manufacturer", "inverter_model")
     single = single_config_fields(comb, equip, fields.select("url").distinct())
     all_fields = fields.unionByName(single)

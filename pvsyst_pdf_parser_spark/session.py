@@ -12,9 +12,13 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
-    # Let AQE re-plan shuffles at runtime (partition coalescing, skew join).
+    # AQE on for runtime re-planning + skew-join splitting, but byte-based
+    # partition coalescing OFF: extraction stages are CPU-bound Python/regex
+    # work whose cost per row dwarfs its bytes — coalescing by size collapses
+    # parallelism exactly where we need it (measured 3-10× slowdowns on
+    # local[32]; see BENCH/BASELINE.md notes).
     "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transfer for pandas UDFs / mapInPandas (the decode stage).
     "spark.sql.execution.arrow.pyspark.enabled": "true",

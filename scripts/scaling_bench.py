@@ -19,35 +19,36 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = r"""
-import json, os, sys, tempfile, time
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
-cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+cpus = int(sys.argv[1]); pages_path = sys.argv[2]; reps = int(sys.argv[3])
 from pvsyst_pdf_parser_spark.session import get_spark
-from fixtures.gen import make_docs, write_pages_parquet
 from pvsyst_pdf_parser_spark.pipeline import extract_documents
 spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus,
                   extra_conf={{"spark.ui.enabled": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
-docs = make_docs(n_docs, skew=True)
-with tempfile.TemporaryDirectory() as td:
-    p = os.path.join(td, "pages.parquet")
-    write_pages_parquet(docs, p)
-    pages = spark.read.parquet(p)
-    # warm-up pass compiles the plan so the measured pass is execution
-    extract_documents(pages.limit(8), num_partitions=cpus).count()
+pages = spark.read.parquet(pages_path)
+# warm-up pass compiles the plan so the measured passes are execution
+extract_documents(pages.limit(8), num_partitions=cpus).count()
+# min of N reps: the sandbox host is noisy (neighbor load); min is the
+# least-contended estimate of the job's true cost
+best = None
+for _ in range(reps):
+    spark.catalog.clearCache()
     t0 = time.time()
-    n = extract_documents(pages, num_partitions=cpus * 3).count()
+    n = extract_documents(pages, num_partitions=cpus * 2).count()
     dt = time.time() - t0
-print(json.dumps({{"cpus": cpus, "docs": n, "sec": dt,
-                   "docs_per_sec": n / dt}}))
+    best = dt if best is None or dt < best else best
+print(json.dumps({{"cpus": cpus, "docs": n, "sec": best,
+                   "docs_per_sec": n / best}}))
 """
 
 
-def run_level(cpus: int, n_docs: int) -> dict:
+def run_level(cpus: int, pages_path: str, reps: int = 3) -> dict:
     script = _CHILD.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(n_docs)],
-        capture_output=True, text=True, timeout=1800, check=True,
+        [sys.executable, "-c", script, str(cpus), pages_path, str(reps)],
+        capture_output=True, text=True, timeout=3000, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -70,9 +71,18 @@ def reference_floor(n_docs: int = 40) -> dict:
 
 
 def main() -> None:
-    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "2000"))
-    low = run_level(8, n_docs)
-    high = run_level(32, n_docs)
+    import tempfile
+
+    sys.path.insert(0, REPO)
+    from fixtures.gen import make_docs, write_pages_parquet
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "150000"))
+    tmp = tempfile.mkdtemp(prefix="scaling_pages_")
+    pages_path = os.path.join(tmp, "pages.parquet")
+    write_pages_parquet(make_docs(n_docs, skew=True), pages_path)
+
+    low = run_level(8, pages_path)
+    high = run_level(32, pages_path)
     ref = reference_floor()
     eff = (high["docs_per_sec"] / low["docs_per_sec"]) / 4.0
     result = {
