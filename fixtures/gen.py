@@ -497,10 +497,16 @@ def make_docs(n_docs: int, seed: int = 42, skew: bool = False) -> list[DocFixtur
     (payload null, pre-extracted text column). ``skew=True`` adds a
     long-tail filler-page distribution to induce realistic decode skew.
     """
+    return _make_docs_range(0, n_docs, seed=seed, skew=skew)
+
+
+def _make_docs_range(
+    lo: int, hi: int, seed: int = 42, skew: bool = False
+) -> list[DocFixture]:
     from pvsyst_pdf_parser_spark.io.payload import encode_textlayer_pdf
 
     docs: list[DocFixture] = []
-    for i in range(n_docs):
+    for i in range(lo, hi):
         rng = random.Random(seed * 1_000_003 + i)
         name, build = SCENARIOS[i % len(SCENARIOS)]
         kind = "pdf"
@@ -511,9 +517,15 @@ def make_docs(n_docs: int, seed: int = 42, skew: bool = False) -> list[DocFixtur
         spec = DocSpec(doc_id=i, kind=kind, scenario=name, site=f"site{i % 7}")
         build(spec, rng)
         if skew and kind == "pdf":
-            # long-tail page counts: most docs small, a few huge
+            # realistic report sizes: most 5-15 pages, long tail of huge
+            # reports (the decode-stage skew driver)
             r = rng.random()
-            spec.filler_pages = 0 if r < 0.7 else (rng.randint(3, 8) if r < 0.95 else rng.randint(30, 60))
+            if r < 0.5:
+                spec.filler_pages = rng.randint(2, 6)
+            elif r < 0.95:
+                spec.filler_pages = rng.randint(8, 16)
+            else:
+                spec.filler_pages = rng.randint(30, 60)
         pdf_pages = render_pages(spec)
         if kind == "html":
             main_text = "\n".join(pdf_pages)
@@ -528,6 +540,22 @@ def make_docs(n_docs: int, seed: int = 42, skew: bool = False) -> list[DocFixtur
                 DocFixture(spec, pdf_pages, encode_textlayer_pdf(pdf_pages), None)
             )
     return docs
+
+
+def write_pages_dataset(
+    n_docs: int, out_dir: str, seed: int = 42, skew: bool = True,
+    chunk: int = 20_000,
+) -> str:
+    """Generate a large pages dataset chunk-wise (bounded memory) into a
+    parquet directory; returns the directory path."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for start in range(0, n_docs, chunk):
+        n = min(chunk, n_docs - start)
+        docs = _make_docs_range(start, start + n, seed=seed, skew=skew)
+        write_pages_parquet(docs, os.path.join(out_dir, f"part-{start:08d}.parquet"))
+    return out_dir
 
 
 def write_pages_parquet(docs: list[DocFixture], path: str) -> None:

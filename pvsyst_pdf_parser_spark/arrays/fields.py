@@ -47,7 +47,7 @@ def array_fields(blocks_df: DataFrame) -> DataFrame:
         body,
         r"(?i)Number of inverters\s*(\d+)\s*\*\s*MPPT\s*([\d.]+)%\s*([\d.]+)\s*unit",
         1,
-    ).cast("int")
+    ).try_cast("int")
 
     df = (
         df.withColumn("mppt_total_endpoints", total_endpoints)
@@ -57,7 +57,7 @@ def array_fields(blocks_df: DataFrame) -> DataFrame:
                 F.col("mppt_total_endpoints").isNotNull(),
                 F.greatest(
                     F.lit(1),
-                    (F.col("mppt_total_endpoints") / F.greatest(F.lit(1), n_inv)).cast(
+                    (F.col("mppt_total_endpoints") / F.greatest(F.lit(1), n_inv)).try_cast(
                         "int"
                     ),
                 ),
@@ -69,7 +69,7 @@ def array_fields(blocks_df: DataFrame) -> DataFrame:
                 body,
                 r"(?i)Number of inverters\s*(\d+)\s*\*\s*MPPT\s*([\d.]+)%\s*([\d.]+)\s*unit",
                 2,
-            ).cast("double"),
+            ).try_cast("double"),
         )
         .withColumn(
             "inverter_unit_fraction",
@@ -77,42 +77,42 @@ def array_fields(blocks_df: DataFrame) -> DataFrame:
                 body,
                 r"(?i)Number of inverters\s*(\d+)\s*\*\s*MPPT\s*([\d.]+)%\s*([\d.]+)\s*unit",
                 3,
-            ).cast("double"),
+            ).try_cast("double"),
         )
         .withColumn(
             "orientation_id",
-            _x(body, r"(?i)Orientation\s*#?\s*(\d+)").cast("int"),
+            _x(body, r"(?i)Orientation\s*#?\s*(\d+)").try_cast("int"),
         )
         .withColumn(
             "number_of_modules",
-            _x(body, r"(?i)Number of PV modules\s*(\d+)units?").cast("int"),
+            _x(body, r"(?i)Number of PV modules\s*(\d+)units?").try_cast("int"),
         )
         .withColumn(
             "nominal_stc_kwp",
-            _x(body, r"(?i)Nominal\s*\(STC\)\s*([\d.]+)kWp").cast("double"),
+            _x(body, r"(?i)Nominal\s*\(STC\)\s*([\d.]+)kWp").try_cast("double"),
         )
         .withColumn(
             "strings",
-            _x(body, r"(?i)Modules\s*(\d+)\s*string[s]?\s*x\s*(\d+)", 1).cast("int"),
+            _x(body, r"(?i)Modules\s*(\d+)\s*string[s]?\s*x\s*(\d+)", 1).try_cast("int"),
         )
         .withColumn(
             "modules_in_series",
-            _x(body, r"(?i)Modules\s*(\d+)\s*string[s]?\s*x\s*(\d+)", 2).cast("int"),
+            _x(body, r"(?i)Modules\s*(\d+)\s*string[s]?\s*x\s*(\d+)", 2).try_cast("int"),
         )
         .withColumn(
             "tilt",
-            _x(body, r"(?i)Tilt/Azimuth\s*([-\d.]+)\s*/\s*([-\d.]+)\s*°", 1).cast(
+            _x(body, r"(?i)Tilt/Azimuth\s*([-\d.]+)\s*/\s*([-\d.]+)\s*°", 1).try_cast(
                 "double"
             ),
         )
         .withColumn(
             "azimuth_pvsyst",
-            _x(body, r"(?i)Tilt/Azimuth\s*([-\d.]+)\s*/\s*([-\d.]+)\s*°", 2).cast(
+            _x(body, r"(?i)Tilt/Azimuth\s*([-\d.]+)\s*/\s*([-\d.]+)\s*°", 2).try_cast(
                 "double"
             ),
         )
-        .withColumn("u_mpp_v", _x(body, r"(?i)U mpp\s*([\d.]+)V").cast("double"))
-        .withColumn("i_mpp_a", _x(body, r"(?i)I mpp\s*([\d.]+)A").cast("double"))
+        .withColumn("u_mpp_v", _x(body, r"(?i)U mpp\s*([\d.]+)V").try_cast("double"))
+        .withColumn("i_mpp_a", _x(body, r"(?i)I mpp\s*([\d.]+)A").try_cast("double"))
         # propagated pending type applies only when the block itself binds
         # inverters (:1082-1086); blocks never parse their own type — the
         # embedded-equipment branch is unreachable post-A4-cut
@@ -150,10 +150,10 @@ def array_fields(blocks_df: DataFrame) -> DataFrame:
         "inv_type_manufacturer",
         "inv_type_model",
         F.concat(F.lit("Array #"), F.col("array_id")).alias("original_notation"),
-        F.lit(None).cast("int").alias("inferred_mppt_per_inverter"),
-        F.lit(None).cast("int").alias("inferred_strings_per_mppt_max"),
-        F.lit(None).cast("string").alias("inferred_topology_source"),
-        F.lit(None).cast("int").alias("inferred_inverters_reported"),
-        F.lit(None).cast("int").alias("inferred_inverters_required"),
-        F.lit(None).cast("int").alias("inferred_inverters_used"),
+        F.lit(None).try_cast("int").alias("inferred_mppt_per_inverter"),
+        F.lit(None).try_cast("int").alias("inferred_strings_per_mppt_max"),
+        F.lit(None).try_cast("string").alias("inferred_topology_source"),
+        F.lit(None).try_cast("int").alias("inferred_inverters_reported"),
+        F.lit(None).try_cast("int").alias("inferred_inverters_required"),
+        F.lit(None).try_cast("int").alias("inferred_inverters_used"),
     )

@@ -40,7 +40,7 @@ def single_config_fields(
             F.coalesce(
                 _x(t, r"(?i)Number of PV modules\s*(\d+)\s*units?"),
                 _x(t, r"(?i)Nb\.\s*of\s*modules\s*(\d+)\s*units?"),
-            ).cast("int"),
+            ).try_cast("int"),
         )
         .withColumn(
             "n_inverters",
@@ -51,7 +51,7 @@ def single_config_fields(
                 ),
                 _x(t, r"(?i)Number of inverters\s*(\d+)\s*units?"),
                 _x(t, r"(?i)Nb\.\s*of\s*units\s*(\d+)\s*units?"),
-            ).cast("int"),
+            ).try_cast("int"),
         )
         .withColumn(
             "strings",
@@ -59,7 +59,7 @@ def single_config_fields(
                 t,
                 r"(?i)Modules\s*(\d+)\s*(?:string[s]?|Strings)\s*x\s*(\d+)\s*In\s*series",
                 1,
-            ).cast("int"),
+            ).try_cast("int"),
         )
         .withColumn(
             "series",
@@ -67,7 +67,7 @@ def single_config_fields(
                 t,
                 r"(?i)Modules\s*(\d+)\s*(?:string[s]?|Strings)\s*x\s*(\d+)\s*In\s*series",
                 2,
-            ).cast("int"),
+            ).try_cast("int"),
         )
         .filter(
             F.col("has_pvac")
@@ -112,7 +112,7 @@ def single_config_fields(
             "inverters_required",
             F.floor(
                 (F.col("strings") + F.col("spi_max") - 1) / F.col("spi_max")
-            ).cast("int"),
+            ).try_cast("int"),
         )
     )
 
@@ -133,25 +133,25 @@ def single_config_fields(
         F.lit(True).alias("is_single"),
         inverter_ids.alias("inverter_ids"),
         mppt_ids.alias("mppt_ids"),
-        F.lit(None).cast("int").alias("mppt_total_endpoints"),
-        F.lit(None).cast("int").alias("mppt_count"),
-        F.lit(None).cast("double").alias("mppt_share_percent"),
-        F.lit(None).cast("double").alias("inverter_unit_fraction"),
-        F.lit(None).cast("int").alias("orientation_id"),
+        F.lit(None).try_cast("int").alias("mppt_total_endpoints"),
+        F.lit(None).try_cast("int").alias("mppt_count"),
+        F.lit(None).try_cast("double").alias("mppt_share_percent"),
+        F.lit(None).try_cast("double").alias("inverter_unit_fraction"),
+        F.lit(None).try_cast("int").alias("orientation_id"),
         F.col("n_modules").alias("number_of_modules"),
-        F.lit(None).cast("double").alias("nominal_stc_kwp"),
+        F.lit(None).try_cast("double").alias("nominal_stc_kwp"),
         "strings",
         F.col("series").alias("modules_in_series"),
         _x(t, r"(?i)Tilt/Azimuth\s*([-\d.]+)\s*/\s*([-\d.]+)\s*°", 1)
-        .cast("double")
+        .try_cast("double")
         .alias("tilt"),
         _x(t, r"(?i)Tilt/Azimuth\s*([-\d.]+)\s*/\s*([-\d.]+)\s*°", 2)
-        .cast("double")
+        .try_cast("double")
         .alias("azimuth_pvsyst"),
-        F.lit(None).cast("double").alias("u_mpp_v"),
-        F.lit(None).cast("double").alias("i_mpp_a"),
-        F.lit(None).cast("string").alias("inv_type_manufacturer"),
-        F.lit(None).cast("string").alias("inv_type_model"),
+        F.lit(None).try_cast("double").alias("u_mpp_v"),
+        F.lit(None).try_cast("double").alias("i_mpp_a"),
+        F.lit(None).try_cast("string").alias("inv_type_manufacturer"),
+        F.lit(None).try_cast("string").alias("inv_type_model"),
         F.lit("Single configuration").alias("original_notation"),
         F.col("mppt_per_inv").alias("inferred_mppt_per_inverter"),
         F.col("strings_per_mppt_max").alias("inferred_strings_per_mppt_max"),

@@ -125,16 +125,56 @@ def page_kv_pairs(page_df: DataFrame) -> DataFrame:
     )
 
 
-def doc_frame(page_df: DataFrame) -> DataFrame:
+def doc_frame(page_df: DataFrame, with_combined: bool = True) -> DataFrame:
     """Concatenated document text, built once per url (the reference
     rebuilds it 5×, pvsyst_parser.py:123-125 etc. — manual CSE).  The
-    groupBy is the single wide exchange of the pipeline; every later
-    aggregation/window keys on url and reuses the clustering."""
-    ordered = F.array_sort(F.collect_list(F.struct("page_no", "full_text")))
-    return page_df.filter(F.col("status") == "ok").groupBy("url").agg(
-        F.concat_ws("\n", F.transform(ordered, lambda s: s["full_text"])).alias(
-            "doc_text"
-        ),
+    groupBy is the single wide exchange of raw page text; the
+    array-marker page span (reference A1, :1027-1049) is fused into the
+    same aggregation as array ops — one shuffle instead of two."""
+    from ..arrays.blocks import PAGE_MARKERS
+
+    src = page_df.filter(F.col("status") == "ok")
+    if with_combined:
+        src = src.withColumn("is_arr", F.col("full_text").rlike(PAGE_MARKERS))
+    else:
+        src = src.withColumn("is_arr", F.lit(False))
+
+    ordered = F.array_sort(
+        F.collect_list(F.struct("page_no", "full_text", "is_arr"))
+    )
+    grouped = src.groupBy("url").agg(
+        ordered.alias("doc_pages"),
         F.count("*").alias("n_pages"),
         F.max("kind").alias("kind"),
     )
+    pages_col = F.col("doc_pages")
+    marker_pages = F.transform(
+        F.filter(pages_col, lambda s: s["is_arr"]), lambda s: s["page_no"]
+    )
+    p0 = F.array_min(marker_pages)
+    p1 = F.array_max(marker_pages)
+    combined = F.when(
+        p0.isNotNull(),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.filter(
+                    pages_col,
+                    lambda s: (s["page_no"] >= p0) & (s["page_no"] <= p1),
+                ),
+                lambda s: s["full_text"],
+            ),
+        ),
+    )
+    out = grouped.select(
+        "url",
+        F.concat_ws("\n", F.transform(pages_col, lambda s: s["full_text"])).alias(
+            "doc_text"
+        ),
+        combined.alias("combined_text") if with_combined else F.lit(None)
+        .cast("string")
+        .alias("combined_text"),
+        "n_pages",
+        "kind",
+    )
+    return out

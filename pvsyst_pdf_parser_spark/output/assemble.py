@@ -45,17 +45,16 @@ def _combos_agg(combos_df: DataFrame) -> DataFrame:
 
 def assembly_frame(
     doc_df: DataFrame,
-    sections_cols: DataFrame,
-    monthly_agg: DataFrame,
     fields_df: DataFrame,
     combos_df: DataFrame,
 ) -> DataFrame:
-    """One row per url with every structure the document builder needs."""
-    return (
-        doc_df.join(sections_cols, "url", "left")
-        .join(monthly_agg, "url", "left")
-        .join(_arrays_agg(fields_df), "url", "left")
-        .join(_combos_agg(combos_df), "url", "left")
+    """One row per url with every structure the document builder needs.
+
+    doc_df already carries the fused section/monthly/equipment columns;
+    only the exploded array/combo paths join back (both tiny per url,
+    url-keyed)."""
+    return doc_df.join(_arrays_agg(fields_df), "url", "left").join(
+        _combos_agg(combos_df), "url", "left"
     )
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .arrays.blocks import array_blocks, combined_array_text
+from .arrays.blocks import array_blocks
 from .arrays.expand import expand_combinations
 from .arrays.fields import array_fields
 from .arrays.mppt import assign_missing_mppt_labels
@@ -31,9 +31,9 @@ from .arrays.single import single_config_fields
 from .io.pages import decode_pages_df, doc_frame
 from .output.assemble import assemble_documents, assembly_frame
 from .text.equipment import with_equipment_columns
-from .text.monthly import monthly_rows, monthly_rows_agg
+from .text.monthly import monthly_rows_inline
 from .text.scan import scan_positions
-from .text.sections import per_url_section_columns, section_contents
+from .text.sections import with_section_columns
 
 # reference :1557 — case-sensitive glued-units total
 _TOTAL_MODULES_PAT = r"Nb\.\s*of\s*modules\s*(\d+)units?"
@@ -63,8 +63,7 @@ def extract_decoded(page_df: DataFrame) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    page_df = page_df.persist(StorageLevel.MEMORY_AND_DISK)
-    docs = doc_frame(page_df)
+    docs = doc_frame(page_df)  # one groupBy: doc_text + fused A1 combined_text
     docs = docs.withColumn("scan", scan_positions("doc_text")).select(
         "*",
         F.col("scan.sections").alias("sec_matches"),
@@ -74,18 +73,16 @@ def extract_decoded(page_df: DataFrame) -> DataFrame:
     docs = with_equipment_columns(docs)
     docs = docs.withColumn(
         "total_modules_line",
-        F.nullif(F.regexp_extract("doc_text", _TOTAL_MODULES_PAT, 1), F.lit("")).cast(
-            "int"
-        ),
+        F.nullif(F.regexp_extract("doc_text", _TOTAL_MODULES_PAT, 1), F.lit(""))
+        .try_cast("int"),
     )
+    docs = with_section_columns(docs)  # fused C2
+    docs = docs.withColumn("monthly_rows", monthly_rows_inline(F.col("doc_text")))
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
 
-    sections = section_contents(docs)
-    section_cols = per_url_section_columns(sections)
-
-    monthly_agg = monthly_rows_agg(monthly_rows(docs))
-
-    comb = combined_array_text(page_df).persist(StorageLevel.MEMORY_AND_DISK)
+    comb = docs.filter(F.col("combined_text").isNotNull()).select(
+        "url", "combined_text"
+    )
     blocks = array_blocks(comb)
     fields = array_fields(blocks).persist(StorageLevel.MEMORY_AND_DISK)
     equip = docs.select("url", "inverter_manufacturer", "inverter_model")
@@ -94,6 +91,6 @@ def extract_decoded(page_df: DataFrame) -> DataFrame:
 
     combos = assign_missing_mppt_labels(expand_combinations(all_fields))
 
-    doc_cols = docs.drop("doc_text", "sec_matches")
-    assembly = assembly_frame(doc_cols, section_cols, monthly_agg, all_fields, combos)
+    doc_cols = docs.drop("doc_text", "sec_matches", "combined_text")
+    assembly = assembly_frame(doc_cols, all_fields, combos)
     return assemble_documents(assembly)

@@ -27,6 +27,11 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
     # Per-url dimension sides are tiny — broadcast aggressively.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Legacy cast semantics: malformed numerics → NULL (the reference
+    # skips such rows via try/except — ANSI's throw-on-malformed would
+    # fail whole jobs on adversarial web text). Extraction paths also use
+    # try_cast so they stay safe under ANSI driver sessions.
+    "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }

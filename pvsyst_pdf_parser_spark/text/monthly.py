@@ -37,19 +37,58 @@ def monthly_rows(doc_df: DataFrame, text_col: str = "doc_text") -> DataFrame:
         .filter(F.col("parts")[1].rlike(r"^[-\d.,]+$"))
         .withColumn(
             "globhor",
-            F.regexp_replace(F.col("parts")[1], ",", "").cast("double"),
+            F.regexp_replace(F.col("parts")[1], ",", "").try_cast("double"),
         )
         .withColumn(
             "e_grid",
             F.regexp_replace(
                 F.element_at("parts", -2), ",", ""
-            ).cast("double"),
+            ).try_cast("double"),
         )
         # reference drops the row if either float() raises (:1536-1540)
         .filter(F.col("globhor").isNotNull() & F.col("e_grid").isNotNull())
         .select("url", "line_seq", "month", "globhor", "e_grid")
     )
     return candidates
+
+
+def monthly_rows_inline(doc_text_col) -> "F.Column":
+    """Fused P7: the month-row scan as array ops on doc_text — returns
+    the per-url ordered array<struct<line_seq,month,globhor,e_grid>>
+    directly (no explode/groupBy/join).  Same acceptance rules as
+    ``monthly_rows`` (the relational analytics/demo form)."""
+    lines = F.split(doc_text_col, "\n")
+    numbered = F.zip_with(
+        lines,
+        F.sequence(F.lit(0), F.greatest(F.size(lines) - 1, F.lit(0))),
+        lambda l, i: F.struct(i.alias("line_seq"), F.trim(l).alias("line")),
+    )
+
+    def parts(s):
+        return F.split(s["line"], r"\s+")
+
+    cand = F.filter(
+        numbered,
+        lambda s: (F.regexp_extract(s["line"], MONTH_PREFIX, 1) != "")
+        & (F.size(parts(s)) >= 8)
+        & parts(s)[1].rlike(r"^[-\d.,]+$"),
+    )
+    rows = F.transform(
+        cand,
+        lambda s: F.struct(
+            s["line_seq"].alias("line_seq"),
+            F.regexp_extract(s["line"], MONTH_PREFIX, 1).alias("month"),
+            F.regexp_replace(parts(s)[1], ",", "")
+            .try_cast("double")
+            .alias("globhor"),
+            F.regexp_replace(F.element_at(parts(s), -2), ",", "")
+            .try_cast("double")
+            .alias("e_grid"),
+        ),
+    )
+    return F.filter(
+        rows, lambda s: s["globhor"].isNotNull() & s["e_grid"].isNotNull()
+    )
 
 
 def monthly_rows_agg(monthly_df: DataFrame) -> DataFrame:

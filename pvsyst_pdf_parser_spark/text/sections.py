@@ -14,6 +14,58 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def with_section_columns(docs: DataFrame) -> DataFrame:
+    """Fused C2: interval slicing as array ops on the scan matches — no
+    explode/window/groupBy/join (the hot-path variant; the relational
+    lead()-window decomposition below is the analytics/demo form).
+
+    Adds ``n_sections`` (distinct matched names) and ``losses_content``
+    (first Array Losses slice, stripped) to the doc frame.
+    """
+    doc_text = F.col("doc_text")
+    sm = F.array_sort(
+        F.transform(
+            F.col("sec_matches"),
+            lambda s: F.struct(
+                s["pos"].alias("pos"),
+                s["pidx"].alias("pidx"),
+                s["midx"].alias("midx"),
+                s["name"].alias("name"),
+            ),
+        )
+    )
+    slices = F.when(
+        F.size(sm) > 0,
+        F.zip_with(
+            sm,
+            F.sequence(F.lit(1), F.greatest(F.size(sm), F.lit(1))),
+            lambda s, i: F.struct(
+                s["name"].alias("name"),
+                F.regexp_replace(
+                    doc_text.substr(
+                        s["pos"] + 1,
+                        F.coalesce(
+                            F.try_element_at(sm, i + 1)["pos"], F.length(doc_text)
+                        )
+                        - s["pos"],
+                    ),
+                    r"^\s+|\s+$",
+                    "",
+                ).alias("content"),
+            ),
+        ),
+    )
+    n_sections = F.size(
+        F.array_distinct(F.transform(F.col("sec_matches"), lambda s: s["name"]))
+    )
+    losses_content = F.try_element_at(
+        F.filter(slices, lambda s: s["name"] == F.lit("Array Losses")), F.lit(1)
+    )["content"]
+    return docs.withColumn("n_sections", n_sections).withColumn(
+        "losses_content", losses_content
+    )
+
+
 def section_contents(doc_df: DataFrame) -> DataFrame:
     """(url, section, pidx, midx, pos, slice_seq, content) rows.
 

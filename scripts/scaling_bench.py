@@ -74,12 +74,11 @@ def main() -> None:
     import tempfile
 
     sys.path.insert(0, REPO)
-    from fixtures.gen import make_docs, write_pages_parquet
+    from fixtures.gen import write_pages_dataset
 
-    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "150000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "240000"))
     tmp = tempfile.mkdtemp(prefix="scaling_pages_")
-    pages_path = os.path.join(tmp, "pages.parquet")
-    write_pages_parquet(make_docs(n_docs, skew=True), pages_path)
+    pages_path = write_pages_dataset(n_docs, os.path.join(tmp, "pages"))
 
     low = run_level(8, pages_path)
     high = run_level(32, pages_path)
