@@ -78,7 +78,9 @@ def extract_decoded(page_df: DataFrame) -> DataFrame:
     )
     docs = with_section_columns(docs)  # fused C2
     docs = docs.withColumn("monthly_rows", monthly_rows_inline(F.col("doc_text")))
-    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    # every doc_text-derived column now exists — cache only the compact
+    # extracted columns (doc_text would multiply cache size ~10×)
+    docs = docs.drop("doc_text", "sec_matches").persist(StorageLevel.MEMORY_AND_DISK)
 
     comb = docs.filter(F.col("combined_text").isNotNull()).select(
         "url", "combined_text"
@@ -91,6 +93,6 @@ def extract_decoded(page_df: DataFrame) -> DataFrame:
 
     combos = assign_missing_mppt_labels(expand_combinations(all_fields))
 
-    doc_cols = docs.drop("doc_text", "sec_matches", "combined_text")
+    doc_cols = docs.drop("combined_text")
     assembly = assembly_frame(doc_cols, all_fields, combos)
     return assemble_documents(assembly)
