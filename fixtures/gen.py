@@ -576,4 +576,6 @@ def write_pages_parquet(docs: list[DocFixture], path: str) -> None:
             "lang": pa.array(["en"] * len(docs), pa.string()),
         }
     )
-    pq.write_table(table, path)
+    # modest row groups: parallel-scan granularity + bounded reader
+    # buffers for the binary payload column
+    pq.write_table(table, path, row_group_size=1024)

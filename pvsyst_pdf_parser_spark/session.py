@@ -25,6 +25,13 @@ _DEFAULTS = {
     # Large binary payloads: keep Arrow batches small enough to fit in
     # executor python-worker memory even with multi-MB PDFs per row.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+    # The parquet vectorized reader reserves batch_size × row-width
+    # CONTIGUOUS bytes per task; with ~20 KB binary payloads the 4096
+    # default is ~80 MB/task → at 32 concurrent tasks the driver heap
+    # OOMs (observed). 256 rows ≈ 5 MB/task keeps N-way parallel scans
+    # of binary-heavy tables inside any sane heap.
+    "spark.sql.parquet.columnarReaderBatchSize": "256",
+    "spark.python.worker.faulthandler.enabled": "true",
     # Per-url dimension sides are tiny — broadcast aggressively.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Legacy cast semantics: malformed numerics → NULL (the reference
@@ -33,7 +40,7 @@ _DEFAULTS = {
     # try_cast so they stay safe under ANSI driver sessions.
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 

@@ -48,8 +48,12 @@ def run_level(cpus: int, pages_path: str, reps: int = 3) -> dict:
     script = _CHILD.format(repo=REPO)
     out = subprocess.run(
         [sys.executable, "-c", script, str(cpus), pages_path, str(reps)],
-        capture_output=True, text=True, timeout=3000, check=True,
+        capture_output=True, text=True, timeout=2800,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"child local[{cpus}] failed rc={out.returncode}")
+    print(f"local[{cpus}]: {out.stdout.strip().splitlines()[-1]}", file=sys.stderr)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -77,8 +81,11 @@ def main() -> None:
     from fixtures.gen import write_pages_dataset
 
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "240000"))
-    tmp = tempfile.mkdtemp(prefix="scaling_pages_")
-    pages_path = write_pages_dataset(n_docs, os.path.join(tmp, "pages"))
+    pages_path = os.environ.get("SPARK_GRAFT_PAGES_DIR")
+    if not pages_path:
+        tmp = tempfile.mkdtemp(prefix="scaling_pages_")
+        pages_path = write_pages_dataset(n_docs, os.path.join(tmp, "pages"))
+    print(f"corpus: {pages_path}", file=sys.stderr)
 
     low = run_level(8, pages_path)
     high = run_level(32, pages_path)

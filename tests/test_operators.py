@@ -28,6 +28,31 @@ def test_inverter_range_expansion_matches_reference(spark, reference):
         assert got[s] == ref.parse_inverter_range(s), s
 
 
+def test_inverter_range_randomized_fuzz(spark, reference):
+    """Seeded random spec corpus through both implementations."""
+    import random
+
+    from pvsyst_pdf_parser_spark.arrays.ranges import expand_inverter_spec
+
+    rng = random.Random(1234)
+    atoms = ["INV", "inv", "", " "]
+    pieces = ["01", "7", "003", "12", "R1", "A9", "x", "-", ",", " - ", "05-07",
+              "R1-3", "1 - 2", "9-5", "B2-A4"]
+    specs = []
+    for _ in range(150):
+        n = rng.randint(1, 4)
+        spec = ",".join(
+            rng.choice(atoms) + rng.choice(pieces) for _ in range(n)
+        )
+        specs.append(spec)
+    ref = reference.PVsystParser()
+    df = spark.createDataFrame([(s,) for s in specs], "spec string")
+    got = {r["spec"]: r["out"] for r in df.withColumn(
+        "out", expand_inverter_spec("spec")).collect()}
+    for s in specs:
+        assert got[s] == ref.parse_inverter_range(s), repr(s)
+
+
 def test_mppt_range_expansion_matches_reference(spark, reference):
     from pvsyst_pdf_parser_spark.arrays.ranges import expand_mppt_spec
 
