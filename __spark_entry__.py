@@ -35,6 +35,28 @@ from pvsyst_pdf_parser_spark.training.hashing import (  # noqa: E402
 )
 
 
+def _ensure_workers_have_repo(spark: SparkSession) -> None:
+    """Python workers resolve UDF closures' module references by import;
+    if the driver session wasn't launched from the repo root, ship the
+    packages via addPyFile (idempotent, cached zip)."""
+    import zipfile
+
+    zip_path = os.path.join("/tmp", "pvsyst_pdf_parser_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for pkg in ("pvsyst_pdf_parser_spark", "fixtures"):
+                base = os.path.join(_REPO, pkg)
+                for root, _dirs, files in os.walk(base):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            zf.write(full, os.path.relpath(full, _REPO))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 - already added / not supported
+        pass
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001 (driver checks rows>0)."""
     return Q.q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -57,6 +79,7 @@ def _pvsyst_extract_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fixtures.gen import make_docs
     from pvsyst_pdf_parser_spark.pipeline import extract_documents
 
+    _ensure_workers_have_repo(spark)
     docs = make_docs(9)
     pages = spark.createDataFrame(
         [(d.url, d.payload, d.text, "en") for d in docs],
@@ -104,7 +127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": lambda s, d: X.lang_id_heuristic(_docs(s, d)),
         "text_quality_score": lambda s, d: X.quality_scores(_docs(s, d)),
         "doc_fingerprint": lambda s, d: X.doc_fingerprints(_docs(s, d)),
-        "multimodal_metadata": lambda s, d: M.extract_media_metadata(_docs(s, d)),
+        "multimodal_metadata": lambda s, d: (
+            _ensure_workers_have_repo(s),
+            M.extract_media_metadata(_docs(s, d)),
+        )[1],
         # flagship extraction (rows-only check; byte gate in pytest)
         "pvsyst_extract_smoke": _pvsyst_extract_smoke,
     }
