@@ -38,19 +38,37 @@ from pvsyst_pdf_parser_spark.training.hashing import (  # noqa: E402
 def _ensure_workers_have_repo(spark: SparkSession) -> None:
     """Python workers resolve UDF closures' module references by import;
     if the driver session wasn't launched from the repo root, ship the
-    packages via addPyFile (idempotent, cached zip)."""
+    packages via addPyFile.  The zip lives in a repo-local build dir
+    (not a world-writable fixed /tmp path another local user could
+    pre-plant) and its name carries a content hash of the sources, so
+    edits produce a new artifact instead of executors importing a stale
+    cached zip."""
+    import hashlib
     import zipfile
 
-    zip_path = os.path.join("/tmp", "pvsyst_pdf_parser_spark_pkg.zip")
+    sources = []
+    for pkg in ("pvsyst_pdf_parser_spark", "fixtures"):
+        base = os.path.join(_REPO, pkg)
+        for root, _dirs, files in os.walk(base):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    sources.append(os.path.join(root, fn))
+    sources.sort()
+    h = hashlib.sha256()
+    for full in sources:
+        with open(full, "rb") as f:
+            h.update(os.path.relpath(full, _REPO).encode())
+            h.update(b"\0")
+            h.update(f.read())
+    build_dir = os.path.join(_REPO, ".build")
+    os.makedirs(build_dir, exist_ok=True)
+    zip_path = os.path.join(build_dir, f"pkg-{h.hexdigest()[:16]}.zip")
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for pkg in ("pvsyst_pdf_parser_spark", "fixtures"):
-                base = os.path.join(_REPO, pkg)
-                for root, _dirs, files in os.walk(base):
-                    for fn in files:
-                        if fn.endswith(".py"):
-                            full = os.path.join(root, fn)
-                            zf.write(full, os.path.relpath(full, _REPO))
+        tmp_path = zip_path + f".tmp-{os.getpid()}"
+        with zipfile.ZipFile(tmp_path, "w") as zf:
+            for full in sources:
+                zf.write(full, os.path.relpath(full, _REPO))
+        os.replace(tmp_path, zip_path)  # atomic publish
     try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:  # noqa: BLE001 - already added / not supported
@@ -118,11 +136,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data operators
         "dedup_exact": lambda s, d: D.exact_dedup_stats(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d)),
+        "dedup_ngram_capped": lambda s, d: D.ngram_jaccard_pairs(
+            _docs(s, d), max_df=10
+        ),
         "dedup_minhash_lsh": lambda s, d: D.minhash_lsh_verified(_docs(s, d)),
+        "dedup_minhash_capped": lambda s, d: D.minhash_lsh_verified(
+            _docs(s, d), max_df=10
+        ),
         "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: S.brute_force_topk(_emb(s, d)),
         "ann_lsh_buckets": lambda s, d: S.lsh_bucket_stats(_emb(s, d)),
         "ann_lsh_topk": lambda s, d: S.lsh_topk(_emb(s, d)),
+        "ann_multiband_topk": lambda s, d: S.multiband_topk(_emb(s, d)),
+        "ann_recall": lambda s, d: S.ann_recall_report(_emb(s, d)),
         "text_token_count": lambda s, d: X.token_count_stats(_docs(s, d)),
         "text_lang_id": lambda s, d: X.lang_id_heuristic(_docs(s, d)),
         "text_quality_score": lambda s, d: X.quality_scores(_docs(s, d)),
@@ -155,7 +181,13 @@ def _shingle_cte(sample_mod: int) -> str:
   sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
 
 
-def _minhash_sql() -> str:
+_CAP_CTES = """,
+  dfreq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}),
+  shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)),
+  sizesc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id)"""
+
+
+def _minhash_sql(max_df: int | None = None) -> str:
     params = perm_params(8)
     h = _H56.format(expr="shingle")
     mh_cols = ", ".join(
@@ -167,8 +199,14 @@ def _minhash_sql() -> str:
         f"mh{b * 2}::varchar || '_' || mh{b * 2 + 1}::varchar AS band_sig FROM sig"
         for b in range(4)
     )
+    # signatures/banding always on the UNCAPPED shingle sets (matches
+    # Spark: banding bounded by collision rate); the verify join and
+    # sizes use the capped universe when max_df is set
+    cap = _CAP_CTES.format(max_df=max_df) if max_df else ""
+    vsh = "shc" if max_df else "sh"
+    vsizes = "sizesc" if max_df else "sizes"
     return f"""
-WITH {_shingle_cte(5)},
+WITH {_shingle_cte(5)}{cap},
   h AS (SELECT doc_id, ({h} % {MERSENNE_P}) AS hm FROM sh),
   sig AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id),
   banded AS ({band_rows}),
@@ -179,12 +217,13 @@ WITH {_shingle_cte(5)},
   common AS (
     SELECT c.doc_a, c.doc_b, count(*) AS n_common
     FROM cand c
-    JOIN sh sa ON sa.doc_id = c.doc_a
-    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    JOIN {vsh} sa ON sa.doc_id = c.doc_a
+    JOIN {vsh} sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
     GROUP BY c.doc_a, c.doc_b)
 SELECT doc_a, doc_b,
        round(n_common / (za.n + zb.n - n_common), 4) AS jaccard
-FROM common JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+FROM common JOIN {vsizes} za ON za.doc_id = doc_a
+JOIN {vsizes} zb ON zb.doc_id = doc_b
 WHERE round(n_common / (za.n + zb.n - n_common), 4) >= 0.01
 """
 
@@ -197,19 +236,102 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+# integer-only hash identical to simsearch.plane_expr (two rounds of
+# multiply-mod-2^31 mixing; the naive lattice formula gave near-parallel
+# planes and ~0.01 recall)
 _PLANE = (
     "list_transform(generate_series(1, 64), "
-    "i -> ((i + 1) * ({j} + 3) * 2654435761 % 2000)::DOUBLE / 1000.0 - 1.0)"
+    "i -> ((((((i * 2654435761 + {jb}) % 2147483648)"
+    " * 2654435761) % 2147483648) >> 7) % 2000)::DOUBLE / 1000.0 - 1.0)"
 )
+
+
+def _plane_sql(j: int) -> str:
+    # (j+1)*1013904223 precomputed in Python: DuckDB would multiply the
+    # two small literals as INT32 and overflow
+    return _PLANE.format(jb=(j + 1) * 1013904223)
 
 
 def _bucket_sql() -> str:
     bits = " + ".join(
-        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_PLANE.format(j=j)}) > 0 "
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_sql(j)}) > 0 "
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(8)
     )
     return f"SELECT vec_id, ({bits})::int AS bucket, embedding FROM embeddings"
+
+
+def _multiband_bucket_sql(n_bands: int = 12, planes_per_band: int = 5) -> str:
+    """(vec_id, band_idx, bucket): band b uses global hyperplanes
+    b*planes_per_band + j — same formula as simsearch.plane_expr."""
+    parts = []
+    for b in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"{_plane_sql(b * planes_per_band + j)}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(planes_per_band)
+        )
+        parts.append(
+            f"SELECT vec_id, {b} AS band_idx, ({bits})::int AS bucket FROM embeddings"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _multiband_topk_sql(n_queries: int = 5, k: int = 3) -> str:
+    return f"""
+WITH bb AS ({_multiband_bucket_sql()}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM bb q JOIN bb c USING (band_idx, bucket)
+  WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id),
+s AS (
+  SELECT cand.query_id, cand.cand_id,
+         {_cos_sql("qe.embedding", "ce.embedding")} AS cos_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.cand_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id) AS rank
+      FROM s)
+SELECT query_id, cand_id, cos_sim, rank::int AS rank FROM r WHERE rank <= {k}
+"""
+
+
+def _ann_recall_sql(n_queries: int = 20, k: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS cand_id, embedding FROM embeddings),
+ts AS (SELECT query_id, cand_id, {_cos_sql("q_emb", "embedding")} AS cos_sim
+       FROM q CROSS JOIN c WHERE query_id <> cand_id),
+truth AS (SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id) AS rank
+    FROM ts) WHERE rank <= {k}),
+bb AS ({_multiband_bucket_sql()}),
+cand AS (
+  SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS cand_id
+  FROM bb bq JOIN bb bc USING (band_idx, bucket)
+  WHERE bq.vec_id < {n_queries} AND bq.vec_id <> bc.vec_id),
+s AS (
+  SELECT cand.query_id, cand.cand_id,
+         {_cos_sql("qe.embedding", "ce.embedding")} AS cos_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.cand_id),
+approx AS (SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id) AS rank
+    FROM s) WHERE rank <= {k}),
+hits AS (SELECT t.query_id, t.cand_id
+         FROM truth t JOIN approx a USING (query_id, cand_id))
+SELECT {n_queries} AS n_queries, {k} AS k,
+       (SELECT count(*) FROM hits) AS n_hits,
+       (SELECT count(*) FROM truth) AS n_truth,
+       round((SELECT count(*) FROM hits) / (SELECT count(*) FROM truth), 4)
+         AS recall
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -387,7 +509,22 @@ SELECT doc_a, doc_b, n_common,
 FROM pairs JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
 WHERE round(n_common / (za.n + zb.n - n_common), 4) >= 0.02
 """,
+        "dedup_ngram_capped": f"""
+WITH {_shingle_cte(5)}{_CAP_CTES.format(max_df=10)},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shc a JOIN shc b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / (za.n + zb.n - n_common), 4) AS jaccard
+FROM pairs JOIN sizesc za ON za.doc_id = doc_a
+JOIN sizesc zb ON zb.doc_id = doc_b
+WHERE round(n_common / (za.n + zb.n - n_common), 4) >= 0.02
+""",
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_minhash_capped": _minhash_sql(max_df=10),
+        "ann_multiband_topk": _multiband_topk_sql(),
+        "ann_recall": _ann_recall_sql(),
         "dedup_simhash": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok

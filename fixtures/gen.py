@@ -57,6 +57,7 @@ class ArraySpec:
     u_mpp: float | None = None
     i_mpp: float | None = None
     trailing_equipment: tuple | None = None  # (manufacturer, model, power_text)
+    spaced_units: bool = False         # "500 units" (glued-regex quirk, ref :629)
 
 
 @dataclass
@@ -77,6 +78,11 @@ class DocSpec:
     total_inverters_line: int | None = None
     duplicate_array_id: int | None = None
     filler_pages: int = 0
+    unicode_ws: bool = False           # inject \t / \r / NBSP whitespace
+    malformed_losses: bool = False     # drop one "Global array res." line
+    spaced_total_modules: bool = False  # "Nb. of modules N units" (spaced)
+    extra_chars_lines: list = field(default_factory=list)
+    extra_results_lines: list = field(default_factory=list)
 
     @property
     def url(self) -> str:
@@ -148,7 +154,10 @@ def _render_characteristics_page(spec: DocSpec, page_no: int, npages: int) -> st
         ]
 
     if spec.total_modules_line is not None:
-        lines.append(f"Nb. of modules {spec.total_modules_line}units")
+        sep = " " if spec.spaced_total_modules else ""
+        lines.append(f"Nb. of modules {spec.total_modules_line}{sep}units")
+
+    lines.extend(spec.extra_chars_lines)
 
     lines.append(f"Page {page_no}/{npages}")
     return "\n".join(lines)
@@ -165,7 +174,8 @@ def _render_array_block(a: ArraySpec) -> list[str]:
     if a.orientation_id is not None:
         lines.append(f"Orientation #{a.orientation_id}")
     if a.n_modules is not None:
-        lines.append(f"Number of PV modules {a.n_modules}units")
+        sep = " " if a.spaced_units else ""
+        lines.append(f"Number of PV modules {a.n_modules}{sep}units")
     if a.stc_kwp is not None:
         lines.append(f"Nominal (STC) {a.stc_kwp}kWp")
     lines.append(f"Modules {a.strings} strings x {a.series}")
@@ -222,6 +232,7 @@ def _render_results_page(spec: DocSpec, page_no: int, npages: int) -> str:
         tg = sum(g for g, _ in spec.monthly)
         te = sum(e for _, e in spec.monthly)
         lines.append(f"Year {tg:.1f} {tg * 0.45:.1f} 14.8 {tg * 1.1:.1f} {tg * 1.05:.1f} {te * 1.03:,.0f} {te:,.0f} 0.845")
+    lines.extend(spec.extra_results_lines)
     lines.append(f"Page {page_no}/{npages}")
     return "\n".join(lines)
 
@@ -246,10 +257,16 @@ def _render_losses_page(spec: DocSpec, page_no: int, npages: int) -> str:
         "DC wiring losses",
         "Global wiring resistance 12.5mΩ Loss Fraction 1.5%",
     ]
-    for (aid, notation, res, loss) in spec.loss_arrays:
-        lines.append(
-            f"Array #{aid} - {notation} Global array res. {res}mΩ Loss Fraction {loss}%"
-        )
+    for i, (aid, notation, res, loss) in enumerate(spec.loss_arrays):
+        if spec.malformed_losses and i == len(spec.loss_arrays) - 1:
+            # malformed row: missing "Global array res." → reference's
+            # res_list < notations length-guard rejects ALL per-array
+            # rows (pvsyst_parser.py:1334-1341)
+            lines.append(f"Array #{aid} - {notation} Loss Fraction {loss}%")
+        else:
+            lines.append(
+                f"Array #{aid} - {notation} Global array res. {res}mΩ Loss Fraction {loss}%"
+            )
     lines += [
         "AC wiring losses",
         "Inverter voltage 800Vac",
@@ -273,6 +290,37 @@ def _render_filler_page(rng: random.Random, page_no: int, npages: int) -> str:
         )
     lines.append(f"Page {page_no}/{npages}")
     return "\n".join(lines)
+
+
+_NBSP = " "
+_NNBSP = " "   # narrow no-break space
+_EMSP = " "    # em space
+
+
+def _inject_unicode_ws(page: str) -> str:
+    """Deterministically inject \\t / \\r / NBSP-family whitespace into
+    lines the parser grammar accepts via Unicode-aware strip/split/\\s —
+    exercising the CPython-vs-Java whitespace-class parity fixes."""
+    out = []
+    for ln in page.split("\n"):
+        if any(ln.startswith(m + " ") for m in MONTHS):
+            # leading tab, NBSP first separator, CRLF line end
+            head, rest = ln.split(" ", 1)
+            ln = "\t" + head + _NBSP + rest + "\r"
+        elif ln.startswith("Manufacturer "):
+            ln = ln.replace("Manufacturer ", "Manufacturer" + _NBSP, 1)
+        elif "Tilt/Azimuth" in ln:
+            ln = ln.replace(" / ", _NBSP + "/" + _NNBSP)
+        elif ln == "Inverter":
+            ln = _NBSP + "Inverter" + _NBSP
+        elif "Loss Fraction " in ln:
+            ln = ln.replace("Loss Fraction ", "Loss Fraction" + _NBSP)
+        elif ln.startswith("Number of PV modules "):
+            ln = ln.replace("Number of PV modules ", "Number of PV modules" + _EMSP)
+        elif ln.startswith("Nb. of modules"):
+            ln = "\t" + ln + "\r"
+        out.append(ln)
+    return "\n".join(out)
 
 
 def render_pages(spec: DocSpec) -> list[str]:
@@ -302,6 +350,8 @@ def render_pages(spec: DocSpec) -> list[str]:
     for _ in range(spec.filler_pages):
         pages.append(_render_filler_page(rng, page_no, npages))
         page_no += 1
+    if spec.unicode_ws:
+        pages = [_inject_unicode_ws(p) for p in pages]
     return pages
 
 
@@ -461,6 +511,65 @@ def _scn_no_monthly(spec: DocSpec, rng: random.Random) -> None:
     spec.monthly = []
 
 
+def _scn_unicode_ws(spec: DocSpec, rng: random.Random) -> None:
+    """multi_standard content with \\t / \\r / NBSP-family whitespace
+    injected into accepted lines (CPython Unicode-strip/split parity)."""
+    _scn_multi_standard(spec, rng)
+    spec.unicode_ws = True
+
+
+def _scn_adversarial(spec: DocSpec, rng: random.Random) -> None:
+    """Reference-quirk edge cases: glued-vs-spaced units (:629 vs :897),
+    orientation with no tilt anywhere near (:342-385 nearest/800-window),
+    descending + punctuated range specs, huge labeled MPPT number next
+    to a NULL-mppt combo (gap-fill bound), malformed losses table
+    (res_list < notations → all per-array rows rejected, :1334-1341),
+    monthly rows that fail each acceptance rule, inverter-count
+    mismatch vs the Total-inverter-power section."""
+    spec.orientations = [(1, 18.0, -45.0)]
+    spec.arrays = [
+        # spaced units → array-block glued regex misses number_of_modules
+        ArraySpec(
+            1, "01-02", mppt_spec="1 - 2", orientation_id=1, n_modules=500,
+            stc_kwp=270.0, strings=25, series=20, tilt_az=(18.0, -45.0),
+            u_mpp=600.0, i_mpp=50.0, spaced_units=True,
+        ),
+        # huge labeled MPPT number; array 3 below shares INV03 with a
+        # NULL-mppt combo → gap-fill must assign 1,2,... not 998 slots
+        ArraySpec(
+            2, "03", mppt_spec="999", n_modules=120, stc_kwp=64.8,
+            strings=6, series=20, u_mpp=598.0,
+        ),
+        ArraySpec(
+            3, "03", n_modules=60, stc_kwp=32.4, strings=3, series=20,
+            i_mpp=6.0,
+        ),
+        # descending range expands to nothing → no inverters → no combos
+        ArraySpec(
+            4, "05-03", n_modules=240, stc_kwp=129.6, strings=12,
+            series=20, u_mpp=600.0,
+        ),
+    ]
+    # orientation mention with no nearby tilt (nearest-join binds the far
+    # one; also exercises the mention-without-own-tilt path)
+    spec.extra_chars_lines = ["Orientation #7 Unlabeled plane"]
+    spec.total_inverters_line = 5      # parsed arrays imply 3 → mismatch
+    spec.total_modules_line = 920
+    spec.spaced_total_modules = True   # ":1560 glued regex → no match"
+    spec.monthly = _monthly(rng)
+    # monthly rows that must be REJECTED: <8 tokens; non-numeric parts[1]
+    spec.extra_results_lines = [
+        "January 12.3 45.6",
+        "February n/a 1.0 2.0 3.0 4.0 5.0 6.0 7.0 8.0",
+    ]
+    spec.malformed_losses = True
+    spec.loss_arrays = [
+        (1, "INV 01-02", 180.0, 1.1),
+        (2, "INV 03", 220.0, 1.2),
+        (3, "INV 03", 260.0, 1.3),
+    ]
+
+
 SCENARIOS = [
     ("multi_standard", lambda s, r: _scn_multi_standard(s, r)),
     ("multi_complex", lambda s, r: _scn_multi_complex(s, r)),
@@ -471,6 +580,8 @@ SCENARIOS = [
     ("gapfill", lambda s, r: _scn_gapfill(s, r)),
     ("empty", lambda s, r: _scn_empty(s, r)),
     ("no_monthly", lambda s, r: _scn_no_monthly(s, r)),
+    ("unicode_ws", lambda s, r: _scn_unicode_ws(s, r)),
+    ("adversarial", lambda s, r: _scn_adversarial(s, r)),
 ]
 
 

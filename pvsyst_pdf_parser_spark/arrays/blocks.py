@@ -27,7 +27,7 @@ from ..text.twocol import first_line_with, second_column_value
 
 # reference :1030-1036 — the five page markers
 PAGE_MARKERS = (
-    r"(?i)PV Array Characteristics|Array\s*#?\s*\d+|Array Characteristics"
+    r"(?iU)PV Array Characteristics|Array\s*#?\s*\d+|Array Characteristics"
     r"|PV Modules|Module Configuration"
 )
 
@@ -92,14 +92,16 @@ def _trailing_type_columns(df: DataFrame, tail_col: str) -> DataFrame:
     simply not extracting power (see SURVEY.md §8 quirks).
     """
     tail = F.col(tail_col)
-    has_exact = tail.rlike(r"(?im)^[ \t]*Inverter[ \t]*$")
+    # reference: re.fullmatch("Inverter", ln) over *stripped* lines —
+    # \h = Unicode horizontal whitespace (NBSP & friends), Python-strip parity
+    has_exact = tail.rlike(r"(?imU)^\h*Inverter\h*$")
     exact_rest = F.regexp_extract(
-        tail, r"(?i)(?:\A|\n)[ \t]*Inverter[ \t]*\n([\s\S]*)", 1
+        tail, r"(?iU)(?:\A|\n)\h*Inverter\h*\r?\n([\s\S]*)", 1
     )
     exact_block = F.concat(F.lit("Inverter\n"), exact_rest)
-    has_word = tail.rlike(r"(?i)\bInverter\b")
+    has_word = tail.rlike(r"(?iU)\bInverter\b")
     contain_block = F.regexp_extract(
-        tail, r"(?i)(?:\A|\n)([^\n]*\bInverter\b[\s\S]*)", 1
+        tail, r"(?iU)(?:\A|\n)([^\n]*\bInverter\b[\s\S]*)", 1
     )
     inv_block = F.when(has_exact, exact_block).otherwise(
         F.when(has_word, contain_block)
@@ -120,7 +122,7 @@ def array_blocks(comb_df: DataFrame) -> DataFrame:
     ).select("url", "b.seq", "b.array_id", "b.raw_block")
 
     valid = blocks.filter(
-        F.col("raw_block").rlike(r"(?i)Modules\s+\d+\s+(?:string|Strings)")
+        F.col("raw_block").rlike(r"(?iU)Modules\s+\d+\s+(?:string|Strings)")
     )
     first_wins = Window.partitionBy("url", "array_id").orderBy("seq")
     deduped = (
@@ -131,7 +133,7 @@ def array_blocks(comb_df: DataFrame) -> DataFrame:
 
     # A4: cut the block at the first "\nPV module" (:1072-1078)
     tail = F.nullif(
-        F.regexp_extract("raw_block", r"(?is)(\nPV\s*module\b[\s\S]*)", 1), F.lit("")
+        F.regexp_extract("raw_block", r"(?isU)(\nPV\s*module\b[\s\S]*)", 1), F.lit("")
     )
     with_tail = deduped.withColumn("tail", tail).withColumn(
         "body",
@@ -139,7 +141,7 @@ def array_blocks(comb_df: DataFrame) -> DataFrame:
             F.col("tail").isNotNull(),
             F.regexp_replace(
                 F.expr("substring(raw_block, 1, length(raw_block) - length(tail))"),
-                r"\s+$",
+                r"(?U)\s+$",
                 "",
             ),
         ).otherwise(F.col("raw_block")),

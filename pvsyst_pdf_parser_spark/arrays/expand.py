@@ -8,7 +8,7 @@ order, inverters outer, MPPTs inner) for the order-dependent consumers
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -45,13 +45,19 @@ def expand_combinations(fields_df: DataFrame) -> DataFrame:
         F.posexplode_outer("eff_mppts").alias("mppt_pos", "mppt"),
     )
 
+    # combo_seq = dense document-order index via row_number over
+    # (rank, inv_pos, mppt_pos) — immune to radix overflow when an
+    # array expands to >1000 inverters/MPPTs (fixed-radix arithmetic
+    # would collide and scramble the order-dependent consumers:
+    # last-wins association overwrite, first-linked type lookup,
+    # gap-fill tiebreak).  Window partitions on url → reuses the
+    # url clustering, no extra shuffle.
+    w = Window.partitionBy("url").orderBy(
+        "rank", "inv_pos", F.coalesce(F.col("mppt_pos"), F.lit(0))
+    )
     return combos.select(
         "url",
-        (
-            F.col("rank").cast("long") * 1_000_000
-            + F.col("inv_pos") * 1_000
-            + F.coalesce(F.col("mppt_pos"), F.lit(0))
-        ).alias("combo_seq"),
+        F.row_number().over(w).cast("long").alias("combo_seq"),
         "array_id",
         "inverter",
         "mppt",

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..text.uws import split_lines, utrim
 from .ranges import expand_inverter_spec, expand_mppt_spec
 
 
@@ -17,17 +18,17 @@ def _x(col, pat: str, group: int = 1):
 def array_fields(blocks_df: DataFrame) -> DataFrame:
     """blocks (url, rank, array_id, body, pending_*) → typed field rows."""
     body = F.col("body")
-    header = F.element_at(F.split(body, "\n"), 1)
+    header = F.element_at(split_lines(body), 1)  # splitlines()[0] (:574)
 
     df = (
         blocks_df.withColumn("header_line", header)
         # INV spec: "INV ... MPPT" preferred (:579-582), else first token
         # after INV (:585-589)
         .withColumn(
-            "inv_spec1", F.trim(_x(F.col("header_line"), r"(?i)INV\s+(.+?)\s+MPPT"))
+            "inv_spec1", utrim(_x(F.col("header_line"), r"(?iU)INV\s+(.+?)\s+MPPT"))
         )
         .withColumn(
-            "inv_spec2", F.trim(_x(F.col("header_line"), r"(?i)INV\s*(.+?)(?:\s+|$)"))
+            "inv_spec2", utrim(_x(F.col("header_line"), r"(?iU)INV\s*(.+?)(?:\s+|$)"))
         )
         .withColumn("ids1", expand_inverter_spec("concat('INV ', coalesce(inv_spec1, ''))"))
         .withColumn("ids2", expand_inverter_spec("concat('INV ', coalesce(inv_spec2, ''))"))
@@ -37,7 +38,7 @@ def array_fields(blocks_df: DataFrame) -> DataFrame:
         )
         # MPPT header ids (:596-602)
         .withColumn(
-            "mppt_spec", _x(F.col("header_line"), r"(?i)MPPT[#\s]*([0-9,\-\s]+)")
+            "mppt_spec", _x(F.col("header_line"), r"(?iU)MPPT[#\s]*([0-9,\-\s]+)")
         )
         .withColumn("mppt_ids", expand_mppt_spec("mppt_spec"))
     )
@@ -45,7 +46,7 @@ def array_fields(blocks_df: DataFrame) -> DataFrame:
     n_inv = F.when(F.size("inverter_ids") > 0, F.size("inverter_ids")).otherwise(1)
     total_endpoints = _x(
         body,
-        r"(?i)Number of inverters\s*(\d+)\s*\*\s*MPPT\s*([\d.]+)%\s*([\d.]+)\s*unit",
+        r"(?iU)Number of inverters\s*(\d+)\s*\*\s*MPPT\s*([\d.]+)%\s*([\d.]+)\s*unit",
         1,
     ).try_cast("int")
 
@@ -67,7 +68,7 @@ def array_fields(blocks_df: DataFrame) -> DataFrame:
             "mppt_share_percent",
             _x(
                 body,
-                r"(?i)Number of inverters\s*(\d+)\s*\*\s*MPPT\s*([\d.]+)%\s*([\d.]+)\s*unit",
+                r"(?iU)Number of inverters\s*(\d+)\s*\*\s*MPPT\s*([\d.]+)%\s*([\d.]+)\s*unit",
                 2,
             ).try_cast("double"),
         )
@@ -75,44 +76,44 @@ def array_fields(blocks_df: DataFrame) -> DataFrame:
             "inverter_unit_fraction",
             _x(
                 body,
-                r"(?i)Number of inverters\s*(\d+)\s*\*\s*MPPT\s*([\d.]+)%\s*([\d.]+)\s*unit",
+                r"(?iU)Number of inverters\s*(\d+)\s*\*\s*MPPT\s*([\d.]+)%\s*([\d.]+)\s*unit",
                 3,
             ).try_cast("double"),
         )
         .withColumn(
             "orientation_id",
-            _x(body, r"(?i)Orientation\s*#?\s*(\d+)").try_cast("int"),
+            _x(body, r"(?iU)Orientation\s*#?\s*(\d+)").try_cast("int"),
         )
         .withColumn(
             "number_of_modules",
-            _x(body, r"(?i)Number of PV modules\s*(\d+)units?").try_cast("int"),
+            _x(body, r"(?iU)Number of PV modules\s*(\d+)units?").try_cast("int"),
         )
         .withColumn(
             "nominal_stc_kwp",
-            _x(body, r"(?i)Nominal\s*\(STC\)\s*([\d.]+)kWp").try_cast("double"),
+            _x(body, r"(?iU)Nominal\s*\(STC\)\s*([\d.]+)kWp").try_cast("double"),
         )
         .withColumn(
             "strings",
-            _x(body, r"(?i)Modules\s*(\d+)\s*string[s]?\s*x\s*(\d+)", 1).try_cast("int"),
+            _x(body, r"(?iU)Modules\s*(\d+)\s*string[s]?\s*x\s*(\d+)", 1).try_cast("int"),
         )
         .withColumn(
             "modules_in_series",
-            _x(body, r"(?i)Modules\s*(\d+)\s*string[s]?\s*x\s*(\d+)", 2).try_cast("int"),
+            _x(body, r"(?iU)Modules\s*(\d+)\s*string[s]?\s*x\s*(\d+)", 2).try_cast("int"),
         )
         .withColumn(
             "tilt",
-            _x(body, r"(?i)Tilt/Azimuth\s*([-\d.]+)\s*/\s*([-\d.]+)\s*°", 1).try_cast(
+            _x(body, r"(?iU)Tilt/Azimuth\s*([-\d.]+)\s*/\s*([-\d.]+)\s*°", 1).try_cast(
                 "double"
             ),
         )
         .withColumn(
             "azimuth_pvsyst",
-            _x(body, r"(?i)Tilt/Azimuth\s*([-\d.]+)\s*/\s*([-\d.]+)\s*°", 2).try_cast(
+            _x(body, r"(?iU)Tilt/Azimuth\s*([-\d.]+)\s*/\s*([-\d.]+)\s*°", 2).try_cast(
                 "double"
             ),
         )
-        .withColumn("u_mpp_v", _x(body, r"(?i)U mpp\s*([\d.]+)V").try_cast("double"))
-        .withColumn("i_mpp_a", _x(body, r"(?i)I mpp\s*([\d.]+)A").try_cast("double"))
+        .withColumn("u_mpp_v", _x(body, r"(?iU)U mpp\s*([\d.]+)V").try_cast("double"))
+        .withColumn("i_mpp_a", _x(body, r"(?iU)I mpp\s*([\d.]+)A").try_cast("double"))
         # propagated pending type applies only when the block itself binds
         # inverters (:1082-1086); blocks never parse their own type — the
         # embedded-equipment branch is unreachable post-A4-cut

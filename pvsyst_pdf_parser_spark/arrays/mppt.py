@@ -7,10 +7,15 @@ a sequential while-loop; relationally it is a *gap-filling rank*:
 
   missing_k  ←  k-th smallest candidate number ∉ used
 
-implemented as: explode a candidate sequence 1..(max_used + n_missing),
+implemented as: explode a candidate sequence 1..(n_missing + |used|),
 anti-filter numbers in the used set, rank both sides, equi-join on the
-rank.  All windows/aggregations key on (url, inverter) ⊇ url, so the
-url clustering is reused — no extra shuffle.
+rank.  The candidate bound is n_missing + |used| — NOT max(used): within
+[1..n_missing+|used|] at least n_missing numbers are free, so the k-th
+free slot (k ≤ n_missing) always lands inside the bound, and a single
+adversarial doc labeling "MPPT 999999999" cannot blow the explode up
+(the reference assigns labels in O(n_missing), :745-786 — same output).
+All windows/aggregations key on (url, inverter) ⊇ url, so the url
+clustering is reused — no extra shuffle.
 """
 
 from __future__ import annotations
@@ -18,7 +23,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_MPPT_NUM = r"(?i)^MPPT\s*(\d+)$"
+from ..text.uws import utrim
+
+_MPPT_NUM = r"(?iU)^MPPT\s*(\d+)$"
 
 
 def assign_missing_mppt_labels(combos_df: DataFrame) -> DataFrame:
@@ -30,32 +37,41 @@ def assign_missing_mppt_labels(combos_df: DataFrame) -> DataFrame:
     used = (
         labeled.withColumn(
             "num",
-            F.nullif(F.regexp_extract(F.trim("mppt"), _MPPT_NUM, 1), F.lit("")).cast(
+            F.nullif(F.regexp_extract(utrim("mppt"), _MPPT_NUM, 1), F.lit("")).cast(
                 "int"
             ),
         )
         .filter(F.col("num").isNotNull())
         .groupBy("url", "inverter")
-        .agg(F.collect_set("num").alias("used_nums"), F.max("num").alias("max_used"))
+        .agg(F.collect_set("num").alias("used_nums"))
     )
 
     n_missing = missing.groupBy("url", "inverter").agg(
         F.count("*").alias("n_missing")
     )
 
-    # candidate numbers 1..(max_used + n_missing), minus used, ranked
+    # candidate numbers 1..(n_missing + |used|), minus used, ranked —
+    # bound independent of max(used) so huge labeled MPPT numbers can't
+    # explode the sequence (see module docstring)
     slots = (
         n_missing.join(used, ["url", "inverter"], "left")
         .select(
             "url",
             "inverter",
+            "n_missing",
             F.coalesce("used_nums", F.expr("cast(array() as array<int>)")).alias(
                 "used_nums"
             ),
+        )
+        # size() must see the coalesced array: size(NULL) is -1, which
+        # would turn the bound into n_missing-1 and make sequence()
+        # count DOWN through 0
+        .select(
+            "url",
+            "inverter",
+            "used_nums",
             F.explode(
-                F.sequence(
-                    F.lit(1), F.coalesce("max_used", F.lit(0)) + F.col("n_missing")
-                )
+                F.sequence(F.lit(1), F.col("n_missing") + F.size("used_nums"))
             ).alias("num"),
         )
         .filter(~F.array_contains("used_nums", F.col("num")))

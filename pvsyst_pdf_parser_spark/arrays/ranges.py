@@ -23,10 +23,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # doubled backslashes survive the SQL string literal parser
-_INV_RANGE = r"(?i)INV\\s*([A-Za-z]*)(\\d+)\\s*-\\s*([A-Za-z]*)(\\d+)"
-_INV_SINGLE = r"(?i)INV\\s*([A-Za-z]*)(\\d+)"
-_MPPT_RANGE = r"(\\d+)\\s*-\\s*(\\d+)"
-_MPPT_SINGLE = r"(\\d+)"
+_INV_RANGE = r"(?iU)INV\\s*([A-Za-z]*)(\\d+)\\s*-\\s*([A-Za-z]*)(\\d+)"
+_INV_SINGLE = r"(?iU)INV\\s*([A-Za-z]*)(\\d+)"
+_MPPT_RANGE = r"(?U)(\\d+)\\s*-\\s*(\\d+)"
+_MPPT_SINGLE = r"(?U)(\\d+)"
 
 
 def expand_inverter_spec(spec_sql: str) -> Column:
@@ -39,7 +39,8 @@ def expand_inverter_spec(spec_sql: str) -> Column:
     sql = f"""
       flatten(transform(
         transform(
-          filter(transform(split(coalesce({spec_sql}, ''), ','), x -> trim(x)),
+          filter(transform(split(coalesce({spec_sql}, ''), ','),
+                           x -> regexp_replace(x, '(?U)^\\\\s+|\\\\s+$', '')),
                  p -> p != ''),
           p -> CASE WHEN upper(p) LIKE 'INV%' THEN p ELSE concat('INV ', p) END),
         q -> CASE
@@ -58,11 +59,16 @@ def expand_inverter_spec(spec_sql: str) -> Column:
 
 def expand_mppt_spec(spec_sql: str) -> Column:
     """array<string> of 'MPPT n' labels (reference :438-457)."""
-    stripped = f"regexp_replace(coalesce({spec_sql}, ''), '(?i)^MPPT\\\\s*', '')"
+    stripped = (
+        f"regexp_replace(regexp_replace(coalesce({spec_sql}, ''),"
+        f" '(?U)^\\\\s+|\\\\s+$', ''), '(?iU)^MPPT\\\\s*', '')"
+    )
     rg = lambda i: f"regexp_extract(p, '{_MPPT_RANGE}', {i})"  # noqa: E731
     sql = f"""
       flatten(transform(
-        filter(transform(split({stripped}, ','), x -> trim(x)), p -> p != ''),
+        filter(transform(split({stripped}, ','),
+                         x -> regexp_replace(x, '(?U)^\\\\s+|\\\\s+$', '')),
+               p -> p != ''),
         p -> CASE
           WHEN p LIKE '%-%' THEN
             CASE WHEN {rg(1)} != '' AND cast({rg(1)} as int) <= cast({rg(2)} as int)

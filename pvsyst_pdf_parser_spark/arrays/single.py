@@ -34,12 +34,12 @@ def single_config_fields(
             "url",
             "left",
         )
-        .withColumn("has_pvac", t.rlike(r"(?i)PV Array Characteristics"))
+        .withColumn("has_pvac", t.rlike(r"(?iU)PV Array Characteristics"))
         .withColumn(
             "n_modules",
             F.coalesce(
-                _x(t, r"(?i)Number of PV modules\s*(\d+)\s*units?"),
-                _x(t, r"(?i)Nb\.\s*of\s*modules\s*(\d+)\s*units?"),
+                _x(t, r"(?iU)Number of PV modules\s*(\d+)\s*units?"),
+                _x(t, r"(?iU)Nb\.\s*of\s*modules\s*(\d+)\s*units?"),
             ).try_cast("int"),
         )
         .withColumn(
@@ -47,17 +47,17 @@ def single_config_fields(
             F.coalesce(
                 _x(
                     t,
-                    r"(?is)Total\s+inverter\s+power.*?(?:Number of inverters|Nb\.\s*of\s*units).*?(\d+)",
+                    r"(?isU)Total\s+inverter\s+power.*?(?:Number of inverters|Nb\.\s*of\s*units).*?(\d+)",
                 ),
-                _x(t, r"(?i)Number of inverters\s*(\d+)\s*units?"),
-                _x(t, r"(?i)Nb\.\s*of\s*units\s*(\d+)\s*units?"),
+                _x(t, r"(?iU)Number of inverters\s*(\d+)\s*units?"),
+                _x(t, r"(?iU)Nb\.\s*of\s*units\s*(\d+)\s*units?"),
             ).try_cast("int"),
         )
         .withColumn(
             "strings",
             _x(
                 t,
-                r"(?i)Modules\s*(\d+)\s*(?:string[s]?|Strings)\s*x\s*(\d+)\s*In\s*series",
+                r"(?iU)Modules\s*(\d+)\s*(?:string[s]?|Strings)\s*x\s*(\d+)\s*In\s*series",
                 1,
             ).try_cast("int"),
         )
@@ -65,7 +65,7 @@ def single_config_fields(
             "series",
             _x(
                 t,
-                r"(?i)Modules\s*(\d+)\s*(?:string[s]?|Strings)\s*x\s*(\d+)\s*In\s*series",
+                r"(?iU)Modules\s*(\d+)\s*(?:string[s]?|Strings)\s*x\s*(\d+)\s*In\s*series",
                 2,
             ).try_cast("int"),
         )
@@ -142,10 +142,10 @@ def single_config_fields(
         F.lit(None).try_cast("double").alias("nominal_stc_kwp"),
         "strings",
         F.col("series").alias("modules_in_series"),
-        _x(t, r"(?i)Tilt/Azimuth\s*([-\d.]+)\s*/\s*([-\d.]+)\s*°", 1)
+        _x(t, r"(?iU)Tilt/Azimuth\s*([-\d.]+)\s*/\s*([-\d.]+)\s*°", 1)
         .try_cast("double")
         .alias("tilt"),
-        _x(t, r"(?i)Tilt/Azimuth\s*([-\d.]+)\s*/\s*([-\d.]+)\s*°", 2)
+        _x(t, r"(?iU)Tilt/Azimuth\s*([-\d.]+)\s*/\s*([-\d.]+)\s*°", 2)
         .try_cast("double")
         .alias("azimuth_pvsyst"),
         F.lit(None).try_cast("double").alias("u_mpp_v"),

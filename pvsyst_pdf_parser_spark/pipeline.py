@@ -36,7 +36,7 @@ from .text.scan import scan_positions
 from .text.sections import with_section_columns
 
 # reference :1557 — case-sensitive glued-units total
-_TOTAL_MODULES_PAT = r"Nb\.\s*of\s*modules\s*(\d+)units?"
+_TOTAL_MODULES_PAT = r"(?U)Nb\.\s*of\s*modules\s*(\d+)units?"
 
 
 def extract_documents(

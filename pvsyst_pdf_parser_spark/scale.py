@@ -4,21 +4,26 @@ North-rule requirements at 10^12-document scale:
 
 - **Partitioned sink**: results land bucketed by hash(url) so downstream
   per-url lookups and re-joins are partition-prunable.  On a real
-  cluster this is an Iceberg table with ``bucket(N, url)``; the sandbox
-  lacks Iceberg jars, so the same layout is realized as a parquet
-  directory partitioned by a ``bucket`` column (identical semantics for
-  pruning/resume; swap ``.writeTo(...).append()`` in ``write_results``
-  when a catalog is configured).
+  cluster this is an Iceberg table with ``bucket(N, url)`` partition
+  transforms; :class:`ResultSink` dispatches to ``writeTo(...).append()``
+  when a Spark catalog is configured for the target table and falls back
+  to a parquet directory partitioned by a computed ``bucket`` column
+  (identical pruning/resume semantics) in catalog-less environments
+  like this sandbox.
 - **Manifest / lineage**: every run appends per-bucket rows (run_id,
   bucket, url_count, ok/error counts, wall time) plus the quarantined
   error urls — errors are observable, never silently dropped.
-- **Resume**: a restarted run left-anti joins the input against urls
-  already recorded in the manifest for the same output, so crashed runs
-  finish without duplicating work or output rows (per-partition
-  checkpointing; join side is read back from the manifest table, not
-  driver state).
-- **Skew**: decode-stage salting is hash(url) based (io/pages.py);
-  completed-url exclusion keeps the same distribution on resume.
+- **Resume**: a restarted run left-anti joins the input against the
+  union of urls recorded in the manifest AND urls present in the results
+  sink.  The two appends (results, then manifest) are not atomic as a
+  pair — a crash between them would leave results without manifest rows;
+  deriving the completed set from the UNION means those urls are still
+  excluded on resume, so no duplicate output rows can ever be appended.
+- **Skew**: the decode stage offers size-aware packing — the largest
+  documents are spread round-robin in size-rank order so no task
+  carries two giants, the bulk stays uniform url-hash
+  (io/pages.py ``pack_partitions_by_bytes``); completed-url exclusion
+  keeps the same distribution on resume.
 """
 
 from __future__ import annotations
@@ -37,52 +42,161 @@ def with_bucket(df: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
     )
 
 
+class ResultSink:
+    """Results + manifest storage with Iceberg/parquet dispatch.
+
+    ``table`` is a catalog-qualified base name (e.g.
+    ``my_catalog.db.extractions``).  When the Spark session has a
+    catalog implementation configured for it
+    (``spark.sql.catalog.my_catalog = org.apache.iceberg.spark.SparkCatalog``
+    plus warehouse/uri settings), results/manifests go to the Iceberg
+    tables ``{table}_results`` / ``{table}_manifest_urls`` /
+    ``{table}_manifest_buckets`` via the DataFrameWriterV2 API —
+    snapshot-isolated appends, ``bucket(N, url)`` partitioning.
+    Otherwise the same layout is realized under ``out_dir`` as parquet
+    directories partitioned by a computed bucket column.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        table: str | None = None,
+        n_buckets: int = N_BUCKETS_DEFAULT,
+    ) -> None:
+        self.spark = spark
+        self.out_dir = out_dir
+        self.table = table
+        self.n_buckets = n_buckets
+        self.mode = (
+            "iceberg" if table and self._catalog_configured(spark, table) else "parquet"
+        )
+
+    @staticmethod
+    def _catalog_configured(spark: SparkSession, table: str) -> bool:
+        catalog = table.split(".", 1)[0]
+        try:
+            return bool(spark.conf.get(f"spark.sql.catalog.{catalog}"))
+        except Exception:  # noqa: BLE001 - conf key absent
+            return False
+
+    # -- write ---------------------------------------------------------
+
+    def _append(self, df: DataFrame, kind: str) -> None:
+        if self.mode == "iceberg":
+            name = f"{self.table}_{kind}"
+            try:
+                df.writeTo(name).append()
+            except Exception:  # table does not exist yet → create
+                writer = df.writeTo(name).using("iceberg")
+                if kind == "results":
+                    writer = writer.partitionedBy(
+                        F.bucket(self.n_buckets, F.col("url"))
+                    )
+                writer.create()
+        else:
+            with_bucket(df, self.n_buckets).write.mode("append").partitionBy(
+                "bucket"
+            ).parquet(f"{self.out_dir}/{kind}")
+
+    def write_results(self, results: DataFrame) -> None:
+        self._append(results, "results")
+
+    def write_manifest(
+        self,
+        run_id: str,
+        results: DataFrame,
+        errors: DataFrame,
+        wall_sec: float | None = None,
+    ) -> None:
+        """Per-bucket lineage rows + per-url completion + quarantined
+        errors.  One write per table, no driver-side counts."""
+        ok = results.select("url").withColumn("status", F.lit("ok"))
+        per_url = ok.unionByName(errors.select("url", "status")).withColumn(
+            "run_id", F.lit(run_id)
+        )
+        self._append(per_url.select("url", "status", "run_id"), "manifest_urls")
+
+        agg = (
+            with_bucket(per_url, self.n_buckets)
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("url_count"),
+                F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+                F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias(
+                    "n_error"
+                ),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("wall_sec", F.lit(wall_sec).cast("double"))
+            .withColumn("finished_at", F.current_timestamp())
+        )
+        if self.mode == "iceberg":
+            self._append(agg, "manifest_buckets")
+        else:
+            # bucket is a data column here, not a partition key
+            agg.write.mode("append").parquet(f"{self.out_dir}/manifest_buckets")
+
+    # -- read ----------------------------------------------------------
+
+    def _read(self, kind: str) -> DataFrame | None:
+        try:
+            if self.mode == "iceberg":
+                return self.spark.read.table(f"{self.table}_{kind}")
+            return self.spark.read.parquet(f"{self.out_dir}/{kind}")
+        except Exception:  # noqa: BLE001 - first run: nothing written yet
+            return None
+
+    def completed_urls(self) -> DataFrame | None:
+        """urls already processed by any prior run (ok or quarantined).
+
+        Union of manifest urls and urls present in the results sink —
+        crash-safe: results written without a manifest row (crash
+        between the two appends) still count as completed, so a resumed
+        run cannot append duplicate output rows.
+        """
+        manifest = self._read("manifest_urls")
+        results = self._read("results")
+        parts = [df.select("url") for df in (manifest, results) if df is not None]
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    def run_stats(self, run_id: str) -> dict:
+        """Aggregate stats for one run read back from the just-written
+        per-bucket manifest (tiny aggregate scan — replaces the two full
+        materialization passes a count()/count() pair would cost)."""
+        buckets = self._read("manifest_buckets")
+        if buckets is None:
+            return {"n_results": 0, "n_errors": 0}
+        row = (
+            buckets.filter(F.col("run_id") == run_id)
+            .agg(
+                F.coalesce(F.sum("n_ok"), F.lit(0)).alias("n_ok"),
+                F.coalesce(F.sum("n_error"), F.lit(0)).alias("n_error"),
+            )
+            .collect()[0]
+        )
+        return {"n_results": int(row["n_ok"]), "n_errors": int(row["n_error"])}
+
+
+# -- legacy function façade (kept for callers/tests) -----------------------
+
+
 def write_results(
     results: DataFrame, out_dir: str, n_buckets: int = N_BUCKETS_DEFAULT
 ) -> None:
-    """Append results partitioned by url-hash bucket."""
-    with_bucket(results, n_buckets).write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(f"{out_dir}/results")
-
-
-def write_manifest(
-    spark: SparkSession,
-    run_id: str,
-    results: DataFrame,
-    errors: DataFrame,
-    out_dir: str,
-    n_buckets: int = N_BUCKETS_DEFAULT,
-    wall_sec: float | None = None,
-) -> None:
-    """Per-bucket lineage rows + per-url completion + quarantined errors."""
-    ok = with_bucket(results.select("url"), n_buckets).withColumn(
-        "status", F.lit("ok")
+    """Append results partitioned by url-hash bucket (parquet mode)."""
+    ResultSink(results.sparkSession, out_dir, n_buckets=n_buckets).write_results(
+        results
     )
-    err = with_bucket(errors.select("url", "status"), n_buckets)
-    per_url = ok.unionByName(err).withColumn("run_id", F.lit(run_id))
-    per_url.write.mode("append").parquet(f"{out_dir}/manifest_urls")
-
-    agg = (
-        per_url.groupBy("bucket")
-        .agg(
-            F.count("*").alias("url_count"),
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
-            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("n_error"),
-        )
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("wall_sec", F.lit(wall_sec).cast("double"))
-        .withColumn("finished_at", F.current_timestamp())
-    )
-    agg.write.mode("append").parquet(f"{out_dir}/manifest_buckets")
 
 
 def completed_urls(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    """urls already processed by any prior run (ok or quarantined)."""
-    try:
-        return spark.read.parquet(f"{out_dir}/manifest_urls").select("url").distinct()
-    except Exception:  # noqa: BLE001 - first run: no manifest yet
-        return None
+    return ResultSink(spark, out_dir).completed_urls()
 
 
 def resumable_extract(
@@ -92,16 +206,18 @@ def resumable_extract(
     run_id: str | None = None,
     num_partitions: int | None = None,
     n_buckets: int = N_BUCKETS_DEFAULT,
+    table: str | None = None,
 ) -> dict:
     """Run the extraction pipeline, skipping urls completed by prior
     runs, appending results + manifest.  Returns run stats."""
-    from .io.pages import decode_pages_df, doc_frame
+    from .io.pages import decode_pages_df
     from .pipeline import extract_decoded
 
     if run_id is None:
         run_id = f"run-{int(time.time())}"
 
-    done = completed_urls(spark, out_dir)
+    sink = ResultSink(spark, out_dir, table=table, n_buckets=n_buckets)
+    done = sink.completed_urls()
     todo = pages
     if done is not None:
         todo = pages.join(done, "url", "left_anti")
@@ -115,20 +231,24 @@ def resumable_extract(
     )
     results = extract_decoded(page_df)
 
-    results = results.persist()
-    n_results = results.count()
-    write_results(results, out_dir, n_buckets)
-    errors = errors.persist()
-    n_errors = errors.count()
-    write_manifest(
-        spark, run_id, results, errors, out_dir, n_buckets,
-        wall_sec=time.time() - t0,
-    )
+    # Truncate lineage BEFORE writing: the plan contains an anti-join
+    # that reads the results sink, so a recompute after the first append
+    # would see this run's own output and produce an empty (or
+    # duplicated) second action — the read-what-you-write hazard.
+    # localCheckpoint materializes once and severs the lineage; on a
+    # real cluster this is a reliable-storage checkpoint or an Iceberg
+    # snapshot read.  (persist() alone is NOT enough: cache eviction or
+    # a cache-lookup miss silently falls back to re-execution.)
+    results = results.localCheckpoint()
+    errors = errors.localCheckpoint()
+    sink.write_results(results)
+    sink.write_manifest(run_id, results, errors, wall_sec=time.time() - t0)
+    stats = sink.run_stats(run_id)
     results.unpersist()
     errors.unpersist()
     return {
         "run_id": run_id,
-        "n_results": n_results,
-        "n_errors": n_errors,
+        "n_results": stats["n_results"],
+        "n_errors": stats["n_errors"],
         "wall_sec": round(time.time() - t0, 3),
     }

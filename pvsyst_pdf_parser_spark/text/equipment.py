@@ -14,8 +14,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .twocol import first_line_with, two_column_values
+from .uws import utrim
 
-_ANCHOR = r"(?is)\bPV\s+module\b(.{0,2200})"
+_ANCHOR = r"(?isU)\bPV\s+module\b(.{0,2200})"
 
 
 def with_equipment_columns(doc_df: DataFrame, text_col: str = "doc_text") -> DataFrame:
@@ -49,6 +50,6 @@ def with_equipment_columns(doc_df: DataFrame, text_col: str = "doc_text") -> Dat
 def clean_power_kw(raw: F.Column) -> F.Column:
     """Analytics-mode power normalizer (reference P1, :38-56): numeric
     part; MW→×1000 kW; kW as-is; bare numbers unchanged (W)."""
-    num = F.regexp_extract(F.lower(F.trim(raw)), r"([0-9]*\.?[0-9]+)", 1).cast("double")
+    num = F.regexp_extract(F.lower(utrim(raw)), r"([0-9]*\.?[0-9]+)", 1).cast("double")
     low = F.lower(raw)
     return F.when(low.contains("mw"), num * 1000.0).otherwise(num)

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .uws import split_lines, split_ws, utrim
+
 _MARKERS = [
     ("soiling_losses", r"(?i)Array Soiling Losses"),
     ("thermal_losses", r"(?i)Thermal Loss factor"),
@@ -41,9 +43,9 @@ def loss_segments(losses_df: DataFrame) -> DataFrame:
     """(url, line_no, line, segment) — L1 as classify + fill-forward."""
     lines = (
         losses_df.select(
-            "url", F.posexplode(F.split("losses_content", "\n")).alias("line_no", "raw")
+            "url", F.posexplode(split_lines("losses_content")).alias("line_no", "raw")
         )
-        .withColumn("line", F.trim("raw"))
+        .withColumn("line", utrim("raw"))
         .filter(F.col("line") != "")
     )
     marker = F.lit(None).cast("string")
@@ -73,13 +75,13 @@ def loss_columns(losses_df: DataFrame) -> DataFrame:
     soiling_avg = seg_last(
         "soiling_losses",
         line.contains("Average loss Fraction"),
-        _x(line, r"Average loss Fraction\s+([\d.]+)%").cast("double"),
+        _x(line, r"(?U)Average loss Fraction\s+([\d.]+)%").cast("double"),
     )
     # last %-row with ≥12 tokens wins (reference overwrite loop, :1242-1261)
     pct_row = (
         (~line.contains("Average loss Fraction"))
-        & line.rlike(r"\d+\.\d+%")
-        & (F.size(F.split(F.trim(line), r"\s+")) >= 12)
+        & line.rlike(r"(?U)\d+\.\d+%")
+        & (F.size(split_ws(line)) >= 12)
     )
     soiling_monthly = seg_last(
         "soiling_losses",
@@ -87,7 +89,7 @@ def loss_columns(losses_df: DataFrame) -> DataFrame:
         F.map_from_arrays(
             F.array(*[F.lit(m) for m in _MONTHS3]),
             F.transform(
-                F.slice(F.split(F.trim(line), r"\s+"), 1, 12),
+                F.slice(split_ws(line), 1, 12),
                 lambda p: F.regexp_replace(p, "%+$", "").cast("double"),
             ),
         ),
@@ -96,26 +98,26 @@ def loss_columns(losses_df: DataFrame) -> DataFrame:
     thermal_lf = seg_last(
         "thermal_losses",
         line.contains("Loss Fraction") & ~line.contains("Module temperature"),
-        _x(line, r"Loss Fraction\s+(-?[\d.]+)%").cast("double"),
+        _x(line, r"(?U)Loss Fraction\s+(-?[\d.]+)%").cast("double"),
     )
     uc = seg_last(
         "thermal_losses",
         ~(line.contains("Loss Fraction") & ~line.contains("Module temperature"))
         & line.contains("Uc (const)"),
-        _x(line, r"Uc \(const\)\s+([\d.]+)").cast("double"),
+        _x(line, r"(?U)Uc \(const\)\s+([\d.]+)").cast("double"),
     )
     uv = seg_last(
         "thermal_losses",
         ~(line.contains("Loss Fraction") & ~line.contains("Module temperature"))
         & ~line.contains("Uc (const)")
         & line.contains("Uv (wind)"),
-        _x(line, r"Uv \(wind\)\s+([\d.]+)").cast("double"),
+        _x(line, r"(?U)Uv \(wind\)\s+([\d.]+)").cast("double"),
     )
 
     mismatch_lf = seg_last(
         "module_mismatch_losses",
         line.contains("Loss Fraction"),
-        _x(line, r"Loss Fraction\s+([\d.]+)%").cast("double"),
+        _x(line, r"(?U)Loss Fraction\s+([\d.]+)%").cast("double"),
     )
 
     # IAM: only lines before the first DC-wiring/Array# line of the segment
@@ -136,19 +138,19 @@ def loss_columns(losses_df: DataFrame) -> DataFrame:
     incidence = F.max_by(
         F.when(
             F.col("in_iam") & line.contains("Incidence effect (IAM):"),
-            F.trim(_x(line, r"Incidence effect \(IAM\):\s+(.+)")),
+            utrim(_x(line, r"(?U)Incidence effect \(IAM\):\s+(.+)")),
         ),
         F.when(F.col("in_iam") & line.contains("Incidence effect (IAM):"), F.col("line_no")),
     )
     digit_row = (
         F.col("in_iam")
         & ~line.contains("Incidence effect (IAM):")
-        & line.rlike(r"\d+\.\d+")
+        & line.rlike(r"(?U)\d+\.\d+")
         & ~line.rlike(r"[°%]|mΩ")
         & ~F.exists(
-            F.split(F.trim(line), r"\s+"),
+            split_ws(line),
             lambda p: ~F.regexp_replace(F.regexp_replace(p, r"\.", ""), "-", "").rlike(
-                r"^[0-9]+$"
+                r"(?U)^\d+$"  # str.isdigit() parity
             ),
         )
     )
@@ -159,14 +161,14 @@ def loss_columns(losses_df: DataFrame) -> DataFrame:
                 F.slice(
                     F.array(*[F.lit(a) for a in [0, 20, 30, 40, 50, 60, 70, 80, 90]]),
                     1,
-                    F.least(F.size(F.split(F.trim(line), r"\s+")), F.lit(9)),
+                    F.least(F.size(split_ws(line)), F.lit(9)),
                 ),
                 F.slice(
                     F.transform(
-                        F.split(F.trim(line), r"\s+"), lambda p: p.cast("double")
+                        split_ws(line), lambda p: p.cast("double")
                     ),
                     1,
-                    F.least(F.size(F.split(F.trim(line), r"\s+")), F.lit(9)),
+                    F.least(F.size(split_ws(line)), F.lit(9)),
                 ),
             ),
         ),
@@ -175,24 +177,24 @@ def loss_columns(losses_df: DataFrame) -> DataFrame:
 
     ac_lf = seg_last(
         "ac_wiring_losses", line.contains("Loss Fraction"),
-        _x(line, r"Loss Fraction\s+([\d.]+)%").cast("double"),
+        _x(line, r"(?U)Loss Fraction\s+([\d.]+)%").cast("double"),
     )
     ac_v = seg_last(
         "ac_wiring_losses",
         ~line.contains("Loss Fraction") & line.contains("Inverter voltage"),
-        _x(line, r"Inverter voltage\s+([\d.]+)Vac").cast("double"),
+        _x(line, r"(?U)Inverter voltage\s+([\d.]+)Vac").cast("double"),
     )
     ac_wire = seg_last(
         "ac_wiring_losses",
         ~line.contains("Loss Fraction") & ~line.contains("Inverter voltage")
         & line.contains("Wire section"),
-        F.trim(_x(line, r"Wire section\s+(.+)")),
+        utrim(_x(line, r"(?U)Wire section\s+(.+)")),
     )
     ac_len = seg_last(
         "ac_wiring_losses",
         ~line.contains("Loss Fraction") & ~line.contains("Inverter voltage")
         & ~line.contains("Wire section") & line.contains("Wires length"),
-        _x(line, r"Wires length\s+([\d.]+)m").cast("double"),
+        _x(line, r"(?U)Wires length\s+([\d.]+)m").cast("double"),
     )
 
     per_url = seg2.groupBy("url").agg(
@@ -213,17 +215,18 @@ def loss_columns(losses_df: DataFrame) -> DataFrame:
     # L6: DC wiring — whole content joined with spaces, positional zips
     full = losses_df.select(
         "url",
-        F.concat_ws(" ", F.split("losses_content", "\n")).alias("blob"),
+        F.concat_ws(" ", split_lines("losses_content")).alias("blob"),
     )
     blob = F.col("blob")
     notation_ids = F.expr(
-        r"regexp_extract_all(blob, 'Array #(\\d+)\\s*-\\s*(.+?)(?=Array #|\\s*Global|$)', 1)"
+        r"regexp_extract_all(blob, '(?U)Array #(\\d+)\\s*-\\s*(.+?)(?=Array #|\\s*Global|$)', 1)"
     )
     notation_txt = F.expr(
-        r"transform(regexp_extract_all(blob, 'Array #(\\d+)\\s*-\\s*(.+?)(?=Array #|\\s*Global|$)', 2), x -> trim(x))"
+        r"transform(regexp_extract_all(blob, '(?U)Array #(\\d+)\\s*-\\s*(.+?)(?=Array #|\\s*Global|$)', 2),"
+        r" x -> regexp_replace(x, '(?U)^\\\\s+|\\\\s+$', ''))"
     )
-    res_list = F.expr(r"regexp_extract_all(blob, 'Global array res\\.\\s*([\\d.]+)mΩ', 1)")
-    loss_list = F.expr(r"regexp_extract_all(blob, 'Loss Fraction\\s+([\\d.]+)%', 1)")
+    res_list = F.expr(r"regexp_extract_all(blob, '(?U)Global array res\\.\\s*([\\d.]+)mΩ', 1)")
+    loss_list = F.expr(r"regexp_extract_all(blob, '(?U)Loss Fraction\\s+([\\d.]+)%', 1)")
 
     ok = (
         (F.size(notation_ids) > 0)
@@ -253,10 +256,10 @@ def loss_columns(losses_df: DataFrame) -> DataFrame:
         .withColumn("llist", loss_list)
         .select(
             "url",
-            _x(blob, r"Global wiring resistance\s+([\d.]+)mΩ\s+Loss Fraction\s+([\d.]+)%", 1)
+            _x(blob, r"(?U)Global wiring resistance\s+([\d.]+)mΩ\s+Loss Fraction\s+([\d.]+)%", 1)
             .cast("double")
             .alias("dc_global_resistance_mohm"),
-            _x(blob, r"Global wiring resistance\s+([\d.]+)mΩ\s+Loss Fraction\s+([\d.]+)%", 2)
+            _x(blob, r"(?U)Global wiring resistance\s+([\d.]+)mΩ\s+Loss Fraction\s+([\d.]+)%", 2)
             .cast("double")
             .alias("dc_global_loss_pct"),
             dc_arrays.alias("dc_per_array"),

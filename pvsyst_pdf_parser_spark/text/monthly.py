@@ -13,8 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .uws import split_lines, split_ws, utrim
+
+# (?U): Unicode \b so e.g. "Januaryé" is NOT a month row (Python parity);
+# reference compiles the same pattern with Python-Unicode semantics.
 MONTH_PREFIX = (
-    r"^(January|February|March|April|May|June|July|August|September|October"
+    r"(?U)^(January|February|March|April|May|June|July|August|September|October"
     r"|November|December)\b"
 )
 
@@ -22,11 +26,11 @@ MONTH_PREFIX = (
 def monthly_rows(doc_df: DataFrame, text_col: str = "doc_text") -> DataFrame:
     """(url, line_seq, month, globhor, e_grid) — one row per accepted line."""
     lines = doc_df.select(
-        "url", F.posexplode(F.split(F.col(text_col), "\n")).alias("line_seq", "raw_line")
-    ).withColumn("line", F.trim("raw_line"))
+        "url", F.posexplode(split_lines(F.col(text_col))).alias("line_seq", "raw_line")
+    ).withColumn("line", utrim("raw_line"))
 
     month = F.regexp_extract("line", MONTH_PREFIX, 1)
-    parts = F.split("line", r"\s+")
+    parts = split_ws(F.col("line"))
 
     candidates = (
         lines.filter(month != "")
@@ -34,7 +38,7 @@ def monthly_rows(doc_df: DataFrame, text_col: str = "doc_text") -> DataFrame:
         .withColumn("parts", parts)
         .filter(F.size("parts") >= 8)
         # reference: re.match(r"[-\d.,]+$", parts[1])  (:1530)
-        .filter(F.col("parts")[1].rlike(r"^[-\d.,]+$"))
+        .filter(F.col("parts")[1].rlike(r"(?U)^[-\d.,]+$"))
         .withColumn(
             "globhor",
             F.regexp_replace(F.col("parts")[1], ",", "").try_cast("double"),
@@ -57,21 +61,21 @@ def monthly_rows_inline(doc_text_col) -> "F.Column":
     the per-url ordered array<struct<line_seq,month,globhor,e_grid>>
     directly (no explode/groupBy/join).  Same acceptance rules as
     ``monthly_rows`` (the relational analytics/demo form)."""
-    lines = F.split(doc_text_col, "\n")
+    lines = split_lines(doc_text_col)
     numbered = F.zip_with(
         lines,
         F.sequence(F.lit(0), F.greatest(F.size(lines) - 1, F.lit(0))),
-        lambda l, i: F.struct(i.alias("line_seq"), F.trim(l).alias("line")),
+        lambda l, i: F.struct(i.alias("line_seq"), utrim(l).alias("line")),
     )
 
     def parts(s):
-        return F.split(s["line"], r"\s+")
+        return split_ws(s["line"])
 
     cand = F.filter(
         numbered,
         lambda s: (F.regexp_extract(s["line"], MONTH_PREFIX, 1) != "")
         & (F.size(parts(s)) >= 8)
-        & parts(s)[1].rlike(r"^[-\d.,]+$"),
+        & parts(s)[1].rlike(r"(?U)^[-\d.,]+$"),
     )
     rows = F.transform(
         cand,

@@ -49,7 +49,7 @@ def with_section_columns(docs: DataFrame) -> DataFrame:
                         )
                         - s["pos"],
                     ),
-                    r"^\s+|\s+$",
+                    r"(?U)^\s+|\s+$",
                     "",
                 ).alias("content"),
             ),
@@ -96,7 +96,7 @@ def section_contents(doc_df: DataFrame) -> DataFrame:
             "content",
             F.regexp_replace(
                 F.col("doc_text").substr(F.col("pos") + 1, F.col("end") - F.col("pos")),
-                r"^\s+|\s+$",
+                r"(?U)^\s+|\s+$",
                 "",
             ),
         )

@@ -6,9 +6,14 @@ pairs), SimHash (token-hash bit majority).
 
 Scale notes:
 - exact dedup is one shuffle on the content hash (map-side combine)
-- shingle joins shuffle on the shingle hash; frequency-capped shingles
-  (drop shingles appearing in > max_df docs) bound the worst bucket —
-  the classic hot-key guard at 10^12 docs
+- shingle joins shuffle on the shingle hash; pass ``max_df`` to drop
+  shingles appearing in more than ``max_df`` documents BEFORE the
+  self-join (``capped_shingles``) — the classic hot-key guard: one
+  ubiquitous shingle ("terms and conditions") otherwise makes a
+  quadratic bucket at 10^12 docs.  The cap applies to the whole
+  shingle universe (sizes included), so capped Jaccard is Jaccard
+  over the informative-shingle sets.  ``max_df=None`` keeps exact
+  uncapped semantics for small corpora / oracle baselines.
 - MinHash banding turns the quadratic pair space into per-bucket
   self-joins; bucket key is (band_idx, band_signature) so skew stays
   bounded by band collision rate
@@ -46,6 +51,22 @@ def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                        F.explode(shingles).alias("shingle"))
 
 
+def capped_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    One aggregation on the shingle key (map-side combined) + a semi
+    join; the surviving per-shingle group size is ≤ max_df, so every
+    downstream shingle-keyed self-join is bounded at
+    O(max_df²) per shingle — no hot key can go quadratic."""
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    return sh.join(keep, "shingle", "left_semi")
+
+
 def exact_dedup_stats(docs: DataFrame) -> DataFrame:
     """Per-source exact-duplicate stats (hash-groupBy dedup)."""
     return (
@@ -60,13 +81,19 @@ def exact_dedup_stats(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.02,
-                        n: int = 3, sample_mod: int = 5) -> DataFrame:
+                        n: int = 3, sample_mod: int = 5,
+                        max_df: int | None = None) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard ≥ threshold.
 
     shingle equi-join → common count; sizes via per-doc distinct counts.
+    ``max_df`` (the 10^12-scale path) caps per-shingle document
+    frequency before the self-join; sizes are computed on the same
+    capped universe so the Jaccard stays a true set similarity.
     """
     docs = docs.filter(F.col("doc_id") % sample_mod == 0)
     sh = doc_shingles(docs, n=n)
+    if max_df is not None:
+        sh = capped_shingles(sh, max_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     pairs = (
         sh.alias("a")
@@ -134,11 +161,19 @@ def minhash_lsh_candidates(docs: DataFrame, sample_mod: int = 5) -> DataFrame:
 
 
 def minhash_lsh_verified(docs: DataFrame, threshold: float = 0.01,
-                         sample_mod: int = 5) -> DataFrame:
-    """LSH candidates verified with true shingle Jaccard ≥ threshold."""
+                         sample_mod: int = 5,
+                         max_df: int | None = None) -> DataFrame:
+    """LSH candidates verified with true shingle Jaccard ≥ threshold.
+
+    ``max_df`` caps the verify stage's common-shingle join the same way
+    as :func:`ngram_jaccard_pairs` — the banded candidate join is
+    already bounded by band collision rate, but re-joining candidates
+    against full shingle sets needs the hot-shingle guard at scale."""
     docs = docs.filter(F.col("doc_id") % sample_mod == 0)
     cands = minhash_lsh_candidates(docs, sample_mod=1)
     sh = doc_shingles(docs)
+    if max_df is not None:
+        sh = capped_shingles(sh, max_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     # common shingles via join on (pair, shingle)
     a_sh = cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")

@@ -27,7 +27,7 @@ def spark():
 def fixture_docs():
     from fixtures.gen import make_docs
 
-    return make_docs(20)
+    return make_docs(24)  # ≥2 docs per scenario (11 scenarios, mixed kinds)
 
 
 @pytest.fixture(scope="session")

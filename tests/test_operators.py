@@ -188,3 +188,36 @@ def test_htmlstrip_recovers_main_content(fixture_docs):
     assert html_docs
     for d in html_docs:
         assert extract_main_text(d.payload) == d.pages[0]
+
+
+def test_gap_fill_bounded_adversarial(spark):
+    """A huge labeled MPPT number must not explode the candidate
+    sequence: the bound is n_missing + |used|, not max(used).  The
+    reference assigns the smallest free numbers in O(n_missing)
+    (pvsyst_parser.py:745-786) — output must match."""
+    from pvsyst_pdf_parser_spark.arrays.mppt import assign_missing_mppt_labels
+
+    combos = spark.createDataFrame(
+        [
+            ("u", 1, "1", "INV01", "MPPT 999999999", "Array #1"),
+            ("u", 2, "1", "INV01", None, "Array #1"),
+            ("u", 3, "2", "INV01", None, "Array #2"),
+            ("u", 4, "2", "INV02", "MPPT 2", "Array #2"),
+            ("u", 5, "3", "INV02", None, "Array #3"),
+            # inverter with NO labeled MPPT at all (used set is NULL →
+            # bound must still be n_missing, not -1: size(NULL) quirk)
+            ("u", 6, "4", "INV03", None, "Array #4"),
+        ],
+        "url string, combo_seq long, array_id string, inverter string, "
+        "mppt string, original_notation string",
+    )
+    out = {
+        r["combo_seq"]: r["mppt"]
+        for r in assign_missing_mppt_labels(combos).collect()
+    }
+    assert out[1] == "MPPT 999999999"
+    assert out[2] == "MPPT 1"  # smallest free, not 1e9-adjacent
+    assert out[3] == "MPPT 2"
+    assert out[4] == "MPPT 2"
+    assert out[5] == "MPPT 1"  # INV02: 2 used -> 1 free
+    assert out[6] == "MPPT 1"  # INV03: nothing used -> starts at 1

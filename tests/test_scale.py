@@ -67,3 +67,102 @@ def test_errors_quarantined_in_manifest(spark, out_dir):
     # and a rerun does not reprocess quarantined urls
     stats2 = resumable_extract(spark, bad, out_dir, run_id="err2")
     assert stats2["n_errors"] == 0
+
+
+def test_crash_between_appends_no_duplicates(spark, pages_parquet, out_dir):
+    """Results appended but manifest never written (simulated crash
+    between the two non-atomic appends): the resume set is
+    manifest ∪ results, so those urls are NOT reprocessed and no
+    duplicate output rows appear."""
+    from pvsyst_pdf_parser_spark.io.pages import decode_pages_df
+    from pvsyst_pdf_parser_spark.pipeline import extract_decoded
+    from pvsyst_pdf_parser_spark.scale import ResultSink, resumable_extract
+
+    pages = spark.read.parquet(pages_parquet).orderBy("url").limit(5)
+    sink = ResultSink(spark, out_dir)
+    sink.write_results(extract_decoded(decode_pages_df(pages)))
+
+    stats = resumable_extract(spark, pages, out_dir, run_id="after-crash")
+    assert stats["n_results"] == 0  # nothing reprocessed
+    res = spark.read.parquet(f"{out_dir}/results")
+    assert res.count() == res.select("url").distinct().count() == 5
+
+
+def test_sink_dispatch_iceberg_vs_parquet(spark, out_dir):
+    """ResultSink selects the Iceberg writeTo path iff a Spark catalog
+    is configured for the table's catalog name; parquet fallback
+    otherwise (this sandbox has no Iceberg jars — only the dispatch is
+    testable, the writeTo path runs on a real cluster).
+
+    Catalog config documented in ResultSink's docstring:
+      spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog
+    """
+    from pvsyst_pdf_parser_spark.scale import ResultSink
+
+    assert ResultSink(spark, out_dir, table="nocat.db.t").mode == "parquet"
+    assert ResultSink(spark, out_dir, table=None).mode == "parquet"
+    spark.conf.set("spark.sql.catalog.cat_test", "org.example.FakeCatalog")
+    try:
+        assert ResultSink(spark, out_dir, table="cat_test.db.t").mode == "iceberg"
+    finally:
+        spark.conf.unset("spark.sql.catalog.cat_test")
+
+
+def test_pack_by_bytes_bounds_stragglers(spark):
+    """BASELINE.md straggler gate (byte proxy): on a corpus with
+    long-tail document-size skew, size-aware packing keeps the maximum
+    per-partition payload bytes under 2x the median partition — and
+    giants never co-locate."""
+    import pyspark.sql.functions as F
+
+    from fixtures.gen import make_docs
+    from pvsyst_pdf_parser_spark.io.pages import pack_partitions_by_bytes
+
+    docs = make_docs(400, skew=True)
+    pages = spark.createDataFrame(
+        [(d.url, d.payload, d.text, "en") for d in docs],
+        "url string, html binary, text string, lang string",
+    )
+    n = 16
+    packed = pack_partitions_by_bytes(pages.select("url", "html", "text"), n)
+    per_part = (
+        packed.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "bytes",
+            F.coalesce(F.octet_length("html"), F.lit(0))
+            + F.coalesce(F.length("text"), F.lit(0)),
+        )
+        .groupBy("pid")
+        .agg(F.sum("bytes").alias("b"), F.count("*").alias("c"))
+        .collect()
+    )
+    assert len(per_part) == n  # every partition used (exact placement)
+    loads = sorted(r["b"] for r in per_part)
+    median = loads[len(loads) // 2]
+    assert loads[-1] < 2 * median, f"straggler: max={loads[-1]} median={median}"
+
+    # the 16 largest docs landed on 16 distinct partitions
+    sizes = sorted(
+        ((d.payload and len(d.payload)) or len(d.text or "") for d in docs),
+        reverse=True,
+    )
+    cutoff = sizes[n - 1]
+    giant_parts = (
+        packed.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "bytes",
+            F.coalesce(F.octet_length("html"), F.lit(0))
+            + F.coalesce(F.length("text"), F.lit(0)),
+        )
+        .filter(F.col("bytes") >= cutoff)
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert giant_parts >= n - 1  # round-robin spread (ties may share)
+
+    # pipeline through decode stays correct under packing
+    from pvsyst_pdf_parser_spark.io.pages import decode_pages_df
+
+    decoded = decode_pages_df(pages.limit(30), num_partitions=8, pack_by_bytes=True)
+    assert decoded.filter(F.col("status") == "ok").count() > 0
