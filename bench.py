@@ -31,8 +31,10 @@ HEADLINE = [
     "asof_nearest_view",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_capped",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_multiband_topk",
     "text_token_count",
     "text_quality_score",
     "multimodal_metadata",

@@ -8,7 +8,7 @@ order, inverters outer, MPPTs inner) for the order-dependent consumers
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -45,19 +45,23 @@ def expand_combinations(fields_df: DataFrame) -> DataFrame:
         F.posexplode_outer("eff_mppts").alias("mppt_pos", "mppt"),
     )
 
-    # combo_seq = dense document-order index via row_number over
-    # (rank, inv_pos, mppt_pos) — immune to radix overflow when an
-    # array expands to >1000 inverters/MPPTs (fixed-radix arithmetic
-    # would collide and scramble the order-dependent consumers:
-    # last-wins association overwrite, first-linked type lookup,
-    # gap-fill tiebreak).  Window partitions on url → reuses the
-    # url clustering, no extra shuffle.
-    w = Window.partitionBy("url").orderBy(
-        "rank", "inv_pos", F.coalesce(F.col("mppt_pos"), F.lit(0))
-    )
+    # combo_seq encodes document order (rank, inv_pos, mppt_pos) as
+    # fixed-radix arithmetic with 2^21 per level: collision-free up to
+    # 2,097,152 blocks / inverters-per-array / MPPTs-per-inverter —
+    # far beyond any expansion the range grammar can produce from a
+    # real document (a narrow 1000-radix would collide at 'INV1-1500'
+    # and scramble the order-dependent consumers: last-wins association
+    # overwrite, first-linked type lookup, gap-fill tiebreak).  A
+    # row_number window would be exact at any width but adds a per-url
+    # sort to the hot path (measured ~2× on this operator); three
+    # shifts/adds are free.
     return combos.select(
         "url",
-        F.row_number().over(w).cast("long").alias("combo_seq"),
+        (
+            F.shiftleft(F.col("rank").cast("long"), 42)
+            + F.shiftleft(F.col("inv_pos").cast("long"), 21)
+            + F.coalesce(F.col("mppt_pos"), F.lit(0))
+        ).alias("combo_seq"),
         "array_id",
         "inverter",
         "mppt",

@@ -32,6 +32,9 @@ def _arrays_agg(fields_df: DataFrame) -> DataFrame:
 
 
 def _combos_agg(combos_df: DataFrame) -> DataFrame:
+    # parsed_inverter_count rides the SAME aggregation (A14 metric) —
+    # a separate groupBy+join would re-execute the whole expand/gap-fill
+    # subtree (measured ~40% pipeline slowdown)
     return combos_df.groupBy("url").agg(
         F.array_sort(
             F.collect_list(
@@ -39,7 +42,8 @@ def _combos_agg(combos_df: DataFrame) -> DataFrame:
                     "combo_seq", "array_id", "inverter", "mppt", "original_notation"
                 )
             )
-        ).alias("combos")
+        ).alias("combos"),
+        F.countDistinct("inverter").alias("parsed_inverter_count"),
     )
 
 
@@ -168,8 +172,13 @@ def _assemble_udf(rows: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"extracted_json": jsons, "report_text": reports})
 
 
-def assemble_documents(assembly_df: DataFrame) -> DataFrame:
-    """(url, ..., extracted_json, report_text)."""
+def assemble_documents(
+    assembly_df: DataFrame, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """(url, ..., extracted_json, report_text[, extra metric cols]).
+
+    ``extra_cols`` pass through untouched (diagnostics/metrics columns —
+    they never enter the canonical JSON)."""
     cols = F.struct(
         *_DOC_FIELDS, "oris", "tilts", "monthly_rows", "arrays", "combos"
     )
@@ -179,4 +188,5 @@ def assemble_documents(assembly_df: DataFrame) -> DataFrame:
         "n_pages",
         F.col("result.extracted_json").alias("extracted_json"),
         F.col("result.report_text").alias("report_text"),
+        *(extra_cols or []),
     )

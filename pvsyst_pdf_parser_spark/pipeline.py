@@ -76,7 +76,26 @@ def extract_decoded(page_df: DataFrame) -> DataFrame:
         F.nullif(F.regexp_extract("doc_text", _TOTAL_MODULES_PAT, 1), F.lit(""))
         .try_cast("int"),
     )
-    docs = with_section_columns(docs)  # fused C2
+    docs = with_section_columns(docs)  # fused C2 (adds tip_content)
+    # A14 metric input: inverter count from the Total Inverter Power
+    # section (reference :1006-1021 — first pattern wins, else fallback)
+    docs = docs.withColumn(
+        "total_inverters_from_power_section",
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(
+                    "tip_content", r"(?iU)Number of inverters\s*(\d+)\s*units?", 1
+                ),
+                F.lit(""),
+            ),
+            F.nullif(
+                F.regexp_extract(
+                    "tip_content", r"(?iU)Nb\.\s*of\s*units\s*(\d+)\s*units?", 1
+                ),
+                F.lit(""),
+            ),
+        ).try_cast("int"),
+    ).drop("tip_content")
     docs = docs.withColumn("monthly_rows", monthly_rows_inline(F.col("doc_text")))
     # every doc_text-derived column now exists — cache only the compact
     # extracted columns (doc_text would multiply cache size ~10×)
@@ -95,4 +114,29 @@ def extract_decoded(page_df: DataFrame) -> DataFrame:
 
     doc_cols = docs.drop("combined_text")
     assembly = assembly_frame(doc_cols, all_fields, combos)
-    return assemble_documents(assembly)
+
+    # A14/P9 validation metrics (reference prints a WARNING at
+    # :1121-1139; here the comparison is surfaced as columns OUTSIDE
+    # extracted_json so the byte-identity gate is unaffected).
+    # parsed_inverter_count is computed INSIDE the combos aggregation
+    # the assembly already performs (assemble.py _combos_agg) — no
+    # extra pass, no extra join.
+    out = assemble_documents(
+        assembly,
+        extra_cols=[
+            "total_inverters_from_power_section",
+            "parsed_inverter_count",
+        ],
+    )
+    out = out.withColumn(
+        "parsed_inverter_count",
+        F.coalesce("parsed_inverter_count", F.lit(0)).cast("int"),
+    )
+    return out.withColumn(
+        "inverter_count_mismatch",
+        F.col("total_inverters_from_power_section").isNotNull()
+        & (
+            F.col("parsed_inverter_count")
+            != F.col("total_inverters_from_power_section")
+        ),
+    )

@@ -22,6 +22,8 @@ def with_section_columns(docs: DataFrame) -> DataFrame:
     Adds ``n_sections`` (distinct matched names) and ``losses_content``
     (first Array Losses slice, stripped) to the doc frame.
     """
+    from .uws import PY_WHITESPACE
+
     doc_text = F.col("doc_text")
     sm = F.array_sort(
         F.transform(
@@ -34,35 +36,44 @@ def with_section_columns(docs: DataFrame) -> DataFrame:
             ),
         )
     )
-    slices = F.when(
-        F.size(sm) > 0,
-        F.zip_with(
-            sm,
+
+    # Slice ONLY the sections the pipeline consumes (Array Losses, Total
+    # Inverter Power) instead of materializing content for every match:
+    # the substr + strip of multi-KB slices is the expensive part, and
+    # the pipeline needs 1-3 slices of the ~dozen matches per doc.
+    # ``i`` is the 1-based index into the sorted match array; the slice
+    # runs [pos, next_pos) exactly like the reference (:152-173).
+    def slice_at(i):
+        start = F.element_at(sm, i)["pos"]
+        end = F.coalesce(F.try_element_at(sm, i + 1)["pos"], F.length(doc_text))
+        return F.btrim(
+            doc_text.substr(start + 1, end - start), F.lit(PY_WHITESPACE)
+        )
+
+    def indices_of(name: str):
+        return F.filter(
             F.sequence(F.lit(1), F.greatest(F.size(sm), F.lit(1))),
-            lambda s, i: F.struct(
-                s["name"].alias("name"),
-                F.regexp_replace(
-                    doc_text.substr(
-                        s["pos"] + 1,
-                        F.coalesce(
-                            F.try_element_at(sm, i + 1)["pos"], F.length(doc_text)
-                        )
-                        - s["pos"],
-                    ),
-                    r"(?U)^\s+|\s+$",
-                    "",
-                ).alias("content"),
-            ),
-        ),
-    )
+            lambda i: (F.size(sm) > 0) & (F.element_at(sm, i)["name"] == name),
+        )
+
     n_sections = F.size(
         F.array_distinct(F.transform(F.col("sec_matches"), lambda s: s["name"]))
     )
     losses_content = F.try_element_at(
-        F.filter(slices, lambda s: s["name"] == F.lit("Array Losses")), F.lit(1)
-    )["content"]
-    return docs.withColumn("n_sections", n_sections).withColumn(
-        "losses_content", losses_content
+        F.transform(indices_of("Array Losses"), slice_at), F.lit(1)
+    )
+    # "Total Inverter Power" slices joined in document order — feeds the
+    # A14 inverter-count validation metric (reference
+    # _parse_total_inverter_power, :1006-1021; section absent → NULL)
+    tip_idx = indices_of("Total Inverter Power")
+    tip_content = F.when(
+        F.size(tip_idx) > 0,
+        F.concat_ws("\n", F.transform(tip_idx, slice_at)),
+    )
+    return (
+        docs.withColumn("n_sections", n_sections)
+        .withColumn("losses_content", losses_content)
+        .withColumn("tip_content", tip_content)
     )
 
 

@@ -44,12 +44,25 @@ LINE_BREAK = "\\r\\n|[\\n\\r\\u000B\\u000C\\u001C\\u001D\\u001E\\u0085\\u2028\\u
 
 _STRIP_PAT = r"(?U)^\s+|\s+$"
 
+# the EXACT str.isspace() character set (what str.strip() strips):
+# note \x1c-\x1f are Python-whitespace but NOT Unicode White_Space, so
+# btrim over this literal set is both faster than a regex strip AND
+# more faithful than Java's (?U)\s
+PY_WHITESPACE = "".join(chr(c) for c in (
+    0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+    0x85, 0xA0, 0x1680,
+    0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005, 0x2006, 0x2007,
+    0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+))
+
 
 def utrim(col) -> Column:
-    """``str.strip()``: remove leading/trailing Unicode whitespace."""
+    """``str.strip()``: remove leading/trailing Python whitespace.
+    btrim with the literal isspace() charset — a charset scan, not a
+    regex pass (the strip runs on every line of every document)."""
     if isinstance(col, str):
         col = F.col(col)
-    return F.regexp_replace(col, _STRIP_PAT, "")
+    return F.btrim(col, F.lit(PY_WHITESPACE))
 
 
 def split_lines(col) -> Column:

@@ -221,3 +221,41 @@ def test_gap_fill_bounded_adversarial(spark):
     assert out[4] == "MPPT 2"
     assert out[5] == "MPPT 1"  # INV02: 2 used -> 1 free
     assert out[6] == "MPPT 1"  # INV03: nothing used -> starts at 1
+
+
+def test_inverter_count_mismatch_metric(spark):
+    """A14/P9: parsed-vs-section inverter count surfaces as metrics
+    columns (outside extracted_json, so goldens stay byte-identical).
+    The adversarial scenario declares 5 inverters in the Total Inverter
+    Power section but its array blocks only bind 3."""
+    import pyspark.sql.functions as F
+
+    from fixtures.gen import make_docs
+    from pvsyst_pdf_parser_spark.pipeline import extract_documents
+
+    docs = [d for d in make_docs(24) if d.spec.scenario in ("adversarial", "multi_standard")]
+    pages = spark.createDataFrame(
+        [(d.url, d.payload, d.text, "en") for d in docs],
+        "url string, html binary, text string, lang string",
+    )
+    out = {
+        r["url"]: r
+        for r in extract_documents(pages)
+        .select(
+            "url",
+            "parsed_inverter_count",
+            "total_inverters_from_power_section",
+            "inverter_count_mismatch",
+        )
+        .collect()
+    }
+    by_scn = {d.url: d.spec.scenario for d in docs}
+    for url, r in out.items():
+        if by_scn[url] == "adversarial":
+            assert r["total_inverters_from_power_section"] == 5
+            assert r["parsed_inverter_count"] == 3
+            assert r["inverter_count_mismatch"] is True
+        else:
+            assert r["total_inverters_from_power_section"] == 6
+            assert r["parsed_inverter_count"] == 6
+            assert r["inverter_count_mismatch"] is False
