@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda s, d: S.lsh_topk(_emb(s, d)),
         "ann_multiband_topk": lambda s, d: S.multiband_topk(_emb(s, d)),
         "ann_recall": lambda s, d: S.ann_recall_report(_emb(s, d)),
+        "dedup_embedding_cosine": lambda s, d: S.embedding_neardup_pairs(
+            _emb(s, d)
+        ),
         "text_token_count": lambda s, d: X.token_count_stats(_docs(s, d)),
         "text_lang_id": lambda s, d: X.lang_id_heuristic(_docs(s, d)),
         "text_quality_score": lambda s, d: X.quality_scores(_docs(s, d)),
@@ -525,6 +528,19 @@ WHERE round(n_common / (za.n + zb.n - n_common), 4) >= 0.02
         "dedup_minhash_capped": _minhash_sql(max_df=10),
         "ann_multiband_topk": _multiband_topk_sql(),
         "ann_recall": _ann_recall_sql(),
+        "dedup_embedding_cosine": f"""
+WITH bb AS ({_multiband_bucket_sql()}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bb x JOIN bb y USING (band_idx, bucket)
+  WHERE x.vec_id < y.vec_id)
+SELECT id_a, id_b,
+       {_cos_sql("ea.embedding", "eb.embedding")} AS cos_sim
+FROM cand
+JOIN embeddings ea ON ea.vec_id = id_a
+JOIN embeddings eb ON eb.vec_id = id_b
+WHERE {_cos_sql("ea.embedding", "eb.embedding")} >= 0.35
+""",
         "dedup_simhash": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok

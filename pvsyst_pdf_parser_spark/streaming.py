@@ -57,3 +57,111 @@ def stream_extract(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: incremental page → document reassembly
+# ---------------------------------------------------------------------------
+
+PAGE_EVENT_SCHEMA = "url string, page_no int, n_pages int, full_text string"
+DOC_OUT_SCHEMA = "url string, n_pages int, doc_text string, status string"
+_STATE_SCHEMA = (
+    "page_nos array<int>, texts array<string>, n_pages int"
+)
+
+
+def _assemble_state_func(key, pdfs, state):
+    """applyInPandasWithState body: accumulate per-url pages in group
+    state; emit the document once all page numbers 1..n_pages have
+    arrived (first-wins on duplicate page events); a processing-time
+    timeout flushes stalled documents as status='partial' so nothing is
+    silently dropped."""
+    import pandas as pd
+
+    url = key[0]
+    if state.hasTimedOut:
+        page_nos, texts, n_pages = state.get
+        by_no = {}
+        for no, txt in zip(page_nos, texts):
+            by_no.setdefault(no, txt)
+        doc_text = "\n".join(t for _, t in sorted(by_no.items()))
+        state.remove()
+        yield pd.DataFrame(
+            {"url": [url], "n_pages": [len(by_no)],
+             "doc_text": [doc_text], "status": ["partial"]}
+        )
+        return
+
+    if state.exists:
+        page_nos, texts, n_pages = state.get
+        page_nos, texts = list(page_nos), list(texts)
+    else:
+        page_nos, texts, n_pages = [], [], None
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            page_nos.append(int(row.page_no))
+            texts.append(row.full_text or "")
+            if row.n_pages is not None:
+                n_pages = int(row.n_pages)
+
+    seen = {}
+    for no, txt in zip(page_nos, texts):
+        seen.setdefault(no, txt)
+    if n_pages is not None and len(seen) >= n_pages:
+        doc_text = "\n".join(t for _, t in sorted(seen.items()))
+        state.remove()
+        yield pd.DataFrame(
+            {"url": [url], "n_pages": [n_pages],
+             "doc_text": [doc_text], "status": ["complete"]}
+        )
+    else:
+        state.update((page_nos, texts, n_pages))
+        state.setTimeoutDuration(60_000)
+
+
+def assemble_documents_stream(page_events, timeout_ms: int = 60_000):
+    """Streaming page events (url, page_no, n_pages, full_text) →
+    complete documents, via ``applyInPandasWithState``.
+
+    This is the custom stateful operator the batch engine cannot
+    express: pages of one document arrive across micro-batches (a
+    crawler re-fetching, a paginating decoder) and the document must be
+    emitted exactly once when its last page lands.  State is the
+    per-url page accumulator; eviction is by processing-time timeout
+    (stalled docs flush as status='partial' — observable, not
+    dropped).  Scale: state is keyed by url — the same hash
+    distribution as the batch pipeline — and each group's state is
+    O(document), bounded by the same Arrow limits as decode."""
+    return page_events.groupBy("url").applyInPandasWithState(
+        _assemble_state_func,
+        outputStructType=DOC_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+
+
+def stream_assemble_docs(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """File-source stream of page events → stateful reassembly →
+    parquet sink (append).  maxFilesPerTrigger=1 forces documents to
+    span micro-batches, exercising cross-batch state."""
+    events = (
+        spark.readStream.schema(PAGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    docs = assemble_documents_stream(events)
+    return (
+        docs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -20,13 +20,33 @@ _ANCHOR = r"(?isU)\bPV\s+module\b(.{0,2200})"
 
 
 def with_equipment_columns(doc_df: DataFrame, text_col: str = "doc_text") -> DataFrame:
-    """Add module_/inverter_ manufacturer, model, power_raw columns."""
+    """Add module_/inverter_ manufacturer, model, power_raw columns.
+
+    Evaluation is STAGED through materialized intermediate columns
+    (anchor block → per-label line → values): the value expressions
+    reference the anchor window dozens of times across their CASE
+    branches, and Catalyst's projection collapse would otherwise inline
+    the full-document anchor regex into every reference — measured as
+    the single largest CPU item of the whole pipeline (the (?s) window
+    scan re-ran ~40× per doc).  CollapseProject keeps a non-cheap alias
+    referenced more than once as its own projection step, so each stage
+    here evaluates exactly once per document."""
     window = F.nullif(F.regexp_extract(F.col(text_col), _ANCHOR, 1), F.lit(""))
     block = F.when(window.isNotNull(), F.concat(F.lit("PV module\n"), window))
 
-    manu_line = first_line_with(block, r"\bManufacturer\b")
-    model_line = first_line_with(block, r"\bModel\b")
-    power_line = first_line_with(block, r"Unit\s+Nom\.?\s*Power")
+    staged = doc_df.withColumn("_eq_block", block)
+    staged = staged.select(
+        "*",
+        first_line_with(F.col("_eq_block"), r"\bManufacturer\b").alias("_manu_line"),
+        first_line_with(F.col("_eq_block"), r"\bModel\b").alias("_model_line"),
+        first_line_with(F.col("_eq_block"), r"Unit\s+Nom\.?\s*Power").alias(
+            "_power_line"
+        ),
+    )
+
+    manu_line = F.col("_manu_line")
+    model_line = F.col("_model_line")
+    power_line = F.col("_power_line")
 
     m_manu, i_manu = two_column_values(manu_line, "Manufacturer")
     m_model, i_model = two_column_values(model_line, "Model")
@@ -38,12 +58,13 @@ def with_equipment_columns(doc_df: DataFrame, text_col: str = "doc_text") -> Dat
     i_power = F.when(fallback, p_right2).otherwise(p_right1)
 
     return (
-        doc_df.withColumn("module_manufacturer", m_manu)
+        staged.withColumn("module_manufacturer", m_manu)
         .withColumn("module_model", m_model)
         .withColumn("module_power_raw", m_power)
         .withColumn("inverter_manufacturer", i_manu)
         .withColumn("inverter_model", i_model)
         .withColumn("inverter_power_raw", i_power)
+        .drop("_eq_block", "_manu_line", "_model_line", "_power_line")
     )
 
 

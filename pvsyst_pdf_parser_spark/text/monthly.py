@@ -60,32 +60,46 @@ def monthly_rows_inline(doc_text_col) -> "F.Column":
     """Fused P7: the month-row scan as array ops on doc_text — returns
     the per-url ordered array<struct<line_seq,month,globhor,e_grid>>
     directly (no explode/groupBy/join).  Same acceptance rules as
-    ``monthly_rows`` (the relational analytics/demo form)."""
+    ``monthly_rows`` (the relational analytics/demo form).
+
+    Evaluation is staged so per-line work happens ONCE per line: a
+    cheap anchored month-prefix filter first (fails fast on the ~99% of
+    lines that aren't month rows), then one token split per surviving
+    line materialized into the struct (higher-order-function lambdas
+    evaluate per element — embedding ``split_ws`` in every predicate
+    re-split each line ~6×, measured as a top-3 pipeline CPU item)."""
     lines = split_lines(doc_text_col)
     numbered = F.zip_with(
         lines,
         F.sequence(F.lit(0), F.greatest(F.size(lines) - 1, F.lit(0))),
         lambda l, i: F.struct(i.alias("line_seq"), utrim(l).alias("line")),
     )
-
-    def parts(s):
-        return split_ws(s["line"])
-
-    cand = F.filter(
+    months_only = F.filter(
         numbered,
-        lambda s: (F.regexp_extract(s["line"], MONTH_PREFIX, 1) != "")
-        & (F.size(parts(s)) >= 8)
-        & parts(s)[1].rlike(r"(?U)^[-\d.,]+$"),
+        lambda s: F.regexp_extract(s["line"], MONTH_PREFIX, 1) != "",
+    )
+    with_parts = F.transform(
+        months_only,
+        lambda s: F.struct(
+            s["line_seq"].alias("line_seq"),
+            F.regexp_extract(s["line"], MONTH_PREFIX, 1).alias("month"),
+            split_ws(s["line"]).alias("parts"),
+        ),
+    )
+    cand = F.filter(
+        with_parts,
+        lambda s: (F.size(s["parts"]) >= 8)
+        & s["parts"][1].rlike(r"(?U)^[-\d.,]+$"),
     )
     rows = F.transform(
         cand,
         lambda s: F.struct(
             s["line_seq"].alias("line_seq"),
-            F.regexp_extract(s["line"], MONTH_PREFIX, 1).alias("month"),
-            F.regexp_replace(parts(s)[1], ",", "")
+            s["month"].alias("month"),
+            F.regexp_replace(s["parts"][1], ",", "")
             .try_cast("double")
             .alias("globhor"),
-            F.regexp_replace(F.element_at(parts(s), -2), ",", "")
+            F.regexp_replace(F.element_at(s["parts"], -2), ",", "")
             .try_cast("double")
             .alias("e_grid"),
         ),

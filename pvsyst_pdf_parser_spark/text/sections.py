@@ -25,7 +25,7 @@ def with_section_columns(docs: DataFrame) -> DataFrame:
     from .uws import PY_WHITESPACE
 
     doc_text = F.col("doc_text")
-    sm = F.array_sort(
+    sorted_matches = F.array_sort(
         F.transform(
             F.col("sec_matches"),
             lambda s: F.struct(
@@ -36,6 +36,11 @@ def with_section_columns(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+    # stage the sorted match array as a real column so the three
+    # consumers below reference it instead of re-sorting per column
+    # (CollapseProject keeps multiply-referenced non-cheap aliases)
+    docs = docs.withColumn("_sm", sorted_matches)
+    sm = F.col("_sm")
 
     # Slice ONLY the sections the pipeline consumes (Array Losses, Total
     # Inverter Power) instead of materializing content for every match:
@@ -74,6 +79,7 @@ def with_section_columns(docs: DataFrame) -> DataFrame:
         docs.withColumn("n_sections", n_sections)
         .withColumn("losses_content", losses_content)
         .withColumn("tip_content", tip_content)
+        .drop("_sm")
     )
 
 

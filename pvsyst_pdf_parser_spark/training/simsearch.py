@@ -205,6 +205,40 @@ def ann_recall_report(
     )
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    dim: int = 64,
+    n_bands: int = N_BANDS_ANN,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-flavored use of
+    the multi-band index): all (a, b) with a < b and cos ≥ threshold,
+    candidates restricted to same-bucket-in-some-band — never the
+    all-pairs cross join.  At 10^12 docs the candidate volume is
+    bounded by per-bucket occupancy × bands; raise ``planes_per_band``
+    with corpus size to keep buckets small (see module docstring)."""
+    bb = multiband_bucket_ids(emb, dim, n_bands, planes_per_band)
+    cands = (
+        bb.alias("x")
+        .join(bb.alias("y"), ["band_idx", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 3))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 3, dim: int = 64) -> DataFrame:
     """ANN top-k restricted to same-bucket candidates (the scale path)."""
     buckets = lsh_bucket_ids(emb, dim)

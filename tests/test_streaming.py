@@ -33,3 +33,61 @@ def test_stream_extract_matches_goldens(spark, fixture_docs, goldens, tmp_path):
 
     manifest = spark.read.parquet(f"{out_dir}/manifest_buckets")
     assert manifest.filter(F.col("run_id").startswith("stream-batch-")).count() >= 2
+
+
+def test_stateful_page_reassembly_across_batches(spark, fixture_docs, tmp_path):
+    """applyInPandasWithState: pages of one document split across TWO
+    micro-batches (maxFilesPerTrigger=1) reassemble into exactly one
+    complete document with the exact page order; a document whose last
+    page never arrives is NOT emitted as complete."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from pvsyst_pdf_parser_spark.streaming import stream_assemble_docs
+
+    pdf_docs = [d for d in fixture_docs if d.spec.kind == "pdf"][:6]
+    incomplete_url = pdf_docs[-1].url
+
+    first_half, second_half = [], []
+    for d in pdf_docs:
+        n = len(d.pages)
+        for i, text in enumerate(d.pages, start=1):
+            row = (d.url, i, n, text)
+            if i <= max(1, n // 2):
+                first_half.append(row)
+            elif not (d.url == incomplete_url and i == n):
+                second_half.append(row)  # drop the last page of one doc
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    for name, rows in (("b0", first_half), ("b1", second_half)):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(cols[0], pa.string()),
+                    "page_no": pa.array(cols[1], pa.int32()),
+                    "n_pages": pa.array(cols[2], pa.int32()),
+                    "full_text": pa.array(cols[3], pa.string()),
+                }
+            ),
+            str(events_dir / f"{name}.parquet"),
+        )
+
+    out_dir = str(tmp_path / "docs_out")
+    q = stream_assemble_docs(
+        spark, str(events_dir), out_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["url"]: r
+        for r in spark.read.parquet(out_dir)
+        .filter(F.col("status") == "complete")
+        .collect()
+    }
+    for d in pdf_docs[:-1]:
+        assert got[d.url]["doc_text"] == "\n".join(d.pages), d.url
+        assert got[d.url]["n_pages"] == len(d.pages)
+    assert incomplete_url not in got  # last page never arrived
