@@ -17,7 +17,8 @@ master).  For each parallelism level it reports:
 - the straggler gate: max/median task runtime on the heaviest stage
   (must be < 2× per BASELINE.md).
 
-Writes BENCH/BASELINE.md.
+Writes BENCH/LAST_RUN.md (BENCH/BASELINE.md is the curated
+multi-run record).
 """
 
 from __future__ import annotations
@@ -242,7 +243,9 @@ Regenerate: `python scripts/scaling_bench.py`
 sizes it; `SPARK_GRAFT_SCALING_REPS` reps.)
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # LAST_RUN.md, not BASELINE.md: BASELINE.md is the curated multi-run
+    # record (host conditions vary 3x run-to-run; single runs mislead)
+    with open(os.path.join(REPO, "BENCH", "LAST_RUN.md"), "w") as f:
         f.write(md)
 
 
