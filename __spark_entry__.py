@@ -88,16 +88,25 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_SMOKE_GOLDENS = os.path.join(_REPO, "fixtures", "smoke_goldens.parquet")
+
+
 def _pvsyst_extract_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship extraction pipeline on deterministically generated fixture
-    pages (non-SQL-expressible → rows-only driver check; the full
-    byte-identity gate lives in tests/test_golden.py)."""
+    pages.  The oracle reads fixtures/smoke_goldens.parquet — the
+    REFERENCE parser's output for the same docs (committed; regenerated
+    here if absent) — and recomputes the projection in DuckDB, so the
+    driver's hash compare is a true Spark-vs-reference differential
+    check.  The full byte-identity gate lives in tests/test_golden.py."""
     import pyspark.sql.functions as F
 
     from fixtures.gen import make_docs
+    from fixtures.refharness import ensure_smoke_goldens_parquet
+
     from pvsyst_pdf_parser_spark.pipeline import extract_documents
 
     _ensure_workers_have_repo(spark)
+    ensure_smoke_goldens_parquet(_SMOKE_GOLDENS)
     docs = make_docs(9)
     pages = spark.createDataFrame(
         [(d.url, d.payload, d.text, "en") for d in docs],
@@ -639,5 +648,14 @@ SELECT doc_id,
        'stub/' || (octet_length(encode(text)) % 3)::varchar AS codec
 FROM documents
 """,
-        # pvsyst_extract_smoke: intentionally no oracle (non-SQL pipeline)
+        # differential oracle: the reference parser's own output for the
+        # same fixture docs (fixtures/smoke_goldens.parquet, committed);
+        # byte-identity ⇒ identical json_len / extracted fields
+        "pvsyst_extract_smoke": f"""
+SELECT url, kind, n_pages,
+       length(golden_json)::int AS json_len,
+       json_extract_string(golden_json, '$.metadata.total_inverters')::int
+         AS total_inverters
+FROM '{_SMOKE_GOLDENS}'
+""",
     }

@@ -89,6 +89,53 @@ def run_reference(pages: list[str], workdir: str, stem: str) -> tuple[str, str]:
     return json_text, report_text
 
 
+def ensure_smoke_goldens_parquet(path: str, n_docs: int = 9) -> str:
+    """Deterministic differential fixture for the pvsyst_extract_smoke
+    oracle: one parquet of (url, kind, n_pages, golden_json) where
+    golden_json is the REFERENCE parser's canonical V3 output for the
+    same deterministic fixture docs the smoke query feeds the Spark
+    pipeline.  The DuckDB oracle recomputes the smoke projection
+    (json_len, total_inverters, ...) from this file independently, so
+    the driver's hash compare is Spark-pipeline-output vs
+    reference-output — a true differential check, not a tautology.
+
+    Content is fully deterministic (seeded fixtures + deterministic
+    reference parser), so the file is written once and committed;
+    regeneration produces identical values."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    from fixtures.gen import make_docs
+
+    docs = make_docs(n_docs)
+    urls, kinds, n_pages_col, jsons = [], [], [], []
+    with tempfile.TemporaryDirectory() as wd:
+        for d in docs:
+            json_text, _ = run_reference(d.pages, wd, f"doc_{d.spec.doc_id:05d}")
+            urls.append(d.url)
+            kinds.append(d.spec.kind)
+            # the decode stage yields one page-row per PDF container page
+            # and a single page for html/text payloads (io/pages.py)
+            n_pages_col.append(len(d.pages) if d.spec.kind == "pdf" else 1)
+            jsons.append(json_text)
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "n_pages": pa.array(n_pages_col, pa.int64()),
+            "golden_json": pa.array(jsons, pa.string()),
+        }
+    )
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)  # atomic publish
+    return path
+
+
 def generate_goldens(docs, out_dir: str) -> dict[str, tuple[str, str]]:
     """Run the reference on every fixture doc; write + return goldens by url."""
     out = Path(out_dir)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..text.uws import sql_ustrip
+
 # doubled backslashes survive the SQL string literal parser
 _INV_RANGE = r"(?iU)INV\\s*([A-Za-z]*)(\\d+)\\s*-\\s*([A-Za-z]*)(\\d+)"
 _INV_SINGLE = r"(?iU)INV\\s*([A-Za-z]*)(\\d+)"
@@ -40,7 +42,7 @@ def expand_inverter_spec(spec_sql: str) -> Column:
       flatten(transform(
         transform(
           filter(transform(split(coalesce({spec_sql}, ''), ','),
-                           x -> regexp_replace(x, '(?U)^\\\\s+|\\\\s+$', '')),
+                           x -> {sql_ustrip('x')}),
                  p -> p != ''),
           p -> CASE WHEN upper(p) LIKE 'INV%' THEN p ELSE concat('INV ', p) END),
         q -> CASE
@@ -59,15 +61,13 @@ def expand_inverter_spec(spec_sql: str) -> Column:
 
 def expand_mppt_spec(spec_sql: str) -> Column:
     """array<string> of 'MPPT n' labels (reference :438-457)."""
-    stripped = (
-        f"regexp_replace(regexp_replace(coalesce({spec_sql}, ''),"
-        f" '(?U)^\\\\s+|\\\\s+$', ''), '(?iU)^MPPT\\\\s*', '')"
-    )
+    coalesced = f"coalesce({spec_sql}, '')"
+    stripped = f"regexp_replace({sql_ustrip(coalesced)}, '(?iU)^MPPT\\\\s*', '')"
     rg = lambda i: f"regexp_extract(p, '{_MPPT_RANGE}', {i})"  # noqa: E731
     sql = f"""
       flatten(transform(
         filter(transform(split({stripped}, ','),
-                         x -> regexp_replace(x, '(?U)^\\\\s+|\\\\s+$', '')),
+                         x -> {sql_ustrip('x')}),
                p -> p != ''),
         p -> CASE
           WHEN p LIKE '%-%' THEN

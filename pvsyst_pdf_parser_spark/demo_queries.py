@@ -292,6 +292,11 @@ def first_seen_type_ids(spark, sf_dir):
     firsts = ev.groupBy("event_type").agg(
         F.min("ts").alias("first_ts"), F.min("event_id").alias("first_id")
     )
+    # Global (unpartitioned) window is safe HERE because its input is the
+    # post-aggregation DIM cardinality — one row per distinct event_type
+    # (a handful, never the event count).  Dense first-seen ids require a
+    # total order by construction; at dim cardinalities beyond single-
+    # executor memory use zipWithIndex over a sorted write instead.
     w = Window.orderBy("first_ts", "first_id")
     return firsts.withColumn(
         "type_id", F.row_number().over(w)

@@ -82,12 +82,22 @@ class ResultSink:
 
     # -- write ---------------------------------------------------------
 
+    def _table_exists(self, name: str) -> bool:
+        try:
+            return bool(self.spark.catalog.tableExists(name))
+        except Exception:  # noqa: BLE001 - catalog probe failure → treat as absent
+            return False
+
     def _append(self, df: DataFrame, kind: str) -> None:
         if self.mode == "iceberg":
             name = f"{self.table}_{kind}"
-            try:
+            # Probe existence EXPLICITLY rather than catching append()
+            # errors: a real append failure (schema drift, commit
+            # conflict, auth) must surface as itself, not be masked by
+            # a retried create() failing with 'table already exists'.
+            if self._table_exists(name):
                 df.writeTo(name).append()
-            except Exception:  # table does not exist yet → create
+            else:
                 writer = df.writeTo(name).using("iceberg")
                 if kind == "results":
                     writer = writer.partitionedBy(

@@ -44,7 +44,14 @@ def _extract_pdf_from_multipart(content_type: str, body: bytes) -> bytes | None:
     return None
 
 
-def _make_handler(spark):
+# Reject uploads above this size before reading the body: the handler
+# buffers the whole payload in driver memory, so an unbounded
+# Content-Length is a driver-OOM vector once the server is bound beyond
+# localhost.  100 MB comfortably exceeds any real PVsyst report.
+MAX_PAYLOAD_BYTES = 100 * 1024 * 1024
+
+
+def _make_handler(spark, max_payload_bytes: int = MAX_PAYLOAD_BYTES):
     from pyspark.sql import functions as F
 
     from .pipeline import extract_documents
@@ -58,7 +65,6 @@ def _make_handler(spark):
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
-            self.send_header("Access-Control-Allow-Origin", "*")
             self.end_headers()
             self.wfile.write(body)
 
@@ -73,6 +79,14 @@ def _make_handler(spark):
                 self._json(404, json.dumps({"detail": "not found"}))
                 return
             length = int(self.headers.get("Content-Length", "0"))
+            if length > max_payload_bytes:
+                self._json(
+                    413,
+                    json.dumps(
+                        {"detail": f"Payload exceeds {max_payload_bytes} bytes."}
+                    ),
+                )
+                return
             body = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", "")
             if ctype.startswith("multipart/"):
@@ -108,8 +122,16 @@ class ParserServer:
     """``with ParserServer(spark) as srv: requests to srv.url`` — serves
     the reference API contract on an ephemeral port."""
 
-    def __init__(self, spark, host: str = "127.0.0.1", port: int = 0) -> None:
-        self._httpd = ThreadingHTTPServer((host, port), _make_handler(spark))
+    def __init__(
+        self,
+        spark,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_payload_bytes: int = MAX_PAYLOAD_BYTES,
+    ) -> None:
+        self._httpd = ThreadingHTTPServer(
+            (host, port), _make_handler(spark, max_payload_bytes)
+        )
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )

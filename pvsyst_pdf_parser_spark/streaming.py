@@ -70,7 +70,7 @@ _STATE_SCHEMA = (
 )
 
 
-def _assemble_state_func(key, pdfs, state):
+def _assemble_state_func(key, pdfs, state, timeout_ms: int = 60_000):
     """applyInPandasWithState body: accumulate per-url pages in group
     state; emit the document once all page numbers 1..n_pages have
     arrived (first-wins on duplicate page events); a processing-time
@@ -115,8 +115,12 @@ def _assemble_state_func(key, pdfs, state):
              "doc_text": [doc_text], "status": ["complete"]}
         )
     else:
-        state.update((page_nos, texts, n_pages))
-        state.setTimeoutDuration(60_000)
+        # Store the first-wins DEDUPLICATED pages, not the raw event log:
+        # a crawler re-fetching the same page every micro-batch would
+        # otherwise grow state without bound for stalled documents.
+        dedup_nos = sorted(seen)
+        state.update((dedup_nos, [seen[no] for no in dedup_nos], n_pages))
+        state.setTimeoutDuration(timeout_ms)
 
 
 def assemble_documents_stream(page_events, timeout_ms: int = 60_000):
@@ -128,12 +132,15 @@ def assemble_documents_stream(page_events, timeout_ms: int = 60_000):
     crawler re-fetching, a paginating decoder) and the document must be
     emitted exactly once when its last page lands.  State is the
     per-url page accumulator; eviction is by processing-time timeout
-    (stalled docs flush as status='partial' — observable, not
-    dropped).  Scale: state is keyed by url — the same hash
-    distribution as the batch pipeline — and each group's state is
-    O(document), bounded by the same Arrow limits as decode."""
+    (``timeout_ms``; stalled docs flush as status='partial' —
+    observable, not dropped).  Scale: state is keyed by url — the same
+    hash distribution as the batch pipeline — and each group's state is
+    O(document) (duplicate page events are deduplicated before the
+    state write), bounded by the same Arrow limits as decode."""
+    import functools
+
     return page_events.groupBy("url").applyInPandasWithState(
-        _assemble_state_func,
+        functools.partial(_assemble_state_func, timeout_ms=timeout_ms),
         outputStructType=DOC_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
@@ -147,6 +154,7 @@ def stream_assemble_docs(
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    timeout_ms: int = 60_000,
 ):
     """File-source stream of page events → stateful reassembly →
     parquet sink (append).  maxFilesPerTrigger=1 forces documents to
@@ -156,7 +164,7 @@ def stream_assemble_docs(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
-    docs = assemble_documents_stream(events)
+    docs = assemble_documents_stream(events, timeout_ms=timeout_ms)
     return (
         docs.writeStream.format("parquet")
         .option("path", out_dir)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .uws import split_lines, split_ws, utrim
+from .uws import split_lines, split_ws, sql_ustrip, utrim
 
 _MARKERS = [
     ("soiling_losses", r"(?i)Array Soiling Losses"),
@@ -223,7 +223,7 @@ def loss_columns(losses_df: DataFrame) -> DataFrame:
     )
     notation_txt = F.expr(
         r"transform(regexp_extract_all(blob, '(?U)Array #(\\d+)\\s*-\\s*(.+?)(?=Array #|\\s*Global|$)', 2),"
-        r" x -> regexp_replace(x, '(?U)^\\\\s+|\\\\s+$', ''))"
+        f" x -> {sql_ustrip('x')})"
     )
     res_list = F.expr(r"regexp_extract_all(blob, '(?U)Global array res\\.\\s*([\\d.]+)mΩ', 1)")
     loss_list = F.expr(r"regexp_extract_all(blob, '(?U)Loss Fraction\\s+([\\d.]+)%', 1)")

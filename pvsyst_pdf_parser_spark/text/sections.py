@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .uws import utrim
+
 
 def with_section_columns(docs: DataFrame) -> DataFrame:
     """Fused C2: interval slicing as array ops on the scan matches — no
@@ -56,9 +58,13 @@ def with_section_columns(docs: DataFrame) -> DataFrame:
         )
 
     def indices_of(name: str):
+        # try_element_at: NULL (→ filtered out) past the end rather than
+        # ARRAY_INDEX_OUT_OF_BOUNDS — the sequence over-covers by 1 when
+        # sm is empty, and `&` does not short-circuit, so a plain
+        # element_at would throw under an ANSI session
         return F.filter(
             F.sequence(F.lit(1), F.greatest(F.size(sm), F.lit(1))),
-            lambda i: (F.size(sm) > 0) & (F.element_at(sm, i)["name"] == name),
+            lambda i: F.try_element_at(sm, i)["name"] == name,
         )
 
     n_sections = F.size(
@@ -111,10 +117,8 @@ def section_contents(doc_df: DataFrame) -> DataFrame:
         .withColumn("slice_seq", F.row_number().over(w))
         .withColumn(
             "content",
-            F.regexp_replace(
-                F.col("doc_text").substr(F.col("pos") + 1, F.col("end") - F.col("pos")),
-                r"(?U)^\s+|\s+$",
-                "",
+            utrim(
+                F.col("doc_text").substr(F.col("pos") + 1, F.col("end") - F.col("pos"))
             ),
         )
         .drop("doc_text", "doc_len", "end")

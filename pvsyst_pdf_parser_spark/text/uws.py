@@ -42,8 +42,6 @@ from pyspark.sql import functions as F
 # (\n \r \v \f FS GS RS NEL LS PS).
 LINE_BREAK = "\\r\\n|[\\n\\r\\u000B\\u000C\\u001C\\u001D\\u001E\\u0085\\u2028\\u2029]"
 
-_STRIP_PAT = r"(?U)^\s+|\s+$"
-
 # the EXACT str.isspace() character set (what str.strip() strips):
 # note \x1c-\x1f are Python-whitespace but NOT Unicode White_Space, so
 # btrim over this literal set is both faster than a regex strip AND

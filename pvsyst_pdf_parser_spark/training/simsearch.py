@@ -71,21 +71,36 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFram
     )
 
 
-def plane_expr(dim: int, j: int):
-    """Deterministic pseudo-random hyperplane j as an array<double> expr —
-    identical integer-only formula in the DuckDB oracle (exact cross-
-    engine reproducibility; no float libm in the hash).
+def plane_values(dim: int, j: int) -> list:
+    """Hyperplane j's components computed DRIVER-SIDE with the exact
+    integer-only formula the DuckDB oracle uses (Python ints are
+    arbitrary-precision, so the mod-2^31 arithmetic is bit-identical;
+    `x / 1000.0 - 1.0` is the same IEEE double sequence Spark's
+    `cast(double)/1000.0 - 1.0` produces).
 
     Two rounds of multiply-mod-2^31 mixing break the linear structure a
     naive (i·j·K mod m) lattice has — with the naive formula all planes
     were near-parallel sawtooths and measured recall collapsed to
-    0.01-0.05; this hash restores the theoretical sign-LSH curve.
-    Intermediate products stay < 2^63 (h1 < 2^31, K < 2^32)."""
-    return F.expr(
-        f"transform(sequence(1, {dim}), i -> "
-        f"cast(shiftright(((i * 2654435761L + ({j} + 1) * 1013904223L) % 2147483648L)"
-        f" * 2654435761L % 2147483648L, 7) % 2000 as double) / 1000.0 - 1.0)"
-    )
+    0.01-0.05; this hash restores the theoretical sign-LSH curve."""
+    out = []
+    for i in range(1, dim + 1):
+        h1 = (i * 2654435761 + (j + 1) * 1013904223) % 2147483648
+        h2 = (h1 * 2654435761) % 2147483648
+        out.append(((h2 >> 7) % 2000) / 1000.0 - 1.0)
+    return out
+
+
+def plane_expr(dim: int, j: int):
+    """Hyperplane j as a LITERAL array<double> column.
+
+    Round 2 evaluated `transform(sequence(1, dim), ...)` per row —
+    higher-order-function exprs over `sequence` aren't constant-folded,
+    so every row rebuilt every plane (O(rows × bands × planes × dim)
+    array construction; `ann_multiband_topk` was the most expensive
+    bench query purely from this).  An array of foldable literals IS
+    constant-folded by Catalyst, so each plane is built once at plan
+    time and the per-row work is only the zip_with dot product."""
+    return F.array(*[F.lit(v) for v in plane_values(dim, j)])
 
 
 def lsh_bucket_ids(emb: DataFrame, dim: int = 64) -> DataFrame:

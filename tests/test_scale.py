@@ -108,6 +108,87 @@ def test_sink_dispatch_iceberg_vs_parquet(spark, out_dir):
         spark.conf.unset("spark.sql.catalog.cat_test")
 
 
+class _RecordingWriter:
+    """DataFrameWriterV2 double recording the builder chain."""
+
+    def __init__(self, log, name):
+        self.log = log
+        self.name = name
+
+    def using(self, fmt):
+        self.log.append(("using", self.name, fmt))
+        return self
+
+    def partitionedBy(self, *cols):
+        self.log.append(("partitionedBy", self.name, [str(c) for c in cols]))
+        return self
+
+    def append(self):
+        self.log.append(("append", self.name))
+
+    def create(self):
+        self.log.append(("create", self.name))
+
+
+class _FakeDF:
+    def __init__(self, log):
+        self.log = log
+
+    def writeTo(self, name):
+        return _RecordingWriter(self.log, name)
+
+
+def test_iceberg_append_branch_writer_chain(spark, out_dir):
+    """The Iceberg branch of ResultSink._append (never executable in
+    this jar-less sandbox) is exercised against a writer double:
+
+    - existing table → plain writeTo(name).append(), nothing else
+    - missing results table → using('iceberg') +
+      partitionedBy(bucket(n, url)) + create()
+    - missing manifest table → using('iceberg') + create(), NO
+      partitioning
+    - an append() failure on an EXISTING table propagates as itself
+      (not masked by a create() retry — the round-2 bug)
+    """
+    from pvsyst_pdf_parser_spark.scale import ResultSink
+
+    spark.conf.set("spark.sql.catalog.cat_ice", "org.example.FakeCatalog")
+    try:
+        sink = ResultSink(spark, out_dir, table="cat_ice.db.t", n_buckets=8)
+        assert sink.mode == "iceberg"
+
+        log = []
+        # missing table → create with bucket partitioning (results only)
+        sink._table_exists = lambda name: False
+        sink._append(_FakeDF(log), "results")
+        sink._append(_FakeDF(log), "manifest_urls")
+        assert log[0] == ("using", "cat_ice.db.t_results", "iceberg")
+        assert log[1][0] == "partitionedBy" and "bucket" in log[1][2][0]
+        assert log[2] == ("create", "cat_ice.db.t_results")
+        assert log[3] == ("using", "cat_ice.db.t_manifest_urls", "iceberg")
+        assert log[4] == ("create", "cat_ice.db.t_manifest_urls")
+
+        # existing table → append only
+        log.clear()
+        sink._table_exists = lambda name: True
+        sink._append(_FakeDF(log), "results")
+        assert log == [("append", "cat_ice.db.t_results")]
+
+        # append failure on an existing table surfaces as itself
+        class _FailingWriter(_RecordingWriter):
+            def append(self):
+                raise RuntimeError("commit conflict")
+
+        class _FailingDF(_FakeDF):
+            def writeTo(self, name):
+                return _FailingWriter(self.log, name)
+
+        with pytest.raises(RuntimeError, match="commit conflict"):
+            sink._append(_FailingDF([]), "results")
+    finally:
+        spark.conf.unset("spark.sql.catalog.cat_ice")
+
+
 def test_pack_by_bytes_bounds_stragglers(spark):
     """BASELINE.md straggler gate (byte proxy): on a corpus with
     long-tail document-size skew, size-aware packing keeps the maximum

@@ -49,3 +49,16 @@ def test_parse_endpoint_matches_reference(spark, fixture_docs, goldens):
         # garbage payload → 400, not a crash
         code, _ = _post(srv.url + "/api/parse", b"\x00\xffnot a pdf", "application/pdf")
         assert code == 400
+
+
+def test_parse_endpoint_rejects_oversized_payload(spark):
+    """Uploads beyond max_payload_bytes are refused with 413 BEFORE the
+    body is buffered (driver-OOM guard)."""
+    from pvsyst_pdf_parser_spark.serve import ParserServer
+
+    with ParserServer(spark, max_payload_bytes=1024) as srv:
+        code, body = _post(
+            srv.url + "/api/parse", b"x" * 4096, "application/pdf"
+        )
+        assert code == 413
+        assert b"exceeds" in body

@@ -91,3 +91,85 @@ def test_stateful_page_reassembly_across_batches(spark, fixture_docs, tmp_path):
         assert got[d.url]["doc_text"] == "\n".join(d.pages), d.url
         assert got[d.url]["n_pages"] == len(d.pages)
     assert incomplete_url not in got  # last page never arrived
+
+
+def test_timeout_ms_flushes_partial_fast(spark, tmp_path):
+    """The `timeout_ms` parameter is honored: with timeout_ms=1000 a
+    stalled document flushes as status='partial' within seconds — not
+    the 60 s the round-2 code hardcoded.  Duplicate page events are
+    deduplicated first-wins before the flush (n_pages counts distinct
+    pages)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pvsyst_pdf_parser_spark.streaming import (
+        PAGE_EVENT_SCHEMA,
+        assemble_documents_stream,
+    )
+
+    events_dir = tmp_path / "ev"
+    events_dir.mkdir()
+
+    def write_events(name, rows):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(cols[0], pa.string()),
+                    "page_no": pa.array(cols[1], pa.int32()),
+                    "n_pages": pa.array(cols[2], pa.int32()),
+                    "full_text": pa.array(cols[3], pa.string()),
+                }
+            ),
+            str(events_dir / f"{name}.parquet"),
+        )
+
+    # stalled doc: 2 events for the SAME page (dup), n_pages=3 never met
+    write_events(
+        "b0",
+        [("http://stall", 1, 3, "page one"), ("http://stall", 1, 3, "dup ignored")],
+    )
+
+    events = (
+        spark.readStream.schema(PAGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(events_dir))
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        assemble_documents_stream(events, timeout_ms=1000)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    t0 = time.time()
+    partial = []
+    tick = 0
+    try:
+        # keep feeding unrelated single-page docs so micro-batches keep
+        # running (processing-time timeouts fire on batch boundaries)
+        while time.time() - t0 < 45 and not partial:
+            tick += 1
+            write_events(f"tick{tick}", [(f"http://tick{tick}", 1, 1, "x")])
+            time.sleep(1)
+            try:
+                partial = (
+                    spark.read.parquet(out_dir)
+                    .filter("status = 'partial'")
+                    .collect()
+                )
+            except Exception:  # output dir not yet created
+                partial = []
+    finally:
+        q.stop()
+    elapsed = time.time() - t0
+    assert partial, "partial flush never observed"
+    assert partial[0]["url"] == "http://stall"
+    assert partial[0]["n_pages"] == 1  # dup page deduplicated first-wins
+    assert partial[0]["doc_text"] == "page one"
+    assert elapsed < 45, f"flush took {elapsed:.0f}s - timeout_ms ignored?"
