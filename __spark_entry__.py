@@ -163,11 +163,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_token_count": lambda s, d: X.token_count_stats(_docs(s, d)),
         "text_lang_id": lambda s, d: X.lang_id_heuristic(_docs(s, d)),
+        "text_lang_id_multi": lambda s, d: X.lang_id_multi(_docs(s, d)),
         "text_quality_score": lambda s, d: X.quality_scores(_docs(s, d)),
+        "text_quality_v2": lambda s, d: X.quality_scores_v2(_docs(s, d)),
         "doc_fingerprint": lambda s, d: X.doc_fingerprints(_docs(s, d)),
         "multimodal_metadata": lambda s, d: (
             _ensure_workers_have_repo(s),
             M.extract_media_metadata(_docs(s, d)),
+        )[1],
+        "multimodal_frame_sample": lambda s, d: (
+            _ensure_workers_have_repo(s),
+            M.sample_frames(_docs(s, d)),
         )[1],
         # flagship extraction (rows-only check; byte gate in pytest)
         "pvsyst_extract_smoke": _pvsyst_extract_smoke,
@@ -237,6 +243,84 @@ SELECT doc_a, doc_b,
 FROM common JOIN {vsizes} za ON za.doc_id = doc_a
 JOIN {vsizes} zb ON zb.doc_id = doc_b
 WHERE round(n_common / (za.n + zb.n - n_common), 4) >= 0.01
+"""
+
+
+def _count_sql(t: str, needle: str) -> str:
+    """Same portable occurrence count as textstats._count_occurrences."""
+    return (
+        f"((length({t}) - length(replace({t}, '{needle}', '')))"
+        f" / {len(needle)})::bigint"
+    )
+
+
+def _lang_multi_sql() -> str:
+    """DuckDB replay of textstats.lang_id_multi (shared LANG_MARKERS)."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        LANG_MARKERS,
+        LANG_MIN_RATIO_DEN,
+    )
+
+    codes = [c for c, _ in LANG_MARKERS]
+    hit_exprs = ", ".join(
+        "(" + " + ".join(_count_sql("t", m) for m in markers) + f") AS hits_{code}"
+        for code, markers in LANG_MARKERS
+    )
+    best = "greatest(" + ", ".join(f"hits_{c}" for c in codes) + ")"
+    first = (
+        "CASE "
+        + " ".join(f"WHEN hits_{c} = best THEN '{c}'" for c in codes)
+        + " ELSE 'und' END"
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+h AS (SELECT doc_id, lang, n_tokens, {hit_exprs} FROM s),
+b AS (SELECT *, {best} AS best FROM h),
+g AS (SELECT lang, best, n_tokens,
+             CASE WHEN best * {LANG_MIN_RATIO_DEN} >= n_tokens AND best > 0
+                  THEN {first} ELSE 'und' END AS guess
+      FROM b)
+SELECT lang, guess, count(*) AS n_docs,
+       round(avg(best / n_tokens), 4) AS avg_best_ratio
+FROM g GROUP BY lang, guess
+"""
+
+
+def _quality_v2_sql() -> str:
+    """DuckDB replay of textstats.quality_scores_v2 (Gopher/C4 rules)."""
+    stop = " + ".join(_count_sql("t", m) for m in (" the ", " and ", " a "))
+    return f"""
+WITH s AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_types,
+         ' ' || lower(text) || ' ' AS t
+  FROM documents WHERE doc_id % 10 = 0),
+h AS (
+  SELECT doc_id, n_tokens,
+         (n_chars - (n_tokens - 1)) / n_tokens AS mwl,
+         n_types / n_tokens AS ttr,
+         ({stop}) AS stop_hits,
+         ({_count_sql("text", "#")} + {_count_sql("text", "...")}) AS symbol_hits
+  FROM s),
+f AS (
+  SELECT doc_id, n_tokens, mwl, ttr,
+         (mwl >= 3.0 AND mwl <= 10.0)::int AS flag_word_len,
+         (stop_hits >= 2)::int AS flag_stopwords,
+         (symbol_hits * 10 <= n_tokens)::int AS flag_symbols,
+         (ttr >= 0.2)::int AS flag_ttr,
+         (n_tokens >= 50 AND n_tokens <= 100000)::int AS flag_length
+  FROM h)
+SELECT doc_id, n_tokens,
+       round(mwl, 4) AS mean_word_len,
+       round(ttr, 4) AS type_token_ratio,
+       flag_word_len, flag_stopwords, flag_symbols, flag_ttr, flag_length,
+       round((flag_word_len + flag_stopwords + flag_symbols + flag_ttr
+              + flag_length) / 5.0, 4) AS quality2_score
+FROM f
 """
 
 
@@ -634,6 +718,8 @@ SELECT doc_id, n_chars AS n_chars_actual, n_tokens,
              + 0.3 * least(1.0, (n_chars / n_tokens) / 8.0), 4) AS quality_score
 FROM h
 """,
+        "text_lang_id_multi": _lang_multi_sql(),
+        "text_quality_v2": _quality_v2_sql(),
         "doc_fingerprint": (
             "SELECT doc_id, "
             + g.format(expr=r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')")
@@ -647,6 +733,20 @@ SELECT doc_id,
        (octet_length(encode(text)) % 7 + 1)::int AS n_frames,
        'stub/' || (octet_length(encode(text)) % 3)::varchar AS codec
 FROM documents
+""",
+        "multimodal_frame_sample": """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text))::bigint AS byte_len,
+         (octet_length(encode(text)) % 7 + 1) AS n_frames
+  FROM documents),
+f AS (
+  SELECT DISTINCT doc_id, byte_len, (i * n_frames // 4)::int AS frame_idx
+  FROM m, unnest(generate_series(0, 3)) AS t(i))
+SELECT doc_id, frame_idx,
+       (('0x' || substr(md5(doc_id::varchar || '_' || frame_idx::varchar
+                        || '_' || byte_len::varchar), 1, 14))::bigint)
+         AS frame_fingerprint
+FROM f
 """,
         # differential oracle: the reference parser's own output for the
         # same fixture docs (fixtures/smoke_goldens.parquet, committed);

@@ -40,11 +40,16 @@ _TOTAL_MODULES_PAT = r"(?U)Nb\.\s*of\s*modules\s*(\d+)units?"
 
 
 def extract_documents(
-    pages_table: DataFrame, num_partitions: int | None = None
+    pages_table: DataFrame,
+    num_partitions: int | None = None,
+    pack_by_bytes: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → (url, kind, n_pages,
-    extracted_json, report_text)."""
-    page_df = decode_pages_df(pages_table, num_partitions=num_partitions)
+    extracted_json, report_text).  ``pack_by_bytes`` enables size-aware
+    decode packing for byte-skewed corpora (io/pages.py)."""
+    page_df = decode_pages_df(
+        pages_table, num_partitions=num_partitions, pack_by_bytes=pack_by_bytes
+    )
     return extract_decoded(page_df)
 
 

@@ -53,16 +53,25 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract_media_metadata(docs: DataFrame) -> DataFrame:
-    """binary column → typed metadata via Arrow-batched mapInPandas."""
+def extract_media_metadata(docs: DataFrame, decode_fn=None) -> DataFrame:
+    """binary column → typed metadata via Arrow-batched mapInPandas.
+
+    ``decode_fn(payload: bytes) -> (width, height, n_frames, codec)`` is
+    the pluggable decode hook: a cluster with codecs installed passes
+    e.g. a PIL/pyav-backed callable and the Spark-side plumbing (Arrow
+    batching, schema, partitioning) is unchanged.  Defaults to the
+    deterministic :func:`_stub_decode` in this codec-less sandbox.  The
+    callable must be picklable (module-level function, not a lambda
+    closing over unpicklable state)."""
     src = attach_binary_payload(docs)
+    decode_one = decode_fn or _stub_decode
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, lens, ws, hs, fs, cs = [], [], [], [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
                 blob = bytes(blob) if blob is not None else b""
-                w, h, nf, codec = _stub_decode(blob)
+                w, h, nf, codec = decode_one(blob)
                 ids.append(doc_id)
                 lens.append(len(blob))
                 ws.append(w)
@@ -81,3 +90,40 @@ def extract_media_metadata(docs: DataFrame) -> DataFrame:
             )
 
     return src.mapInPandas(decode, MEDIA_META_SCHEMA)
+
+
+def sample_frames(docs: DataFrame, k: int = 4) -> DataFrame:
+    """(doc_id, frame_idx, frame_fingerprint): k evenly spaced frame
+    indices per media blob — floor(i·n_frames/k), deduplicated, so a
+    clip shorter than k frames yields fewer rows — with a deterministic
+    stub fingerprint (portable md5 of the doc/frame/byte coordinates,
+    the stand-in for hashing decoded frame bytes; swap the decode hook
+    in :func:`extract_media_metadata` AND this fingerprint on a cluster
+    with codecs).  All relational after the metadata stage: explode of
+    a k-literal sequence + projection, no per-frame Python."""
+    from .hashing import md5_56
+
+    meta = extract_media_metadata(docs)
+    return (
+        meta.select(
+            "doc_id",
+            "byte_len",
+            "n_frames",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "byte_len",
+            F.floor(F.col("i") * F.col("n_frames") / k).cast("int").alias(
+                "frame_idx"
+            ),
+        )
+        .distinct()
+        .select(
+            "doc_id",
+            "frame_idx",
+            md5_56(
+                F.concat_ws("_", "doc_id", "frame_idx", "byte_len")
+            ).alias("frame_fingerprint"),
+        )
+    )

@@ -17,6 +17,11 @@
 
 Ranking keys are (round(cos, 3) DESC, cand_id) so float noise between
 engines cannot reorder the oracle comparison.
+
+Execution note: exact cosine re-scoring stays JVM-side (zip_with /
+aggregate on the bounded candidate set); the many-plane bucket
+projection is one Arrow-batched numpy matmul (see
+:func:`multiband_bucket_ids` for why the expression-tree forms lose).
 """
 
 from __future__ import annotations
@@ -132,18 +137,52 @@ def multiband_bucket_ids(
 ) -> DataFrame:
     """(vec_id, band_idx, bucket) — one sign-bucket per band; band b
     uses global hyperplanes b*planes_per_band .. +planes_per_band-1
-    (same deterministic formula as the DuckDB oracle)."""
-    bands = []
-    for b in range(n_bands):
-        bits = None
-        for j in range(planes_per_band):
-            dot = _dot(F.col("embedding"), plane_expr(dim, b * planes_per_band + j))
-            bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << j)
-            bits = bit if bits is None else bits + bit
-        bands.append(F.struct(F.lit(b).alias("band_idx"), bits.cast("int").alias("bucket")))
-    return emb.select(
-        "vec_id", F.explode(F.array(*bands)).alias("bb")
-    ).select("vec_id", "bb.band_idx", "bb.bucket")
+    (same deterministic formula as the DuckDB oracle).
+
+    Implemented as ONE Arrow-batched ``mapInPandas`` doing a single
+    (batch × dim) @ (dim × total_planes) float64 matmul — the 60-plane
+    sign projection is exactly a BLAS job, and the expression-tree
+    alternatives measured worse: per-plane zip_with/aggregate HOFs
+    evaluate interpreted (no whole-stage codegen for higher-order
+    functions), and a fully unrolled element-wise sum blows the janino
+    64 KB method limit (codegen disabled, 3.6 MiB task binaries).
+    2× faster than the HOF form on the sf0.1 embeddings; bit-identical
+    buckets verified against it AND the DuckDB oracle (signs are O(1)
+    magnitudes — float64 summation-order noise of ~1e-16 cannot flip
+    them on real embeddings).
+
+    NOTE mapInPandas is opaque to predicate pushdown: filter ``emb``
+    BEFORE calling this (as multiband_topk does for its query side),
+    never the returned frame, when only a subset is needed."""
+    import numpy as np
+
+    planes = np.array(
+        [plane_values(dim, j) for j in range(n_bands * planes_per_band)]
+    ).T  # dim × total_planes
+    bit_weights = np.array([1 << j for j in range(planes_per_band)], dtype="int32")
+    nb, ppb = n_bands, planes_per_band
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(pdf["embedding"].values).astype("float64")
+            bits = (E @ planes > 0).astype("int32")
+            buckets = (bits.reshape(n, nb, ppb) * bit_weights).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].values, nb),
+                    "band_idx": np.tile(np.arange(nb, dtype="int32"), n),
+                    "bucket": buckets.reshape(-1).astype("int32"),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        compute, "vec_id long, band_idx int, bucket int"
+    )
 
 
 def multiband_topk(
@@ -160,11 +199,13 @@ def multiband_topk(
     band), candidate pairs come from a (band_idx, bucket) equi-join —
     per-bucket self-join bounded by bucket occupancy — deduplicated
     BEFORE the exact-cosine re-score so each surviving pair is scored
-    once."""
+    once.  The query side filters emb BEFORE the bucket mapInPandas
+    (opaque to pushdown), so only n_queries rows pay the projection
+    twice."""
     bb = multiband_bucket_ids(emb, dim, n_bands, planes_per_band)
-    qb = bb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), "band_idx", "bucket"
-    )
+    qb = multiband_bucket_ids(
+        emb.filter(F.col("vec_id") < n_queries), dim, n_bands, planes_per_band
+    ).select(F.col("vec_id").alias("query_id"), "band_idx", "bucket")
     cands = (
         qb.join(bb.withColumnRenamed("vec_id", "cand_id"), ["band_idx", "bucket"])
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -218,6 +259,81 @@ def ann_recall_report(
         "n_truth",
         F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
     )
+
+
+def candidate_fraction(
+    emb: DataFrame,
+    n_queries: int = 20,
+    dim: int = 64,
+    n_bands: int = N_BANDS_ANN,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> float:
+    """Fraction of all (query, candidate) pairs the multi-band index
+    surfaces — the cost axis of the recall/cost trade-off (1.0 would be
+    brute force)."""
+    bb = multiband_bucket_ids(emb, dim, n_bands, planes_per_band)
+    qb = multiband_bucket_ids(
+        emb.filter(F.col("vec_id") < n_queries), dim, n_bands, planes_per_band
+    ).select(F.col("vec_id").alias("query_id"), "band_idx", "bucket")
+    n_cands = (
+        qb.join(bb.withColumnRenamed("vec_id", "cand_id"), ["band_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+        .count()
+    )
+    total = n_queries * (emb.count() - 1)
+    return n_cands / total if total else 0.0
+
+
+# default tuning grid: roughly constant total planes (r*b), trading
+# per-band selectivity (higher r → smaller buckets → cheaper) against
+# OR-amplified recall (higher b → more chances to collide)
+TUNE_GRID = [(8, 4), (6, 8), (5, 12), (4, 16)]
+
+
+def tune_bands(
+    emb: DataFrame,
+    target_recall: float = 0.5,
+    grid: list | None = None,
+    n_queries: int = 20,
+    k: int = 5,
+    dim: int = 64,
+) -> dict:
+    """Walk (planes_per_band, n_bands) operating points, measuring
+    recall@k (vs the brute-force baseline) and candidate fraction for
+    each; return the CHEAPEST point meeting ``target_recall`` — or the
+    max-recall point when none does — plus the full measured curve.
+
+    This automates the hand-built COVERAGE.md recall table: run once on
+    a sample of the target corpus (the curve is a property of the
+    embedding distribution, not corpus size) and use the chosen (r, b)
+    for the full-scale multiband_topk / embedding_neardup_pairs run.
+    Driver-side loop over a handful of grid points, each one bounded
+    Spark job — not a per-row operation."""
+    results = []
+    for r, b in grid or TUNE_GRID:
+        rec = ann_recall_report(
+            emb, n_queries=n_queries, k=k, dim=dim,
+            n_bands=b, planes_per_band=r,
+        ).collect()[0]["recall"]
+        frac = candidate_fraction(
+            emb, n_queries=n_queries, dim=dim, n_bands=b, planes_per_band=r
+        )
+        results.append(
+            {
+                "planes_per_band": r,
+                "n_bands": b,
+                "recall": float(rec),
+                "cand_fraction": round(frac, 4),
+            }
+        )
+    feasible = [x for x in results if x["recall"] >= target_recall]
+    if feasible:
+        chosen = min(feasible, key=lambda x: (x["cand_fraction"], -x["recall"]))
+    else:
+        chosen = max(results, key=lambda x: (x["recall"], -x["cand_fraction"]))
+    return {"chosen": chosen, "curve": results}
 
 
 def embedding_neardup_pairs(

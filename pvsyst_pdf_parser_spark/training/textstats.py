@@ -15,6 +15,21 @@ from .hashing import md5_56
 
 EN_MARKERS = [" the ", " and ", " a "]
 
+# Public stopword-profile markers for the multi-language heuristic
+# (top function words from the public stopword lists for each language;
+# space-delimited so they only match whole tokens).  Order matters: it
+# is the deterministic tiebreak when two languages score equally.
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", [" the ", " and ", " of ", " to ", " in "]),
+    ("de", [" der ", " die ", " und ", " den ", " von "]),
+    ("fr", [" le ", " la ", " et ", " les ", " des "]),
+    ("es", [" el ", " los ", " y ", " en ", " una "]),
+    ("it", [" il ", " che ", " di ", " la ", " per "]),
+]
+# a language is only guessed when its marker ratio clears this floor
+# (hits * 20 >= tokens ⇔ ratio ≥ 0.05); below it the doc is 'und'
+LANG_MIN_RATIO_DEN = 20
+
 
 def _count_occurrences(col, needle: str):
     """(len(s) - len(replace(s, needle, ''))) / len(needle) — portable."""
@@ -63,6 +78,51 @@ def lang_id_heuristic(docs: DataFrame) -> DataFrame:
     )
 
 
+def lang_id_multi(docs: DataFrame) -> DataFrame:
+    """Multi-language stopword-profile ID over LANG_MARKERS (5 languages
+    + 'und' fallback), aggregated as a (lang label × guessed) confusion
+    table.
+
+    Pure length/replace arithmetic — the DuckDB oracle replays the same
+    formula value-for-value.  The guess is the FIRST language in
+    LANG_MARKERS order whose marker ratio is maximal (deterministic
+    tiebreak) and clears the 0.05 floor; otherwise 'und'.  At 100 TB
+    this is one projection + one tiny groupBy — no shuffle beyond the
+    (lang, guess) aggregation."""
+    text = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    tokens = F.size(F.split(F.col("text"), r" ", -1))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        tokens.alias("n_tokens"),
+        *[
+            sum(_count_occurrences(text, m) for m in markers).alias(f"hits_{code}")
+            for code, markers in LANG_MARKERS
+        ],
+    )
+    # argmax with first-wins tiebreak: best = greatest(hits); guess =
+    # first language (LANG_MARKERS order) whose hits equal best, or
+    # 'und' when even the best ratio misses the floor
+    best = F.greatest(*[F.col(f"hits_{c}") for c, _ in LANG_MARKERS])
+    first_match = F.lit("und")
+    for code, _markers in reversed(LANG_MARKERS):
+        first_match = F.when(
+            F.col(f"hits_{code}") == best, F.lit(code)
+        ).otherwise(first_match)
+    guess = F.when(
+        (best * LANG_MIN_RATIO_DEN >= F.col("n_tokens")) & (best > 0),
+        first_match,
+    ).otherwise(F.lit("und"))
+    return (
+        scored.withColumn("guess", guess)
+        .groupBy("lang", "guess")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(best / F.col("n_tokens")), 4).alias("avg_best_ratio"),
+        )
+    )
+
+
 def quality_scores(docs: DataFrame, sample_mod: int = 20) -> DataFrame:
     """Length/stopword/uppercase composite quality score per document."""
     text = F.col("text")
@@ -83,6 +143,49 @@ def quality_scores(docs: DataFrame, sample_mod: int = 20) -> DataFrame:
             4,
         ).alias("quality_score"),
     )
+
+
+def quality_scores_v2(docs: DataFrame, sample_mod: int = 10) -> DataFrame:
+    """Gopher/C4-style rule-based quality signals per document (public
+    pipeline practice: Rae et al. 2021 'Scaling Language Models'
+    Gopher rules; Raffel et al. 2020 C4 heuristics):
+
+    - mean word length in [3, 10]          (Gopher)
+    - ≥ 2 stopword hits                    (Gopher stopword requirement)
+    - symbol-to-token ratio ≤ 0.1 (# and …)(Gopher symbol ratio)
+    - type-token ratio ≥ 0.2               (repetition proxy — the
+      scalable stand-in for Gopher's duplicate-line fraction)
+    - token count in [50, 100000]          (Gopher length bounds)
+
+    ``quality2_score`` is the fraction of rules passed.  Everything is
+    split/replace/distinct arithmetic with exact DuckDB equivalents;
+    one projection, no shuffle — at 100 TB this is a pure map stage."""
+    text = F.col("text")
+    toks = F.split(text, r" ", -1)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    # total non-space chars / tokens (single-space split both engines)
+    mean_word_len = (n_chars - (n_tokens - 1)) / n_tokens
+    spaced = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop_hits = sum(_count_occurrences(spaced, m) for m in EN_MARKERS)
+    symbol_hits = _count_occurrences(text, "#") + _count_occurrences(text, "...")
+    ttr = F.size(F.array_distinct(toks)) / n_tokens
+    flags = [
+        ("flag_word_len", (mean_word_len >= 3.0) & (mean_word_len <= 10.0)),
+        ("flag_stopwords", stop_hits >= 2),
+        ("flag_symbols", symbol_hits * 10 <= n_tokens),
+        ("flag_ttr", ttr >= 0.2),
+        ("flag_length", (n_tokens >= 50) & (n_tokens <= 100_000)),
+    ]
+    out = docs.filter(F.col("doc_id") % sample_mod == 0).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(ttr, 4).alias("type_token_ratio"),
+        *[expr.cast("int").alias(name) for name, expr in flags],
+    )
+    score = sum(F.col(name) for name, _ in flags) / F.lit(float(len(flags)))
+    return out.withColumn("quality2_score", F.round(score, 4))
 
 
 def doc_fingerprints(docs: DataFrame, sample_mod: int = 25) -> DataFrame:

@@ -259,3 +259,52 @@ def test_inverter_count_mismatch_metric(spark):
             assert r["total_inverters_from_power_section"] == 6
             assert r["parsed_inverter_count"] == 6
             assert r["inverter_count_mismatch"] is False
+
+
+def test_tune_bands_selects_cheapest_feasible(spark):
+    """tune_bands walks the (r, b) grid on the sf0.001 embeddings and
+    returns the cheapest operating point meeting the recall target (or
+    the max-recall point when none does) plus the full measured curve."""
+    from pvsyst_pdf_parser_spark.training.simsearch import tune_bands
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    grid = [(8, 4), (4, 16)]
+    out = tune_bands(emb, target_recall=0.3, grid=grid, n_queries=10, k=3)
+
+    assert len(out["curve"]) == len(grid)
+    for pt in out["curve"]:
+        assert 0.0 <= pt["recall"] <= 1.0
+        assert 0.0 <= pt["cand_fraction"] <= 1.0
+    assert out["chosen"] in out["curve"]
+
+    feasible = [p for p in out["curve"] if p["recall"] >= 0.3]
+    if feasible:
+        assert out["chosen"]["recall"] >= 0.3
+        assert out["chosen"]["cand_fraction"] == min(
+            p["cand_fraction"] for p in feasible
+        )
+    else:  # infeasible target → the max-recall point
+        assert out["chosen"]["recall"] == max(p["recall"] for p in out["curve"])
+
+    # an impossible target degrades to max recall, never errors
+    out_hi = tune_bands(emb, target_recall=1.1, grid=grid, n_queries=10, k=3)
+    assert out_hi["chosen"]["recall"] == max(p["recall"] for p in out_hi["curve"])
+
+
+def test_multimodal_decode_hook_pluggable(spark):
+    """extract_media_metadata accepts a custom decode callable — the
+    documented seam for real PIL/pyav decode on a cluster with codecs —
+    and routes every payload through it."""
+    from pvsyst_pdf_parser_spark.training.multimodal import extract_media_metadata
+
+    def fake_decode(payload):
+        return (len(payload), 2, 3, "custom/x")
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "defg")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in
+            extract_media_metadata(docs, decode_fn=fake_decode).collect()}
+    assert rows[1]["codec"] == "custom/x"
+    assert rows[1]["width"] == 3 and rows[2]["width"] == 4
+    assert rows[1]["n_frames"] == 3
