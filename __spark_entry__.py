@@ -38,39 +38,12 @@ from pvsyst_pdf_parser_spark.training.hashing import (  # noqa: E402
 def _ensure_workers_have_repo(spark: SparkSession) -> None:
     """Python workers resolve UDF closures' module references by import;
     if the driver session wasn't launched from the repo root, ship the
-    packages via addPyFile.  The zip lives in a repo-local build dir
-    (not a world-writable fixed /tmp path another local user could
-    pre-plant) and its name carries a content hash of the sources, so
-    edits produce a new artifact instead of executors importing a stale
-    cached zip."""
-    import hashlib
-    import zipfile
+    packages via addPyFile (same content-hashed artifact spark-submit
+    jobs pass as --py-files; see packaging.build_package_zip)."""
+    from pvsyst_pdf_parser_spark.packaging import build_package_zip
 
-    sources = []
-    for pkg in ("pvsyst_pdf_parser_spark", "fixtures"):
-        base = os.path.join(_REPO, pkg)
-        for root, _dirs, files in os.walk(base):
-            for fn in sorted(files):
-                if fn.endswith(".py"):
-                    sources.append(os.path.join(root, fn))
-    sources.sort()
-    h = hashlib.sha256()
-    for full in sources:
-        with open(full, "rb") as f:
-            h.update(os.path.relpath(full, _REPO).encode())
-            h.update(b"\0")
-            h.update(f.read())
-    build_dir = os.path.join(_REPO, ".build")
-    os.makedirs(build_dir, exist_ok=True)
-    zip_path = os.path.join(build_dir, f"pkg-{h.hexdigest()[:16]}.zip")
-    if not os.path.exists(zip_path):
-        tmp_path = zip_path + f".tmp-{os.getpid()}"
-        with zipfile.ZipFile(tmp_path, "w") as zf:
-            for full in sources:
-                zf.write(full, os.path.relpath(full, _REPO))
-        os.replace(tmp_path, zip_path)  # atomic publish
     try:
-        spark.sparkContext.addPyFile(zip_path)
+        spark.sparkContext.addPyFile(build_package_zip(_REPO))
     except Exception:  # noqa: BLE001 - already added / not supported
         pass
 

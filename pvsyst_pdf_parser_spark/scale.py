@@ -217,9 +217,12 @@ def resumable_extract(
     num_partitions: int | None = None,
     n_buckets: int = N_BUCKETS_DEFAULT,
     table: str | None = None,
+    pack_by_bytes: bool = False,
 ) -> dict:
     """Run the extraction pipeline, skipping urls completed by prior
-    runs, appending results + manifest.  Returns run stats."""
+    runs, appending results + manifest.  Returns run stats.
+    ``pack_by_bytes`` enables size-aware decode packing (requires
+    ``num_partitions``; see io/pages.py)."""
     from .io.pages import decode_pages_df
     from .pipeline import extract_decoded
 
@@ -233,7 +236,9 @@ def resumable_extract(
         todo = pages.join(done, "url", "left_anti")
 
     t0 = time.time()
-    page_df = decode_pages_df(todo, num_partitions=num_partitions)
+    page_df = decode_pages_df(
+        todo, num_partitions=num_partitions, pack_by_bytes=pack_by_bytes
+    )
     errors = (
         page_df.filter(F.col("status") != "ok")
         .select("url", "status")
