@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest_view": Q.asof_nearest_view,
         "proportional_allocation": Q.proportional_allocation,
         "first_seen_type_ids": Q.first_seen_type_ids,
+        "salted_hot_key_agg": Q.salted_hot_key_agg,
         "regex_kv_extract": Q.regex_kv_extract,
         "sequence_unnest": Q.sequence_unnest,
         "two_level_unnest": Q.two_level_unnest,
@@ -130,6 +131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": lambda s, d: S.lsh_bucket_stats(_emb(s, d)),
         "ann_lsh_topk": lambda s, d: S.lsh_topk(_emb(s, d)),
         "ann_multiband_topk": lambda s, d: S.multiband_topk(_emb(s, d)),
+        "ann_ivf_cells": lambda s, d: S.ivf_cell_stats(_emb(s, d)),
+        "ann_ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d)),
         "ann_recall": lambda s, d: S.ann_recall_report(_emb(s, d)),
         "dedup_embedding_cosine": lambda s, d: S.embedding_neardup_pairs(
             _emb(s, d)
@@ -347,6 +350,64 @@ def _multiband_bucket_sql(n_bands: int = 12, planes_per_band: int = 5) -> str:
     return " UNION ALL ".join(parts)
 
 
+# IVF coarse quantizer: same integer-hash family, offset constant
+# (simsearch.centroid_values); half-norms embedded as identical Python
+# float literals on both engines (simsearch.centroid_half_norm)
+_CENTROID = (
+    "list_transform(generate_series(1, 64), "
+    "i -> ((((((i * 2654435761 + {cb}) % 2147483648)"
+    " * 2654435761) % 2147483648) >> 7) % 2000)::DOUBLE / 1000.0 - 1.0)"
+)
+
+
+def _ivf_scores_sql(n_cells: int = 8) -> str:
+    """Long-form (vec_id, cell, score) over all cells (UNION ALL)."""
+    from pvsyst_pdf_parser_spark.training.simsearch import centroid_half_norm
+
+    parts = []
+    for c in range(n_cells):
+        cent = _CENTROID.format(cb=(c + 101) * 40503)
+        hn = repr(centroid_half_norm(64, c))
+        parts.append(
+            f"SELECT vec_id, {c} AS cell, "
+            f"list_dot_product(embedding::DOUBLE[], {cent}) - {hn} AS score "
+            f"FROM embeddings"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _ivf_rank_cte(n_cells: int = 8) -> str:
+    return f"""
+s AS ({_ivf_scores_sql(n_cells)}),
+r AS (SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cell) AS rk
+      FROM s)"""
+
+
+def _ivf_topk_sql(n_queries: int = 5, k: int = 3, n_probe: int = 2) -> str:
+    return f"""
+WITH {_ivf_rank_cte()},
+home AS (SELECT vec_id AS cand_id, cell FROM r WHERE rk = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM r
+           WHERE rk <= {n_probe} AND vec_id < {n_queries}),
+cand AS (
+  SELECT DISTINCT probes.query_id, home.cand_id
+  FROM probes JOIN home USING (cell)
+  WHERE probes.query_id <> home.cand_id),
+sc AS (
+  SELECT cand.query_id, cand.cand_id,
+         {_cos_sql("qe.embedding", "ce.embedding")} AS cos_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.cand_id),
+rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, cand_id) AS rank
+       FROM sc)
+SELECT query_id, cand_id, cos_sim, rank::int AS rank FROM rr WHERE rank <= {k}
+"""
+
+
 def _multiband_topk_sql(n_queries: int = 5, k: int = 3) -> str:
     return f"""
 WITH bb AS ({_multiband_bucket_sql()}),
@@ -543,6 +604,16 @@ SELECT event_type,
        row_number() OVER (ORDER BY first_ts, first_id) AS type_id
 FROM f
 """,
+        # oracle = the PLAIN group-by: salting must be result-invariant
+        "salted_hot_key_agg": """
+SELECT event_type, count(*) AS n_events,
+       sum(regexp_extract(props, '"k":\\s*(\\d+)', 1)::int)::bigint AS sum_k,
+       round(sum(regexp_extract(props, '"k":\\s*(\\d+)', 1)::int)
+             / count(*), 4) AS avg_k,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value
+FROM events GROUP BY event_type
+""",
         "regex_kv_extract": """
 SELECT event_type, count(*) AS n_events,
        sum(regexp_extract(props, '"k":\\s*(\\d+)', 1)::int)::bigint AS sum_k,
@@ -593,6 +664,12 @@ WHERE round(n_common / (za.n + zb.n - n_common), 4) >= 0.02
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_minhash_capped": _minhash_sql(max_df=10),
         "ann_multiband_topk": _multiband_topk_sql(),
+        "ann_ivf_cells": f"""
+WITH {_ivf_rank_cte()}
+SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+FROM r WHERE rk = 1 GROUP BY cell
+""",
+        "ann_ivf_topk": _ivf_topk_sql(),
         "ann_recall": _ann_recall_sql(),
         "dedup_embedding_cosine": f"""
 WITH bb AS ({_multiband_bucket_sql()}),

@@ -286,6 +286,46 @@ def proportional_allocation(spark, sf_dir):
     )
 
 
+def salted_hot_key_agg(spark, sf_dir, n_salts: int = 16):
+    """Two-phase salted aggregation for skewed keys (the north rule's
+    explicit skew handling, in relational form).
+
+    ``events.event_type`` has a handful of distinct values over the
+    whole table — the worst groupBy skew shape: a plain
+    ``groupBy(event_type)`` funnels every row of a hot key through ONE
+    reducer task.  Salting splits each hot key across ``n_salts``
+    partial aggregates (phase 1 shuffles on (key, salt) — at most
+    1/n_salts of a hot key per task), then combines the tiny partials
+    (phase 2 shuffles n_keys × n_salts rows).  Results are identical to
+    the plain groupBy, which is exactly what the oracle asserts.
+    sum/count/min/max re-aggregate losslessly; avg is computed from
+    sum/count at the end (never averaged across partials)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
+    partial = (
+        ev.select(
+            "event_type",
+            F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).alias("salt"),
+            k.alias("k"),
+            "value",
+        )
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("p_n"),
+            F.sum("k").alias("p_sum_k"),
+            F.min("value").alias("p_min_v"),
+            F.max("value").alias("p_max_v"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("p_n").alias("n_events"),
+        F.sum("p_sum_k").alias("sum_k"),
+        F.round(F.sum("p_sum_k") / F.sum("p_n"), 4).alias("avg_k"),
+        F.round(F.min("p_min_v"), 2).alias("min_value"),
+        F.round(F.max("p_max_v"), 2).alias("max_value"),
+    )
+
+
 def first_seen_type_ids(spark, sf_dir):
     """G2 analog: dense ids in first-seen order."""
     ev = load(spark, sf_dir, "events")

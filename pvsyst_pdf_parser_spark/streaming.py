@@ -148,6 +148,56 @@ def assemble_documents_stream(page_events, timeout_ms: int = 60_000):
     )
 
 
+DOC_EVENT_SCHEMA = (
+    "url string, warc_ts timestamp, fingerprint bigint, text string"
+)
+
+
+def dedup_documents_stream(docs, fingerprint_col: str = "fingerprint",
+                           event_time_col: str = "warc_ts",
+                           watermark: str = "1 hour"):
+    """Cross-micro-batch EXACT dedup of a document stream: the first
+    event with a given fingerprint passes; later duplicates (a crawler
+    re-fetching an unchanged page, mirror urls with identical content)
+    are dropped.  State = one row per distinct fingerprint, bounded by
+    the watermark horizon: a duplicate arriving later than ``watermark``
+    behind the max seen event time is no longer detected — the batch
+    exact-dedup (training/dedup.py) over the accumulated sink is the
+    full-history backstop.  This is the streaming face of the same
+    dedup semantics; fingerprints come from doc_fingerprints /
+    md5_56."""
+    return docs.withWatermark(event_time_col, watermark).dropDuplicates(
+        [fingerprint_col]
+    )
+
+
+def stream_dedup_docs(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    watermark: str = "1 hour",
+):
+    """File-source stream of document events → watermarked exact dedup
+    → parquet sink.  maxFilesPerTrigger=1 forces duplicates to arrive
+    in LATER micro-batches, exercising cross-batch dedup state."""
+    docs = (
+        spark.readStream.schema(DOC_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    return (
+        dedup_documents_stream(docs, watermark=watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_assemble_docs(
     spark: SparkSession,
     events_dir: str,

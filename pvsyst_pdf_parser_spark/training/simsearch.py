@@ -370,6 +370,133 @@ def embedding_neardup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer → probe nearest cells
+# ---------------------------------------------------------------------------
+
+N_CELLS = 8
+N_PROBE = 2
+
+
+def centroid_values(dim: int, c: int) -> list:
+    """Deterministic anchor centroid c — same two-round integer hash
+    family as the hyperplanes (offset constant so cells ≠ planes), so
+    the DuckDB oracle reproduces it exactly.  Random anchors make this
+    a random-projection coarse quantizer: the IVF *topology* (assign →
+    probe nprobe cells → exact re-score) is identical to a trained
+    k-means IVF, and at scale the anchor list is simply replaced by
+    trained centroids (they enter the plan the same way — as literals
+    broadcast with the closure)."""
+    out = []
+    for i in range(1, dim + 1):
+        h1 = (i * 2654435761 + (c + 101) * 40503) % 2147483648
+        h2 = (h1 * 2654435761) % 2147483648
+        out.append(((h2 >> 7) % 2000) / 1000.0 - 1.0)
+    return out
+
+
+def centroid_half_norm(dim: int, c: int) -> float:
+    """‖centroid c‖²/2 via SEQUENTIAL Python summation — embedded as the
+    same literal in the numpy scorer and the DuckDB oracle so both
+    engines subtract a bit-identical constant (numpy's pairwise ‖·‖²
+    would differ in the last ulp)."""
+    acc = 0.0
+    for v in centroid_values(dim, c):
+        acc += v * v
+    return acc / 2.0
+
+
+def ivf_assign(
+    emb: DataFrame, dim: int = 64, n_cells: int = N_CELLS, n_probe: int = 1
+) -> DataFrame:
+    """(vec_id, cell_rank, cell): the n_probe nearest cells per vector
+    by L2 distance (= max of dot − ‖c‖²/2 for unit-free anchors),
+    cell_rank 1-based by proximity; ties break to the lower cell id.
+    One numpy matmul per Arrow batch, same pattern as the multi-band
+    bucket projection; at 10^12 docs this is a pure map stage and the
+    posting lists are the (cell)-partitioned output."""
+    import numpy as np
+
+    C = np.array([centroid_values(dim, c) for c in range(n_cells)])  # cells × dim
+    half_norms = np.array([centroid_half_norm(dim, c) for c in range(n_cells)])
+    CT = C.T
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(pdf["embedding"].values).astype("float64")
+            score = E @ CT - half_norms  # argmax ⇔ argmin L2 distance
+            # stable argsort on -score: ties keep the LOWER cell id
+            # (matches the oracle's first-wins CASE chain)
+            order = np.argsort(-score, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].values, n_probe),
+                    "cell_rank": np.tile(
+                        np.arange(1, n_probe + 1, dtype="int32"), n
+                    ),
+                    "cell": order.reshape(-1).astype("int32"),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cell_rank int, cell int"
+    )
+
+
+def ivf_cell_stats(emb: DataFrame, dim: int = 64, n_cells: int = N_CELLS) -> DataFrame:
+    """Posting-list size per cell (the balance check an IVF needs)."""
+    return (
+        ivf_assign(emb, dim, n_cells, n_probe=1)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    dim: int = 64,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF ANN top-k: candidates = vectors whose HOME cell (rank 1) is
+    among the query's n_probe nearest cells; exact cosine re-score.
+    Candidate volume is bounded by the probed posting-list sizes —
+    never all-pairs — and grows with n_probe, the recall/cost knob."""
+    home = ivf_assign(emb, dim, n_cells, n_probe=1).select(
+        F.col("vec_id").alias("cand_id"), "cell"
+    )
+    probes = ivf_assign(
+        emb.filter(F.col("vec_id") < n_queries), dim, n_cells, n_probe=n_probe
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cands = (
+        probes.join(home, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        cands.join(F.broadcast(queries), "query_id")
+        .join(emb.select(F.col("vec_id").alias("cand_id"), "embedding"), "cand_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("q_emb"), F.col("embedding")), 3))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
 def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 3, dim: int = 64) -> DataFrame:
     """ANN top-k restricted to same-bucket candidates (the scale path)."""
     buckets = lsh_bucket_ids(emb, dim)

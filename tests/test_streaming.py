@@ -173,3 +173,56 @@ def test_timeout_ms_flushes_partial_fast(spark, tmp_path):
     assert partial[0]["n_pages"] == 1  # dup page deduplicated first-wins
     assert partial[0]["doc_text"] == "page one"
     assert elapsed < 45, f"flush took {elapsed:.0f}s - timeout_ms ignored?"
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """Watermarked dropDuplicates dedups document fingerprints ACROSS
+    micro-batches: a duplicate arriving in a later batch (within the
+    watermark horizon) is dropped; distinct fingerprints all pass."""
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pvsyst_pdf_parser_spark.streaming import stream_dedup_docs
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    t0 = datetime(2026, 1, 1, 12, 0, tzinfo=timezone.utc)
+
+    def write_docs(name, rows):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(cols[0], pa.string()),
+                    "warc_ts": pa.array(cols[1], pa.timestamp("us", tz="UTC")),
+                    "fingerprint": pa.array(cols[2], pa.int64()),
+                    "text": pa.array(cols[3], pa.string()),
+                }
+            ),
+            str(docs_dir / f"{name}.parquet"),
+        )
+
+    write_docs("b0", [("http://a", t0, 111, "alpha"),
+                      ("http://b", t0, 222, "beta")])
+    # later batch: re-fetch of A (same fingerprint, +5 min) + new doc C
+    from datetime import timedelta
+
+    write_docs("b1", [("http://a-mirror", t0 + timedelta(minutes=5), 111, "alpha"),
+                      ("http://c", t0 + timedelta(minutes=5), 333, "gamma")])
+
+    out_dir = str(tmp_path / "out")
+    q = stream_dedup_docs(
+        spark, str(docs_dir), out_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).collect()
+    by_fp = {}
+    for r in got:
+        by_fp.setdefault(r["fingerprint"], []).append(r["url"])
+    assert sorted(by_fp) == [111, 222, 333]
+    assert all(len(urls) == 1 for urls in by_fp.values())
+    assert by_fp[111] == ["http://a"]  # first-wins, mirror dropped
