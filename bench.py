@@ -35,9 +35,14 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_multiband_topk",
+    "ann_ivf_topk",
+    "salted_hot_key_agg",
     "text_token_count",
     "text_quality_score",
+    "text_lang_id_multi",
+    "text_quality_v2",
     "multimodal_metadata",
+    "multimodal_frame_sample",
 ]
 
 

@@ -25,6 +25,7 @@ DuckDB oracles reproduce values bit-for-bit.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -91,9 +92,17 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.02,
     capped universe so the Jaccard stays a true set similarity.
     """
     docs = docs.filter(F.col("doc_id") % sample_mod == 0)
-    sh = doc_shingles(docs, n=n)
+    # The shingle frame fans out to BOTH self-join sides + the sizes agg
+    # (+ the df-cap agg): without materialization Catalyst re-executes
+    # the scan + shingle HOF + explode once per reference (measured 8
+    # scans in this plan — the same recompute-amplification bug class
+    # as the extraction pipeline's fan-out roots).  CacheManager dedupes
+    # by canonicalized plan, so repeated calls on the same input reuse
+    # one cache entry; at 10^12 docs this materialization is the
+    # shingle posting table you would write to storage anyway.
+    sh = doc_shingles(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
     if max_df is not None:
-        sh = capped_shingles(sh, max_df)
+        sh = capped_shingles(sh, max_df).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     pairs = (
         sh.alias("a")
@@ -120,10 +129,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.02,
     )
 
 
-def minhash_signatures(docs: DataFrame, sample_mod: int = 5) -> DataFrame:
-    """(doc_id, mh0..mh{N_PERMS-1}) min-hash signature columns."""
-    docs = docs.filter(F.col("doc_id") % sample_mod == 0)
-    sh = doc_shingles(docs)
+def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
     h = (md5_56(F.col("shingle")) % F.lit(MERSENNE_P)).alias("h")
     hashed = sh.select("doc_id", h)
     aggs = [
@@ -133,9 +139,14 @@ def minhash_signatures(docs: DataFrame, sample_mod: int = 5) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(docs: DataFrame, sample_mod: int = 5) -> DataFrame:
-    """Candidate near-dup pairs from banded min-hash signatures."""
-    sig = minhash_signatures(docs, sample_mod=sample_mod)
+def minhash_signatures(docs: DataFrame, sample_mod: int = 5) -> DataFrame:
+    """(doc_id, mh0..mh{N_PERMS-1}) min-hash signature columns."""
+    docs = docs.filter(F.col("doc_id") % sample_mod == 0)
+    return _signatures_from_shingles(doc_shingles(docs))
+
+
+def _band_candidates(sig: DataFrame) -> DataFrame:
+    """Banded signature self-join → distinct candidate pairs."""
     rows_per_band = N_PERMS // N_BANDS
     bands = F.array(
         *[
@@ -160,6 +171,11 @@ def minhash_lsh_candidates(docs: DataFrame, sample_mod: int = 5) -> DataFrame:
     )
 
 
+def minhash_lsh_candidates(docs: DataFrame, sample_mod: int = 5) -> DataFrame:
+    """Candidate near-dup pairs from banded min-hash signatures."""
+    return _band_candidates(minhash_signatures(docs, sample_mod=sample_mod))
+
+
 def minhash_lsh_verified(docs: DataFrame, threshold: float = 0.01,
                          sample_mod: int = 5,
                          max_df: int | None = None) -> DataFrame:
@@ -168,12 +184,17 @@ def minhash_lsh_verified(docs: DataFrame, threshold: float = 0.01,
     ``max_df`` caps the verify stage's common-shingle join the same way
     as :func:`ngram_jaccard_pairs` — the banded candidate join is
     already bounded by band collision rate, but re-joining candidates
-    against full shingle sets needs the hot-shingle guard at scale."""
+    against full shingle sets needs the hot-shingle guard at scale.
+
+    ONE materialized shingle frame feeds the signature aggregation AND
+    the verify joins (it fans out to 4-5 plan references; see the
+    recompute note in ngram_jaccard_pairs)."""
     docs = docs.filter(F.col("doc_id") % sample_mod == 0)
-    cands = minhash_lsh_candidates(docs, sample_mod=1)
-    sh = doc_shingles(docs)
+    sh_raw = doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = _band_candidates(_signatures_from_shingles(sh_raw))
+    sh = sh_raw
     if max_df is not None:
-        sh = capped_shingles(sh, max_df)
+        sh = capped_shingles(sh_raw, max_df).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     # common shingles via join on (pair, shingle)
     a_sh = cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
