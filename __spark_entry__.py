@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), max_df=10
         ),
         "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
+        "dedup_clusters": lambda s, d: D.dedup_cluster_reps(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: S.brute_force_topk(_emb(s, d)),
         "ann_lsh_buckets": lambda s, d: S.lsh_bucket_stats(_emb(s, d)),
         "ann_lsh_topk": lambda s, d: S.lsh_topk(_emb(s, d)),
@@ -140,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": lambda s, d: X.token_count_stats(_docs(s, d)),
         "text_lang_id": lambda s, d: X.lang_id_heuristic(_docs(s, d)),
         "text_lang_id_multi": lambda s, d: X.lang_id_multi(_docs(s, d)),
+        "text_repetition": lambda s, d: X.repetition_stats(_docs(s, d)),
         "text_quality_score": lambda s, d: X.quality_scores(_docs(s, d)),
         "text_quality_v2": lambda s, d: X.quality_scores_v2(_docs(s, d)),
         "doc_fingerprint": lambda s, d: X.doc_fingerprints(_docs(s, d)),
@@ -660,6 +662,44 @@ SELECT doc_a, doc_b, n_common,
 FROM pairs JOIN sizesc za ON za.doc_id = doc_a
 JOIN sizesc zb ON zb.doc_id = doc_b
 WHERE round(n_common / (za.n + zb.n - n_common), 4) >= 0.02
+""",
+        # transitive duplicate groups over the ngram pairs: recursive CTE
+        # computes each node's component-min label (the Spark side runs
+        # min-label propagation to the same fixpoint)
+        "dedup_clusters": f"""
+WITH RECURSIVE {_shingle_cte(5)},
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM p JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+  WHERE round(n_common / (za.n + zb.n - n_common), 4) >= 0.02),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.src)
+SELECT src AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY src
+""",
+        "text_repetition": """
+WITH docs AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents WHERE doc_id % 10 = 0),
+g AS (
+  SELECT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+           || toks[i+3] || ' ' || toks[i+4] AS gram
+  FROM docs, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS t(i)),
+per AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+SELECT doc_id, sum(cnt)::bigint AS n_grams,
+       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::bigint AS n_repeated,
+       round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / sum(cnt), 4)
+         AS repetition_ratio
+FROM per GROUP BY doc_id
 """,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_minhash_capped": _minhash_sql(max_df=10),

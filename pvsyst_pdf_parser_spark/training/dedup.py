@@ -253,3 +253,67 @@ def simhash(docs: DataFrame, bits: int = 16, sample_mod: int = 10) -> DataFrame:
             ).cast("bigint").alias("simhash")
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """(doc_id, cluster_rep): connected components over near-duplicate
+    PAIRS — the step that turns pairwise dedup output into duplicate
+    GROUPS (keep cluster_rep, drop the rest).
+
+    Min-label propagation (the Pregel/GraphFrames CC pattern): every
+    node starts labeled with its own id; each round takes the min of
+    its label and its neighbors' labels; convergence in O(component
+    diameter) rounds — near-dup components are tiny and dense, so a
+    handful in practice.  Each round is ONE distributed join + agg;
+    the driver only checks the converged-yet flag (a limit(1) count —
+    no data is collected).  Per-round ``localCheckpoint`` truncates the
+    otherwise exponentially nesting lineage, the standard treatment for
+    iterative DataFrame algorithms."""
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("src").alias("dst"), "label"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = labels.join(nbr_min, "src", "left").select(
+            "src",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", "label")
+            ).alias("label"),
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("src").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
+
+
+def dedup_cluster_reps(docs: DataFrame, threshold: float = 0.02,
+                       sample_mod: int = 5) -> DataFrame:
+    """Near-dup clusters over the n-gram Jaccard pairs: every document
+    that participates in at least one pair, with the min doc_id of its
+    transitive duplicate group as the cluster representative."""
+    return connected_components(
+        ngram_jaccard_pairs(docs, threshold=threshold, sample_mod=sample_mod)
+    )

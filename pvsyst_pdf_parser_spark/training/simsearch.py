@@ -349,7 +349,14 @@ def embedding_neardup_pairs(
     all-pairs cross join.  At 10^12 docs the candidate volume is
     bounded by per-bucket occupancy × bands; raise ``planes_per_band``
     with corpus size to keep buckets small (see module docstring)."""
-    bb = multiband_bucket_ids(emb, dim, n_bands, planes_per_band)
+    from pyspark import StorageLevel
+
+    # the bucket frame self-joins: persist so the matmul projection runs
+    # once, not once per join side (mapInPandas output is not reused by
+    # the optimizer otherwise)
+    bb = multiband_bucket_ids(emb, dim, n_bands, planes_per_band).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = (
         bb.alias("x")
         .join(bb.alias("y"), ["band_idx", "bucket"])

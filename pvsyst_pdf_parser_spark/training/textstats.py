@@ -188,6 +188,35 @@ def quality_scores_v2(docs: DataFrame, sample_mod: int = 10) -> DataFrame:
     return out.withColumn("quality2_score", F.round(score, 4))
 
 
+def repetition_stats(docs: DataFrame, n: int = 5, sample_mod: int = 10) -> DataFrame:
+    """Gopher duplicate-n-gram repetition signal: the fraction of
+    n-gram OCCURRENCES that belong to an n-gram appearing more than
+    once in the same document (Rae et al. 2021 filter by duplicate
+    5/6/...-gram character fraction; this is the token-occurrence
+    variant with exact DuckDB parity).  Two aggregations, both keyed by
+    doc — no joins, scales as a pure shuffle-light pipeline."""
+    tokens = F.split(F.lower("text"), " ", -1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + k) for k in range(n)]),
+    )
+    g = docs.filter(F.col("doc_id") % sample_mod == 0).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    per = g.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "n_repeated"
+        ),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            / F.sum("cnt"),
+            4,
+        ).alias("repetition_ratio"),
+    )
+
+
 def doc_fingerprints(docs: DataFrame, sample_mod: int = 25) -> DataFrame:
     """56-bit fingerprint of whitespace-normalized lowercase text."""
     norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")

@@ -1,0 +1,80 @@
+"""Physical-plan regression gates: the plan-shape properties the scale
+design depends on (broadcast dimension joins, column pruning to the
+scan, materialized fan-out roots, no accidental cartesian products)
+asserted on the EXECUTED plan string, so a refactor that silently
+degrades a plan fails here rather than in a 100 TB run."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_join_revenue_uses_broadcast(spark):
+    from pvsyst_pdf_parser_spark import demo_queries as Q
+
+    p = _plan(Q.broadcast_join_revenue(spark, SF))
+    assert "BroadcastHashJoin" in p  # dims under the broadcast threshold
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q1_scan_prunes_columns(spark):
+    from pvsyst_pdf_parser_spark import demo_queries as Q
+
+    p = _plan(Q.q1_pricing_summary(spark, SF))
+    # projection pruning must reach the parquet scan: unused wide
+    # columns may not appear anywhere in the plan
+    assert "l_comment" not in p
+    assert "l_shipdate" not in p
+    # map-side partial aggregation (two HashAggregate levels)
+    assert p.count("HashAggregate") >= 2
+
+
+def test_extraction_scan_reads_only_needed_columns(spark, pages_parquet):
+    from pvsyst_pdf_parser_spark.pipeline import extract_documents
+
+    p = _plan(extract_documents(spark.read.parquet(pages_parquet)))
+    assert "ReadSchema: struct<url:string,html:binary,text:string>" in p
+    assert "CartesianProduct" not in p
+    # fan-out roots are materialized: the decode subtree must appear as
+    # a cached relation, not N re-executions of the parquet scan
+    assert "InMemoryTableScan" in p
+
+
+def test_dedup_pairs_reuse_materialized_shingles(spark):
+    from pvsyst_pdf_parser_spark.training import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # round-2 regression: every one of the shingle frame's 6-8 plan
+    # references re-executed the scan + shingle HOF + explode.  With
+    # the persist, each reference must be an InMemoryTableScan of the
+    # cached frame.  (FileScan still APPEARS once per reference in the
+    # plan STRING — it is part of the cached relation's description,
+    # not a re-execution.)
+    p = _plan(D.ngram_jaccard_pairs(docs, max_df=10))
+    assert p.count("InMemoryTableScan") >= 3  # sizes + both join sides
+    p2 = _plan(D.minhash_lsh_verified(docs))
+    assert p2.count("InMemoryTableScan") >= 4  # signatures + verify refs
+
+
+def test_ann_joins_are_not_cartesian(spark):
+    from pvsyst_pdf_parser_spark.training import simsearch as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for df in (S.multiband_topk(emb), S.ivf_topk(emb)):
+        p = _plan(df)
+        assert "CartesianProduct" not in p  # bucket/cell equi-joins only
+
+
+def test_salted_agg_is_two_phase(spark):
+    from pvsyst_pdf_parser_spark import demo_queries as Q
+
+    p = _plan(Q.salted_hot_key_agg(spark, SF))
+    # phase 1 (key, salt) agg + phase 2 (key) agg, each with its own
+    # partial/final pair
+    assert p.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in p
