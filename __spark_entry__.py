@@ -27,6 +27,7 @@ if _REPO not in sys.path:
 from pvsyst_pdf_parser_spark import demo_queries as Q  # noqa: E402
 from pvsyst_pdf_parser_spark.training import dedup as D  # noqa: E402
 from pvsyst_pdf_parser_spark.training import multimodal as M  # noqa: E402
+from pvsyst_pdf_parser_spark.training import sampling as SA  # noqa: E402
 from pvsyst_pdf_parser_spark.training import simsearch as S  # noqa: E402
 from pvsyst_pdf_parser_spark.training import textstats as X  # noqa: E402
 from pvsyst_pdf_parser_spark.training.hashing import (  # noqa: E402
@@ -142,6 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": lambda s, d: X.lang_id_heuristic(_docs(s, d)),
         "text_lang_id_multi": lambda s, d: X.lang_id_multi(_docs(s, d)),
         "text_repetition": lambda s, d: X.repetition_stats(_docs(s, d)),
+        "stratified_sample": lambda s, d: SA.stratified_sample_stats(_docs(s, d)),
+        "train_val_split": lambda s, d: SA.train_val_split_stats(_docs(s, d)),
         "text_quality_score": lambda s, d: X.quality_scores(_docs(s, d)),
         "text_quality_v2": lambda s, d: X.quality_scores_v2(_docs(s, d)),
         "doc_fingerprint": lambda s, d: X.doc_fingerprints(_docs(s, d)),
@@ -810,6 +813,21 @@ FROM h
 """,
         "text_lang_id_multi": _lang_multi_sql(),
         "text_quality_v2": _quality_v2_sql(),
+        "stratified_sample": f"""
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN ({_H56.format(expr="doc_id::varchar")} % 100) < 20
+                THEN 1 ELSE 0 END)::bigint AS n_sampled,
+       round(sum(CASE WHEN ({_H56.format(expr="doc_id::varchar")} % 100) < 20
+                      THEN 1 ELSE 0 END) / count(*), 4) AS sample_rate
+FROM documents GROUP BY source
+""",
+        "train_val_split": f"""
+SELECT CASE WHEN ({_H56.format(expr="doc_id::varchar")} % 100) < 10
+            THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       sum(length(text))::bigint AS n_chars_total
+FROM documents GROUP BY 1
+""",
         "doc_fingerprint": (
             "SELECT doc_id, "
             + g.format(expr=r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')")

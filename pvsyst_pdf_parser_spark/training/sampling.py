@@ -1,0 +1,58 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Random sampling is wrong at 10^12 docs: re-runs must select the SAME
+rows (resume, reproducibility, train/val leakage audits), so selection
+is a pure function of the stable document key — a portable md5 bucket,
+never `rand()`.  Adding data never moves an existing doc between
+splits (per-key hashing, not row-number partitioning), which is the
+property leakage audits rely on.
+
+All pure projections + one small aggregation; DuckDB oracles replay the
+same md5 arithmetic bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import md5_56
+
+N_BUCKETS = 100
+
+
+def hash_bucket(col, n_buckets: int = N_BUCKETS):
+    """Stable bucket 0..n-1 from the md5 of the key's string form."""
+    return (md5_56(col.cast("string")) % n_buckets).cast("int")
+
+
+def stratified_sample_stats(docs: DataFrame, pct: int = 20) -> DataFrame:
+    """Per-source counts for a deterministic ``pct``% sample
+    (bucket(doc_id) < pct) vs the full table — the sample-rate audit a
+    pipeline runs before training on a subsample."""
+    b = hash_bucket(F.col("doc_id"))
+    return (
+        docs.select("source", (b < pct).cast("int").alias("sampled"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("sampled").alias("n_sampled"),
+            F.round(F.sum("sampled") / F.count("*"), 4).alias("sample_rate"),
+        )
+    )
+
+
+def train_val_split_stats(docs: DataFrame, val_pct: int = 10) -> DataFrame:
+    """(split, n_docs, n_chars_total): deterministic train/val split by
+    key hash.  Per-key assignment means adding documents never moves an
+    existing one across the split boundary."""
+    b = hash_bucket(F.col("doc_id"))
+    split = F.when(b < val_pct, F.lit("val")).otherwise(F.lit("train"))
+    return (
+        docs.select(split.alias("split"), F.length("text").alias("n_chars"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
