@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
         "dedup_clusters": lambda s, d: D.dedup_cluster_reps(_docs(s, d)),
+        "dedup_keepers": lambda s, d: D.dedup_keepers(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: S.brute_force_topk(_emb(s, d)),
         "ann_lsh_buckets": lambda s, d: S.lsh_bucket_stats(_emb(s, d)),
         "ann_lsh_topk": lambda s, d: S.lsh_topk(_emb(s, d)),
@@ -687,6 +688,34 @@ reach(src, label) AS (
   UNION
   SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.src)
 SELECT src AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY src
+""",
+        "dedup_keepers": f"""
+WITH RECURSIVE {_shingle_cte(5)},
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM p JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+  WHERE round(n_common / (za.n + zb.n - n_common), 4) >= 0.02),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.src),
+clusters AS (SELECT src AS doc_id, min(label) AS cluster_rep
+             FROM reach GROUP BY src),
+sized AS (
+  SELECT c.doc_id, c.cluster_rep, length(d.text) AS n_chars,
+         row_number() OVER (PARTITION BY c.cluster_rep
+                            ORDER BY length(d.text) DESC, c.doc_id) AS pick
+  FROM clusters c JOIN documents d USING (doc_id))
+SELECT doc_id, cluster_rep, n_chars,
+       (pick = 1)::int AS keep
+FROM sized
 """,
         "text_repetition": """
 WITH docs AS (

@@ -267,3 +267,55 @@ def resumable_extract(
         "n_errors": stats["n_errors"],
         "wall_sec": round(time.time() - t0, 3),
     }
+
+
+def compact_results(
+    spark: SparkSession,
+    out_dir: str,
+    files_per_bucket: int = 1,
+) -> dict:
+    """Compact the parquet results sink: every resumable append adds a
+    file set per bucket, so a long-lived sink accumulates small files
+    until scan planning and open() overhead dominate readers.  Rewrites
+    the results tree to ``files_per_bucket`` files per bucket partition
+    with identical rows.
+
+    The swap is rename-based (results → results.bak, staged → results,
+    drop .bak) — crash-safe in the sense that either the old or the new
+    tree is always recoverable, and resume correctness never depends on
+    it (completed_urls unions the manifest).  On a real lakehouse this
+    whole function is Iceberg's ``rewrite_data_files`` compaction
+    action; the parquet form exists for the same catalog-less sandbox
+    reason as the ResultSink fallback."""
+    import glob
+    import os
+    import shutil
+
+    results_dir = os.path.join(out_dir, "results")
+    staged = results_dir + ".compacting"
+    backup = results_dir + ".bak"
+    df = spark.read.parquet(results_dir)
+    n_before = len(glob.glob(os.path.join(results_dir, "*", "*.parquet")))
+    (
+        df.repartition(files_per_bucket, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staged)
+    )
+    n_rows_staged = spark.read.parquet(staged).count()
+    n_rows_before = df.count()
+    if n_rows_staged != n_rows_before:  # paranoia gate before the swap
+        shutil.rmtree(staged)
+        raise RuntimeError(
+            f"compaction row mismatch: {n_rows_staged} != {n_rows_before}"
+        )
+    os.rename(results_dir, backup)
+    os.rename(staged, results_dir)
+    shutil.rmtree(backup)
+    # Spark caches the file listing per path (shared InMemoryFileIndex);
+    # without an explicit refresh, later reads of the sink resolve to
+    # the pre-swap file names and fail with FILE_NOT_EXIST
+    spark.catalog.refreshByPath(results_dir)
+    n_after = len(glob.glob(os.path.join(results_dir, "*", "*.parquet")))
+    return {"files_before": n_before, "files_after": n_after,
+            "rows": n_rows_before}

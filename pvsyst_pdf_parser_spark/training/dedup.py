@@ -317,3 +317,31 @@ def dedup_cluster_reps(docs: DataFrame, threshold: float = 0.02,
     return connected_components(
         ngram_jaccard_pairs(docs, threshold=threshold, sample_mod=sample_mod)
     )
+
+
+def dedup_keepers(docs: DataFrame, threshold: float = 0.02,
+                  sample_mod: int = 5) -> DataFrame:
+    """The end-to-end dedup decision: near-dup pairs → transitive
+    clusters → ONE keeper per cluster (longest text wins, ties to the
+    lower doc_id) and an explicit drop flag for the rest.  The output
+    is the actionable row-level verdict a cleaning pipeline anti-joins
+    against the corpus."""
+    from pyspark.sql import Window
+
+    clusters = dedup_cluster_reps(docs, threshold=threshold,
+                                  sample_mod=sample_mod)
+    sized = clusters.join(
+        docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        sized.withColumn("pick", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_rep",
+            "n_chars",
+            (F.col("pick") == 1).cast("int").alias("keep"),
+        )
+    )
