@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiband_topk": lambda s, d: S.multiband_topk(_emb(s, d)),
         "ann_ivf_cells": lambda s, d: S.ivf_cell_stats(_emb(s, d)),
         "ann_ivf_topk": lambda s, d: S.ivf_topk(_emb(s, d)),
+        "ann_ivf_recall": lambda s, d: S.ivf_recall_report(_emb(s, d)),
         "ann_recall": lambda s, d: S.ann_recall_report(_emb(s, d)),
         "dedup_embedding_cosine": lambda s, d: S.embedding_neardup_pairs(
             _emb(s, d)
@@ -411,6 +412,45 @@ rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                     ORDER BY cos_sim DESC, cand_id) AS rank
        FROM sc)
 SELECT query_id, cand_id, cos_sim, rank::int AS rank FROM rr WHERE rank <= {k}
+"""
+
+
+def _ivf_recall_sql(n_queries: int = 20, k: int = 5, n_probe: int = 2) -> str:
+    return f"""
+WITH RECURSIVE {_ivf_rank_cte()},
+home AS (SELECT vec_id AS cand_id, cell FROM r WHERE rk = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM r
+           WHERE rk <= {n_probe} AND vec_id < {n_queries}),
+cand AS (
+  SELECT DISTINCT probes.query_id, home.cand_id
+  FROM probes JOIN home USING (cell)
+  WHERE probes.query_id <> home.cand_id),
+sc AS (
+  SELECT cand.query_id, cand.cand_id,
+         {_cos_sql("qe.embedding", "ce.embedding")} AS cos_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.cand_id),
+approx AS (SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id) AS rank
+    FROM sc) WHERE rank <= {k}),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS cand_id, embedding FROM embeddings),
+ts AS (SELECT query_id, cand_id, {_cos_sql("q_emb", "embedding")} AS cos_sim
+       FROM q CROSS JOIN c WHERE query_id <> cand_id),
+truth AS (SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id) AS rank
+    FROM ts) WHERE rank <= {k}),
+hits AS (SELECT t.query_id, t.cand_id
+         FROM truth t JOIN approx a USING (query_id, cand_id))
+SELECT {n_queries} AS n_queries, {k} AS k,
+       (SELECT count(*) FROM hits) AS n_hits,
+       (SELECT count(*) FROM truth) AS n_truth,
+       round((SELECT count(*) FROM hits) / (SELECT count(*) FROM truth), 4)
+         AS recall
 """
 
 
@@ -742,6 +782,7 @@ SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id
 FROM r WHERE rk = 1 GROUP BY cell
 """,
         "ann_ivf_topk": _ivf_topk_sql(),
+        "ann_ivf_recall": _ivf_recall_sql(),
         "ann_recall": _ann_recall_sql(),
         "dedup_embedding_cosine": f"""
 WITH bb AS ({_multiband_bucket_sql()}),

@@ -504,6 +504,39 @@ def ivf_topk(
     )
 
 
+def ivf_recall_report(
+    emb: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    dim: int = 64,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """recall@k of IVF ANN vs the brute-force baseline (mirror of
+    :func:`ann_recall_report` for the cell-probing index — the two
+    reports share one schema so an operator can A/B the index family
+    per corpus).  Expected n_probe/n_cells of the corpus is scanned, so
+    recall ≈ fraction of true neighbors in the probed cells; raise
+    n_probe to buy recall."""
+    truth = brute_force_topk(emb, n_queries=n_queries, k=k).select(
+        "query_id", "cand_id"
+    )
+    approx = ivf_topk(
+        emb, n_queries=n_queries, k=k, dim=dim,
+        n_cells=n_cells, n_probe=n_probe,
+    ).select("query_id", "cand_id")
+    hits = truth.join(approx, ["query_id", "cand_id"], "left_semi")
+    return truth.agg(F.count("*").alias("n_truth")).crossJoin(
+        hits.agg(F.count("*").alias("n_hits"))
+    ).select(
+        F.lit(n_queries).alias("n_queries"),
+        F.lit(k).alias("k"),
+        "n_hits",
+        "n_truth",
+        F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+    )
+
+
 def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 3, dim: int = 64) -> DataFrame:
     """ANN top-k restricted to same-bucket candidates (the scale path)."""
     buckets = lsh_bucket_ids(emb, dim)
