@@ -49,7 +49,11 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "600"))
+    # 600 docs measured ~50 docs/s while 20k docs measure ~1000 docs/s on
+    # the same code: at tiny corpus sizes the number is Spark fixed cost
+    # (codegen, stage scheduling), not the engine.  6000 docs amortizes
+    # the fixed cost into noise while keeping the bench under ~20 s.
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "6000"))
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
     except ValueError:
