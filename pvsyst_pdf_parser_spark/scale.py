@@ -319,3 +319,32 @@ def compact_results(
     n_after = len(glob.glob(os.path.join(results_dir, "*", "*.parquet")))
     return {"files_before": n_before, "files_after": n_after,
             "rows": n_rows_before}
+
+
+def run_health(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-run health report off the bucket manifest — the query an
+    operator runs after every crawl batch: docs completed, error count
+    and rate, wall seconds, docs/sec, buckets touched.  Pure aggregate
+    over the (tiny) manifest table; never touches the results data."""
+    buckets = spark.read.parquet(f"{out_dir}/manifest_buckets")
+    return (
+        buckets.groupBy("run_id")
+        .agg(
+            F.sum("n_ok").alias("n_ok"),
+            F.sum("n_error").alias("n_error"),
+            F.countDistinct("bucket").alias("n_buckets"),
+            F.max("wall_sec").alias("wall_sec"),
+            F.max("finished_at").alias("finished_at"),
+        )
+        .withColumn(
+            "error_rate",
+            F.round(F.col("n_error") / (F.col("n_ok") + F.col("n_error")), 4),
+        )
+        .withColumn(
+            "docs_per_sec",
+            F.when(
+                F.col("wall_sec") > 0, F.round(F.col("n_ok") / F.col("wall_sec"), 2)
+            ),
+        )
+        .orderBy("finished_at")
+    )

@@ -247,3 +247,29 @@ def test_pack_by_bytes_bounds_stragglers(spark):
 
     decoded = decode_pages_df(pages.limit(30), num_partitions=8, pack_by_bytes=True)
     assert decoded.filter(F.col("status") == "ok").count() > 0
+
+
+def test_run_health_report(spark, pages_parquet, out_dir):
+    """run_health aggregates the manifest into per-run doc counts,
+    error rates, and throughput without touching the results data."""
+    from pvsyst_pdf_parser_spark.scale import resumable_extract, run_health
+
+    pages = spark.read.parquet(pages_parquet)
+    resumable_extract(spark, pages.limit(6), out_dir, run_id="h1")
+    bad = spark.createDataFrame(
+        [("bad://x", b"\x00\xff", None, "en")],
+        "url string, html binary, text string, lang string",
+    )
+    resumable_extract(
+        spark, pages.unionByName(bad, allowMissingColumns=True),
+        out_dir, run_id="h2",
+    )
+
+    rows = {r["run_id"]: r for r in run_health(spark, out_dir).collect()}
+    assert rows["h1"]["n_ok"] == 6 and rows["h1"]["n_error"] == 0
+    assert rows["h1"]["error_rate"] == 0.0
+    assert rows["h2"]["n_error"] == 1
+    assert 0 < rows["h2"]["error_rate"] < 1
+    for r in rows.values():
+        assert r["wall_sec"] > 0 and r["n_buckets"] >= 1
+        assert r["docs_per_sec"] is None or r["docs_per_sec"] >= 0
