@@ -78,7 +78,28 @@ def _make_handler(spark, max_payload_bytes: int = MAX_PAYLOAD_BYTES):
             if self.path != "/api/parse":
                 self._json(404, json.dumps({"detail": "not found"}))
                 return
-            length = int(self.headers.get("Content-Length", "0"))
+            # Malformed headers must yield a clean 4xx, not an unhandled
+            # exception (connection reset); chunked uploads have no
+            # Content-Length at all — reject explicitly with 411 rather
+            # than silently reading an empty body.
+            raw_len = self.headers.get("Content-Length")
+            if raw_len is None and "chunked" in (
+                self.headers.get("Transfer-Encoding") or ""
+            ).lower():
+                self._json(411, json.dumps({"detail": "Length Required"}))
+                return
+            try:
+                length = int(raw_len or "0")
+            except ValueError:
+                self._json(
+                    400, json.dumps({"detail": "Bad Content-Length header."})
+                )
+                return
+            if length < 0:
+                self._json(
+                    400, json.dumps({"detail": "Bad Content-Length header."})
+                )
+                return
             if length > max_payload_bytes:
                 self._json(
                     413,

@@ -159,16 +159,21 @@ def dedup_documents_stream(docs, fingerprint_col: str = "fingerprint",
     """Cross-micro-batch EXACT dedup of a document stream: the first
     event with a given fingerprint passes; later duplicates (a crawler
     re-fetching an unchanged page, mirror urls with identical content)
-    are dropped.  State = one row per distinct fingerprint, bounded by
-    the watermark horizon: a duplicate arriving later than ``watermark``
-    behind the max seen event time is no longer detected — the batch
-    exact-dedup (training/dedup.py) over the accumulated sink is the
-    full-history backstop.  This is the streaming face of the same
-    dedup semantics; fingerprints come from doc_fingerprints /
+    are dropped.  Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+),
+    NOT plain ``dropDuplicates``: with the latter the watermark never
+    evicts fingerprint-keyed state (the event-time column is not part of
+    the dedup key), so state would grow one row per distinct fingerprint
+    forever.  WithinWatermark keeps each fingerprint's state only until
+    the watermark passes its first-seen event time, so state is truly
+    bounded by the watermark horizon — a duplicate arriving later than
+    ``watermark`` behind the max seen event time is no longer detected,
+    and the batch exact-dedup (training/dedup.py) over the accumulated
+    sink is the full-history backstop.  This is the streaming face of
+    the same dedup semantics; fingerprints come from doc_fingerprints /
     md5_56."""
-    return docs.withWatermark(event_time_col, watermark).dropDuplicates(
-        [fingerprint_col]
-    )
+    return docs.withWatermark(
+        event_time_col, watermark
+    ).dropDuplicatesWithinWatermark([fingerprint_col])
 
 
 def stream_dedup_docs(

@@ -29,8 +29,13 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import persist_tracked, release_persisted  # noqa: F401 - re-export
 from .hashing import MERSENNE_P, md5_56, minhash_value, perm_params
 
+# Demo-scale defaults tuned for oracle-sized fixtures; public practice
+# for web-corpus near-dup detection is 64-128 permutations (e.g. 9
+# bands × 13 rows) — pass n_perms/n_bands explicitly for real corpora
+# (the `dedup_minhash_wide` oracle query runs 64 perms × 16 bands).
 N_PERMS = 8
 N_BANDS = 4  # 2 rows per band
 
@@ -100,9 +105,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.02,
     # by canonicalized plan, so repeated calls on the same input reuse
     # one cache entry; at 10^12 docs this materialization is the
     # shingle posting table you would write to storage anyway.
-    sh = doc_shingles(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = persist_tracked(doc_shingles(docs, n=n))
     if max_df is not None:
-        sh = capped_shingles(sh, max_df).persist(StorageLevel.MEMORY_AND_DISK)
+        sh = persist_tracked(capped_shingles(sh, max_df))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     pairs = (
         sh.alias("a")
@@ -129,32 +134,38 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.02,
     )
 
 
-def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
+def _signatures_from_shingles(sh: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
     h = (md5_56(F.col("shingle")) % F.lit(MERSENNE_P)).alias("h")
     hashed = sh.select("doc_id", h)
     aggs = [
         F.min(minhash_value(F.col("h"), a, b)).alias(f"mh{j}")
-        for j, (a, b) in enumerate(perm_params(N_PERMS))
+        for j, (a, b) in enumerate(perm_params(n_perms))
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_signatures(docs: DataFrame, sample_mod: int = 5) -> DataFrame:
-    """(doc_id, mh0..mh{N_PERMS-1}) min-hash signature columns."""
+def minhash_signatures(
+    docs: DataFrame, sample_mod: int = 5, n_perms: int = N_PERMS
+) -> DataFrame:
+    """(doc_id, mh0..mh{n_perms-1}) min-hash signature columns."""
     docs = docs.filter(F.col("doc_id") % sample_mod == 0)
-    return _signatures_from_shingles(doc_shingles(docs))
+    return _signatures_from_shingles(doc_shingles(docs), n_perms=n_perms)
 
 
-def _band_candidates(sig: DataFrame) -> DataFrame:
+def _band_candidates(
+    sig: DataFrame, n_perms: int = N_PERMS, n_bands: int = N_BANDS
+) -> DataFrame:
     """Banded signature self-join → distinct candidate pairs."""
-    rows_per_band = N_PERMS // N_BANDS
+    if n_perms % n_bands:
+        raise ValueError(f"n_bands {n_bands} must divide n_perms {n_perms}")
+    rows_per_band = n_perms // n_bands
     bands = F.array(
         *[
             F.concat_ws(
                 "_",
                 *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
     banded = sig.select(
@@ -171,14 +182,22 @@ def _band_candidates(sig: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_candidates(docs: DataFrame, sample_mod: int = 5) -> DataFrame:
+def minhash_lsh_candidates(
+    docs: DataFrame, sample_mod: int = 5,
+    n_perms: int = N_PERMS, n_bands: int = N_BANDS,
+) -> DataFrame:
     """Candidate near-dup pairs from banded min-hash signatures."""
-    return _band_candidates(minhash_signatures(docs, sample_mod=sample_mod))
+    return _band_candidates(
+        minhash_signatures(docs, sample_mod=sample_mod, n_perms=n_perms),
+        n_perms=n_perms, n_bands=n_bands,
+    )
 
 
 def minhash_lsh_verified(docs: DataFrame, threshold: float = 0.01,
                          sample_mod: int = 5,
-                         max_df: int | None = None) -> DataFrame:
+                         max_df: int | None = None,
+                         n_perms: int = N_PERMS,
+                         n_bands: int = N_BANDS) -> DataFrame:
     """LSH candidates verified with true shingle Jaccard ≥ threshold.
 
     ``max_df`` caps the verify stage's common-shingle join the same way
@@ -190,11 +209,14 @@ def minhash_lsh_verified(docs: DataFrame, threshold: float = 0.01,
     the verify joins (it fans out to 4-5 plan references; see the
     recompute note in ngram_jaccard_pairs)."""
     docs = docs.filter(F.col("doc_id") % sample_mod == 0)
-    sh_raw = doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = _band_candidates(_signatures_from_shingles(sh_raw))
+    sh_raw = persist_tracked(doc_shingles(docs))
+    cands = _band_candidates(
+        _signatures_from_shingles(sh_raw, n_perms=n_perms),
+        n_perms=n_perms, n_bands=n_bands,
+    )
     sh = sh_raw
     if max_df is not None:
-        sh = capped_shingles(sh_raw, max_df).persist(StorageLevel.MEMORY_AND_DISK)
+        sh = persist_tracked(capped_shingles(sh_raw, max_df))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     # common shingles via join on (pair, shingle)
     a_sh = cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -270,7 +292,15 @@ def connected_components(
     the driver only checks the converged-yet flag (a limit(1) count —
     no data is collected).  Per-round ``localCheckpoint`` truncates the
     otherwise exponentially nesting lineage, the standard treatment for
-    iterative DataFrame algorithms."""
+    iterative DataFrame algorithms.
+
+    Raises ``RuntimeError`` on NON-convergence (a component with
+    diameter > max_iter): silently returning split clusters would make
+    :func:`dedup_keepers` keep multiple near-duplicates from one
+    transitive group.  For graphs where long chains or a giant component
+    are plausible (templated spam), use
+    :func:`connected_components_stars` — O(log² n) rounds and no
+    min-label hot key."""
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = (
         edges.unionByName(
@@ -280,6 +310,7 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -303,20 +334,166 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    # labels is localCheckpointed (materialized) — the edge cache is dead
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds: "
+            "a component's diameter exceeds max_iter, so labels would be "
+            "SPLIT clusters.  Raise max_iter or use "
+            "connected_components_stars (O(log^2 n) rounds)."
+        )
     return labels.select(
         F.col("src").alias("doc_id"), F.col("label").alias("cluster_rep")
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Kiveris large-star: every node attaches its LARGER neighbors to
+    the minimum of its neighborhood (incl. itself)."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Kiveris small-star: orient edges large→small; every node attaches
+    its smaller neighbors (and itself) to the minimum among them."""
+    d = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))  # all v < u here
+    return (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _edge_signature(e: DataFrame) -> tuple[int, int]:
+    """(count, order-insensitive checksum) — the cheap fixpoint probe
+    (one aggregate, no driver-side edge collection)."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components_stars(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 50,
+    validate: bool = True,
+) -> DataFrame:
+    """(doc_id, cluster_rep) by alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond" — public) — the giant-component-safe variant of
+    :func:`connected_components`.
+
+    Min-label propagation needs O(diameter) rounds and funnels every
+    label update of a mega-cluster through its min node (a hot key);
+    star contraction halves long chains every round (O(log² n) total)
+    and each round's shuffle keys are ordinary node ids, so a
+    templated-spam component of millions of docs contracts without a
+    hot partition.  Each round = two groupBy-min + join passes over the
+    current edge set; convergence is detected by an (edge-count,
+    checksum) fixpoint probe, and per-round ``localCheckpoint``
+    truncates the iterative lineage.
+
+    At the fixpoint the edge set is a forest of stars rooted at each
+    component's minimum node, so labels read directly off the edges.
+    ``validate=True`` (cheap: one join over the input pairs) asserts
+    every input pair landed in one cluster — the detect-don't-trust
+    guard against a non-star fixpoint."""
+    orig = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = orig
+    sig = _edge_signature(cur)
+    converged = False
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        new_sig = _edge_signature(cur)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_stars did not reach a fixpoint in "
+            f"{max_iter} rounds (expected O(log^2 n))."
+        )
+    nodes = (
+        orig.select(F.col("u").alias("doc_id"))
+        .unionByName(orig.select(F.col("v").alias("doc_id")))
+        .distinct()
+    )
+    labels = nodes.join(
+        cur.select(F.col("u").alias("doc_id"), F.col("v").alias("root")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("root", "doc_id").alias("cluster_rep")
+    )
+    if validate:
+        la = labels.select(
+            F.col("doc_id").alias("u"), F.col("cluster_rep").alias("rep_u")
+        )
+        lb = labels.select(
+            F.col("doc_id").alias("v"), F.col("cluster_rep").alias("rep_v")
+        )
+        split = (
+            orig.join(la, "u")
+            .join(lb, "v")
+            .filter(F.col("rep_u") != F.col("rep_v"))
+            .limit(1)
+            .count()
+        )
+        if split:
+            raise RuntimeError(
+                "connected_components_stars fixpoint is not a star forest: "
+                "an input pair spans two clusters"
+            )
+    return labels
+
+
 def dedup_cluster_reps(docs: DataFrame, threshold: float = 0.02,
-                       sample_mod: int = 5) -> DataFrame:
+                       sample_mod: int = 5,
+                       algo: str = "propagation") -> DataFrame:
     """Near-dup clusters over the n-gram Jaccard pairs: every document
     that participates in at least one pair, with the min doc_id of its
-    transitive duplicate group as the cluster representative."""
-    return connected_components(
-        ngram_jaccard_pairs(docs, threshold=threshold, sample_mod=sample_mod)
-    )
+    transitive duplicate group as the cluster representative.
+
+    ``algo='stars'`` swaps in the giant-component-safe star contraction
+    (same output — both converge to component-min labels)."""
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold,
+                                sample_mod=sample_mod)
+    if algo == "stars":
+        return connected_components_stars(pairs)
+    return connected_components(pairs)
 
 
 def dedup_keepers(docs: DataFrame, threshold: float = 0.02,

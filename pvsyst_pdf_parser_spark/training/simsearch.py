@@ -310,24 +310,77 @@ def tune_bands(
     embedding distribution, not corpus size) and use the chosen (r, b)
     for the full-scale multiband_topk / embedding_neardup_pairs run.
     Driver-side loop over a handful of grid points, each one bounded
-    Spark job — not a per-row operation."""
+    Spark job — not a per-row operation.
+
+    Plan shape: the brute-force truth is grid-independent, so it is
+    computed ONCE and persisted across the walk; each grid point builds
+    its corpus/query bucket frames exactly once and derives BOTH the
+    recall and the candidate fraction from one persisted candidate set
+    (the recompute-amplified form rebuilt every projection twice per
+    point)."""
+    from pyspark import StorageLevel
+
+    truth = (
+        brute_force_topk(emb, n_queries=n_queries, k=k)
+        .select("query_id", "cand_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_truth = truth.count()
+    total_pairs = n_queries * (emb.count() - 1)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
     results = []
     for r, b in grid or TUNE_GRID:
-        rec = ann_recall_report(
-            emb, n_queries=n_queries, k=k, dim=dim,
-            n_bands=b, planes_per_band=r,
-        ).collect()[0]["recall"]
-        frac = candidate_fraction(
-            emb, n_queries=n_queries, dim=dim, n_bands=b, planes_per_band=r
+        bb = multiband_bucket_ids(emb, dim, b, r)
+        qb = multiband_bucket_ids(
+            emb.filter(F.col("vec_id") < n_queries), dim, b, r
+        ).select(F.col("vec_id").alias("query_id"), "band_idx", "bucket")
+        cands = (
+            qb.join(
+                bb.withColumnRenamed("vec_id", "cand_id"),
+                ["band_idx", "bucket"],
+            )
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id")
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        n_cands = cands.count()
+        scored = (
+            cands.join(F.broadcast(queries), "query_id")
+            .join(
+                emb.select(F.col("vec_id").alias("cand_id"), "embedding"),
+                "cand_id",
+            )
+            .withColumn(
+                "cos_sim",
+                F.round(cosine(F.col("q_emb"), F.col("embedding")), 3),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("cand_id")
+        )
+        approx = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id")
+        )
+        n_hits = truth.join(
+            approx, ["query_id", "cand_id"], "left_semi"
+        ).count()
+        cands.unpersist()
         results.append(
             {
                 "planes_per_band": r,
                 "n_bands": b,
-                "recall": float(rec),
-                "cand_fraction": round(frac, 4),
+                "recall": float(round(n_hits / n_truth, 4)) if n_truth else 0.0,
+                "cand_fraction": round(
+                    n_cands / total_pairs if total_pairs else 0.0, 4
+                ),
             }
         )
+    truth.unpersist()
     feasible = [x for x in results if x["recall"] >= target_recall]
     if feasible:
         chosen = min(feasible, key=lambda x: (x["cand_fraction"], -x["recall"]))
@@ -349,14 +402,12 @@ def embedding_neardup_pairs(
     all-pairs cross join.  At 10^12 docs the candidate volume is
     bounded by per-bucket occupancy × bands; raise ``planes_per_band``
     with corpus size to keep buckets small (see module docstring)."""
-    from pyspark import StorageLevel
+    from .cache import persist_tracked
 
     # the bucket frame self-joins: persist so the matmul projection runs
     # once, not once per join side (mapInPandas output is not reused by
-    # the optimizer otherwise)
-    bb = multiband_bucket_ids(emb, dim, n_bands, planes_per_band).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # the optimizer otherwise); tracked for cache.release_persisted()
+    bb = persist_tracked(multiband_bucket_ids(emb, dim, n_bands, planes_per_band))
     cands = (
         bb.alias("x")
         .join(bb.alias("y"), ["band_idx", "bucket"])

@@ -196,10 +196,19 @@ def repetition_stats(docs: DataFrame, n: int = 5, sample_mod: int = 10) -> DataF
     variant with exact DuckDB parity).  Two aggregations, both keyed by
     doc — no joins, scales as a pure shuffle-light pipeline."""
     tokens = F.split(F.lower("text"), " ", -1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + k) for k in range(n)]),
-    )
+    # Docs shorter than n tokens yield NO grams.  The guard is load-bearing:
+    # sequence(1, 0) in Spark steps DOWN to [1, 0] (start > stop), and
+    # element_at(tokens, 0) then throws INVALID_INDEX_OF_ZERO — while the
+    # DuckDB oracle's generate_series(1, 0) is simply empty.
+    grams = F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     g = docs.filter(F.col("doc_id") % sample_mod == 0).select(
         "doc_id", F.explode(grams).alias("gram")
     )

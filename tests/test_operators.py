@@ -308,3 +308,33 @@ def test_multimodal_decode_hook_pluggable(spark):
     assert rows[1]["codec"] == "custom/x"
     assert rows[1]["width"] == 3 and rows[2]["width"] == 4
     assert rows[1]["n_frames"] == 3
+
+
+def test_tune_bands_builds_buckets_once_per_grid_point(spark, monkeypatch):
+    """The tuner derives recall AND candidate fraction from ONE pair of
+    bucket-projection frames per grid point (the recompute-amplified
+    form invoked multiband_bucket_ids twice per point — 2× matmul
+    cost), and computes the grid-independent brute-force truth once."""
+    from pvsyst_pdf_parser_spark.training import simsearch as S
+
+    calls = {"buckets": 0, "truth": 0}
+    real_buckets = S.multiband_bucket_ids
+    real_truth = S.brute_force_topk
+
+    def counting_buckets(*a, **kw):
+        calls["buckets"] += 1
+        return real_buckets(*a, **kw)
+
+    def counting_truth(*a, **kw):
+        calls["truth"] += 1
+        return real_truth(*a, **kw)
+
+    monkeypatch.setattr(S, "multiband_bucket_ids", counting_buckets)
+    monkeypatch.setattr(S, "brute_force_topk", counting_truth)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    grid = [(8, 4), (4, 16)]
+    out = S.tune_bands(emb, target_recall=0.3, grid=grid, n_queries=10, k=3)
+    assert len(out["curve"]) == len(grid)
+    assert calls["truth"] == 1
+    assert calls["buckets"] == 2 * len(grid)  # one (bb, qb) pair per point

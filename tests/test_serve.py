@@ -62,3 +62,43 @@ def test_parse_endpoint_rejects_oversized_payload(spark):
         )
         assert code == 413
         assert b"exceeds" in body
+
+
+def test_malformed_content_length_and_chunked_rejected(spark):
+    """A non-numeric Content-Length must yield a clean 400 (not an
+    unhandled ValueError / connection reset); chunked uploads (no
+    Content-Length) are refused with 411 instead of silently reading an
+    empty body."""
+    import socket
+    from urllib.parse import urlparse
+
+    from pvsyst_pdf_parser_spark.serve import ParserServer
+
+    def raw_request(url: str, headers: list[str]) -> bytes:
+        u = urlparse(url)
+        with socket.create_connection((u.hostname, u.port), timeout=30) as s:
+            req = (
+                "POST /api/parse HTTP/1.1\r\n"
+                f"Host: {u.hostname}\r\n" + "\r\n".join(headers) + "\r\n\r\n"
+            )
+            s.sendall(req.encode())
+            return s.recv(65536)
+
+    with ParserServer(spark) as srv:
+        resp = raw_request(
+            srv.url,
+            ["Content-Type: application/pdf", "Content-Length: nonsense"],
+        )
+        assert resp.split(b"\r\n", 1)[0].split()[1] == b"400"
+
+        resp = raw_request(
+            srv.url,
+            ["Content-Type: application/pdf", "Content-Length: -5"],
+        )
+        assert resp.split(b"\r\n", 1)[0].split()[1] == b"400"
+
+        resp = raw_request(
+            srv.url,
+            ["Content-Type: application/pdf", "Transfer-Encoding: chunked"],
+        )
+        assert resp.split(b"\r\n", 1)[0].split()[1] == b"411"

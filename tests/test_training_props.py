@@ -111,6 +111,96 @@ def test_repetition_ratio_bounds(spark, docs):
         assert r["n_repeated"] <= r["n_grams"]
 
 
+def test_repetition_short_docs_yield_no_grams(spark):
+    """Docs shorter than n tokens must emit NO grams — the unguarded
+    sequence(1, 0) descends to [1, 0] in Spark and element_at(_, 0)
+    throws INVALID_INDEX_OF_ZERO, while DuckDB's generate_series(1, 0)
+    is empty (engines diverge AND the job aborts).  Regression gate for
+    the guard in repetition_stats."""
+    from pvsyst_pdf_parser_spark.training.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "one two three", "en", "s"),          # 3 tokens < n=5
+            (1, "exactly four tokens here", "en", "s"),  # 4 tokens < n=5
+            (2, " ".join(["tok"] * 12), "en", "s"),   # long: 8 grams
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r["doc_id"]: r for r in
+            repetition_stats(df, n=5, sample_mod=1).collect()}
+    assert 0 not in rows and 1 not in rows  # short docs: no output row
+    assert rows[2]["n_grams"] == 8          # 12 - (5-1)
+    assert rows[2]["repetition_ratio"] == 1.0  # all grams identical
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A component with diameter > max_iter must raise, not silently
+    return split clusters (dedup_keepers would keep several copies of
+    one transitive duplicate group)."""
+    from pvsyst_pdf_parser_spark.training.dedup import connected_components
+
+    pairs = spark.range(11).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )  # a 12-node path: min label travels one hop per round
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3).collect()
+
+
+def test_stars_cc_long_path_and_parity_with_propagation(spark, docs):
+    """Large-star/small-star contraction (Kiveris et al.) converges on a
+    10k-node path — diameter far beyond any sane propagation max_iter —
+    in O(log² n) rounds, labels everything with the component min, and
+    agrees exactly with min-label propagation on the real near-dup
+    graph."""
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        connected_components,
+        connected_components_stars,
+        ngram_jaccard_pairs,
+    )
+
+    n = 10_000
+    path = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    labels = connected_components_stars(path, max_iter=40)
+    assert labels.count() == n
+    assert labels.filter(F.col("cluster_rep") != 0).count() == 0
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.0)
+    by_prop = sorted(
+        (r["doc_id"], r["cluster_rep"])
+        for r in connected_components(pairs).collect()
+    )
+    by_stars = sorted(
+        (r["doc_id"], r["cluster_rep"])
+        for r in connected_components_stars(pairs).collect()
+    )
+    assert by_prop == by_stars
+
+
+def test_release_persisted_drains_tracked_cache(spark, docs):
+    """Operators persist fan-out intermediates (shingle frames, bucket
+    projections) through the tracked scope; release_persisted() must
+    unpersist them all so long-lived sessions don't leak cache entries
+    across inputs."""
+    from pvsyst_pdf_parser_spark.training import cache
+    from pvsyst_pdf_parser_spark.training.dedup import minhash_lsh_verified
+
+    cache.release_persisted()  # clean slate
+    df = minhash_lsh_verified(docs, max_df=10)
+    df.collect()
+    tracked = list(cache._TRACKED)
+    assert len(tracked) == 2  # sh_raw + capped frame
+    assert all(t.storageLevel.useMemory or t.storageLevel.useDisk
+               for t in tracked)
+    released = cache.release_persisted()
+    assert released == 2
+    assert not cache._TRACKED
+    for t in tracked:
+        assert not (t.storageLevel.useMemory or t.storageLevel.useDisk)
+
+
 def test_split_is_deterministic_partition_and_stable(spark, docs):
     """The train/val split is a partition (every doc in exactly one
     side), reproducible across runs, and per-key stable: restricting
