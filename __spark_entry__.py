@@ -4,8 +4,10 @@
 ``queries()`` — one entry per implemented operator class from
 SURVEY.md §2 plus the training-data operators (dedup, similarity
 search, text analysis, multimodal plumbing).
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL for each query (the
-pvsyst_extract smoke is non-SQL-expressible → rows-only check).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for each query.  The
+pvsyst_extract smoke has a full differential oracle: its SQL reads the
+committed reference-golden parquet (the reference parser's own output
+for the same fixture docs) so the hash compare is Spark vs reference.
 
 Column names/rounding/tiebreaks are aligned between both sides so the
 driver's order-insensitive value-hash matches (see demo_queries.py and
@@ -127,8 +129,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_capped": lambda s, d: D.minhash_lsh_verified(
             _docs(s, d), max_df=10
         ),
+        # wide-signature operating point (public practice: 64+ perms) —
+        # same verified-Jaccard output contract, finer band granularity
+        "dedup_minhash_wide": lambda s, d: D.minhash_lsh_verified(
+            _docs(s, d), n_perms=64, n_bands=32
+        ),
         "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
         "dedup_clusters": lambda s, d: D.dedup_cluster_reps(_docs(s, d)),
+        # same clusters via Kiveris star contraction (giant-component-
+        # safe path); oracle is the identical recursive-CTE fixpoint
+        "dedup_clusters_stars": lambda s, d: D.dedup_cluster_reps(
+            _docs(s, d), algo="stars"
+        ),
         "dedup_keepers": lambda s, d: D.dedup_keepers(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: S.brute_force_topk(_emb(s, d)),
         "ann_lsh_buckets": lambda s, d: S.lsh_bucket_stats(_emb(s, d)),
@@ -158,7 +170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _ensure_workers_have_repo(s),
             M.sample_frames(_docs(s, d)),
         )[1],
-        # flagship extraction (rows-only check; byte gate in pytest)
+        # flagship extraction (differential hash oracle vs the committed
+        # reference-golden parquet; full byte gate in pytest)
         "pvsyst_extract_smoke": _pvsyst_extract_smoke,
     }
 
@@ -188,8 +201,10 @@ _CAP_CTES = """,
   sizesc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id)"""
 
 
-def _minhash_sql(max_df: int | None = None) -> str:
-    params = perm_params(8)
+def _minhash_sql(max_df: int | None = None, n_perms: int = 8,
+                 n_bands: int = 4) -> str:
+    params = perm_params(n_perms)
+    rpb = n_perms // n_bands
     h = _H56.format(expr="shingle")
     mh_cols = ", ".join(
         f"min(({a} * hm + {b}) % {MERSENNE_P}) AS mh{j}"
@@ -197,8 +212,11 @@ def _minhash_sql(max_df: int | None = None) -> str:
     )
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, "
-        f"mh{b * 2}::varchar || '_' || mh{b * 2 + 1}::varchar AS band_sig FROM sig"
-        for b in range(4)
+        + " || '_' || ".join(
+            f"mh{b * rpb + r}::varchar" for r in range(rpb)
+        )
+        + " AS band_sig FROM sig"
+        for b in range(n_bands)
     )
     # signatures/banding always on the UNCAPPED shingle sets (matches
     # Spark: banding bounded by collision rate); the verify join and
@@ -512,7 +530,7 @@ SELECT {n_queries} AS n_queries, {k} AS k,
 
 def oracle_sql() -> dict[str, str]:
     g = _H56
-    return {
+    out = {
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
@@ -775,6 +793,7 @@ FROM per GROUP BY doc_id
 """,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_minhash_capped": _minhash_sql(max_df=10),
+        "dedup_minhash_wide": _minhash_sql(n_perms=64, n_bands=32),
         "ann_multiband_topk": _multiband_topk_sql(),
         "ann_ivf_cells": f"""
 WITH {_ivf_rank_cte()}
@@ -937,3 +956,7 @@ SELECT url, kind, n_pages,
 FROM '{_SMOKE_GOLDENS}'
 """,
     }
+    # identical fixpoint, different distributed algorithm on the Spark
+    # side (min-label propagation vs Kiveris star contraction)
+    out["dedup_clusters_stars"] = out["dedup_clusters"]
+    return out
