@@ -170,6 +170,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _ensure_workers_have_repo(s),
             M.sample_frames(_docs(s, d)),
         )[1],
+        # REAL header decode: deterministic PNG/JPEG/GIF payloads whose
+        # dimensions are read back from the encoded header fields (pure
+        # public-spec byte parsing, no codec library); the oracle
+        # replays the generator arithmetic
+        "multimodal_image_headers": lambda s, d: (
+            _ensure_workers_have_repo(s),
+            M.image_header_metadata(_docs(s, d)),
+        )[1],
         # flagship extraction (differential hash oracle vs the committed
         # reference-golden parquet; full byte gate in pytest)
         "pvsyst_extract_smoke": _pvsyst_extract_smoke,
@@ -944,6 +952,19 @@ SELECT doc_id, frame_idx,
                         || '_' || byte_len::varchar), 1, 14))::bigint)
          AS frame_fingerprint
 FROM f
+""",
+        # the Spark side parses REAL header bytes; the oracle replays the
+        # deterministic generator arithmetic (multimodal.make_image_bytes)
+        "multimodal_image_headers": """
+SELECT doc_id,
+       (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 17 ELSE 13 END)::bigint
+         AS byte_len,
+       (doc_id % 640 + 1)::int AS width,
+       (doc_id % 480 + 1)::int AS height,
+       1::int AS n_frames,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+            ELSE 'image/gif' END AS codec
+FROM documents
 """,
         # differential oracle: the reference parser's own output for the
         # same fixture docs (fixtures/smoke_goldens.parquet, committed);

@@ -338,3 +338,56 @@ def test_tune_bands_builds_buckets_once_per_grid_point(spark, monkeypatch):
     assert len(out["curve"]) == len(grid)
     assert calls["truth"] == 1
     assert calls["buckets"] == 2 * len(grid)  # one (bb, qb) pair per point
+
+
+def test_parse_image_header_real_bytes():
+    """Pure-spec header parse on hand-built REAL format bytes: PNG IHDR
+    (big-endian), JPEG with APP0+DQT segments before SOF0 (marker walk
+    must skip them by length), GIF89a (little-endian), and graceful
+    None on garbage / truncated / SOF-less payloads."""
+    from pvsyst_pdf_parser_spark.training.multimodal import parse_image_header
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (800).to_bytes(4, "big") + (600).to_bytes(4, "big")
+        + bytes([8, 6, 0, 0, 0]) + b"\x00\x00\x00\x00"
+    )
+    assert parse_image_header(png) == (800, 600, 1, "image/png")
+
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+    sof2 = (
+        b"\xff\xc2" + (11).to_bytes(2, "big") + bytes([8])
+        + (123).to_bytes(2, "big") + (456).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    jpeg = b"\xff\xd8" + app0 + dqt + sof2 + b"\xff\xd9"
+    assert parse_image_header(jpeg) == (456, 123, 1, "image/jpeg")
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00\x00\x00"
+    assert parse_image_header(gif) == (320, 200, 1, "image/gif")
+
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"plain text payload") is None
+    assert parse_image_header(png[:20]) is None          # truncated IHDR
+    assert parse_image_header(b"\xff\xd8\xff\xd9") is None  # JPEG, no SOF
+    assert parse_image_header(b"\xff\xd8" + b"\x00\x00\x00\x00") is None
+
+
+def test_image_header_metadata_round_trip(spark):
+    """attach_image_payload encodes dimensions into real PNG/JPEG/GIF
+    header fields; image_header_metadata must read them back from the
+    BYTES (never the stub), matching the arithmetic the oracle replays."""
+    import pyspark.sql.functions as F
+
+    from pvsyst_pdf_parser_spark.training.multimodal import image_header_metadata
+
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    rows = {r["doc_id"]: r for r in image_header_metadata(docs).collect()}
+    assert len(rows) == 30
+    for i, r in rows.items():
+        assert r["width"] == i % 640 + 1
+        assert r["height"] == i % 480 + 1
+        assert r["n_frames"] == 1
+        assert r["codec"] == ("image/png", "image/jpeg", "image/gif")[i % 3]
+        assert r["byte_len"] == (33, 17, 13)[i % 3]
