@@ -149,10 +149,17 @@ class ResultSink:
 
     # -- read ----------------------------------------------------------
 
+    def _read_table(self, name: str) -> DataFrame:
+        """Catalog read for the iceberg branch — kept as a one-line seam
+        so tests can serve named tables from a double (the sandbox has
+        no Iceberg runtime jar); the NAME construction stays in _read
+        where the tests can catch a drifted ``{table}_{kind}``."""
+        return self.spark.read.table(name)
+
     def _read(self, kind: str) -> DataFrame | None:
         try:
             if self.mode == "iceberg":
-                return self.spark.read.table(f"{self.table}_{kind}")
+                return self._read_table(f"{self.table}_{kind}")
             return self.spark.read.parquet(f"{self.out_dir}/{kind}")
         except Exception:  # noqa: BLE001 - first run: nothing written yet
             return None

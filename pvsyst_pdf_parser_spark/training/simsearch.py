@@ -464,19 +464,39 @@ def centroid_half_norm(dim: int, c: int) -> float:
     return acc / 2.0
 
 
+def _seq_half_norm(vec) -> float:
+    """‖v‖²/2 by sequential Python summation (same determinism contract
+    as :func:`centroid_half_norm`, for trained centroids)."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return acc / 2.0
+
+
 def ivf_assign(
-    emb: DataFrame, dim: int = 64, n_cells: int = N_CELLS, n_probe: int = 1
+    emb: DataFrame, dim: int = 64, n_cells: int = N_CELLS, n_probe: int = 1,
+    centroids: list | None = None,
 ) -> DataFrame:
     """(vec_id, cell_rank, cell): the n_probe nearest cells per vector
     by L2 distance (= max of dot − ‖c‖²/2 for unit-free anchors),
     cell_rank 1-based by proximity; ties break to the lower cell id.
     One numpy matmul per Arrow batch, same pattern as the multi-band
     bucket projection; at 10^12 docs this is a pure map stage and the
-    posting lists are the (cell)-partitioned output."""
+    posting lists are the (cell)-partitioned output.
+
+    ``centroids`` (list of dim-length lists) swaps the deterministic
+    hash anchors for TRAINED cells (see :func:`train_ivf_centroids`) —
+    they enter the plan the same way, as literals broadcast with the
+    closure; the hash anchors remain the oracle default."""
     import numpy as np
 
-    C = np.array([centroid_values(dim, c) for c in range(n_cells)])  # cells × dim
-    half_norms = np.array([centroid_half_norm(dim, c) for c in range(n_cells)])
+    if centroids is None:
+        C = np.array([centroid_values(dim, c) for c in range(n_cells)])
+        half_norms = np.array([centroid_half_norm(dim, c) for c in range(n_cells)])
+    else:
+        C = np.array(centroids, dtype="float64")  # cells × dim
+        n_cells = len(centroids)
+        half_norms = np.array([_seq_half_norm(v) for v in centroids])
     CT = C.T
 
     def assign(batches):
@@ -522,16 +542,18 @@ def ivf_topk(
     dim: int = 64,
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: candidates = vectors whose HOME cell (rank 1) is
     among the query's n_probe nearest cells; exact cosine re-score.
     Candidate volume is bounded by the probed posting-list sizes —
     never all-pairs — and grows with n_probe, the recall/cost knob."""
-    home = ivf_assign(emb, dim, n_cells, n_probe=1).select(
+    home = ivf_assign(emb, dim, n_cells, n_probe=1, centroids=centroids).select(
         F.col("vec_id").alias("cand_id"), "cell"
     )
     probes = ivf_assign(
-        emb.filter(F.col("vec_id") < n_queries), dim, n_cells, n_probe=n_probe
+        emb.filter(F.col("vec_id") < n_queries), dim, n_cells,
+        n_probe=n_probe, centroids=centroids,
     ).select(F.col("vec_id").alias("query_id"), "cell")
     cands = (
         probes.join(home, "cell")
@@ -562,19 +584,21 @@ def ivf_recall_report(
     dim: int = 64,
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
+    centroids: list | None = None,
 ) -> DataFrame:
     """recall@k of IVF ANN vs the brute-force baseline (mirror of
     :func:`ann_recall_report` for the cell-probing index — the two
     reports share one schema so an operator can A/B the index family
     per corpus).  Expected n_probe/n_cells of the corpus is scanned, so
     recall ≈ fraction of true neighbors in the probed cells; raise
-    n_probe to buy recall."""
+    n_probe to buy recall.  ``centroids`` A/Bs trained cells against
+    the hash anchors."""
     truth = brute_force_topk(emb, n_queries=n_queries, k=k).select(
         "query_id", "cand_id"
     )
     approx = ivf_topk(
         emb, n_queries=n_queries, k=k, dim=dim,
-        n_cells=n_cells, n_probe=n_probe,
+        n_cells=n_cells, n_probe=n_probe, centroids=centroids,
     ).select("query_id", "cand_id")
     hits = truth.join(approx, ["query_id", "cand_id"], "left_semi")
     return truth.agg(F.count("*").alias("n_truth")).crossJoin(
@@ -586,6 +610,59 @@ def ivf_recall_report(
         "n_truth",
         F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
     )
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    dim: int = 64,
+    n_cells: int = N_CELLS,
+    n_iter: int = 3,
+    sample_mod: int = 1,
+) -> list[list[float]]:
+    """K-means (Lloyd) training of the IVF coarse quantizer as bounded
+    Spark jobs — the trained replacement for the deterministic hash
+    anchors.
+
+    Seeded init from the SAME hash anchors (deterministic, no RNG);
+    each iteration is one assignment pass (the numpy-matmul
+    ``mapInPandas`` of :func:`ivf_assign` with the current centroids as
+    literals) plus one per-(cell, position) mean aggregation
+    (posexplode → groupBy avg, map-side combined — n_cells × dim result
+    rows, trivially collectable).  Empty cells keep their previous
+    centroid.  ``sample_mod`` trains on the deterministic
+    ``vec_id % sample_mod == 0`` subsample at large scale (the centroid
+    estimate needs a sample, not the corpus).
+
+    Returns plain Python lists — centroids enter downstream plans as
+    driver-side literals exactly like the hash anchors, so
+    ``ivf_assign/ivf_topk/ivf_recall_report(..., centroids=...)`` run
+    the identical bucketed topology."""
+    sample = emb
+    if sample_mod > 1:
+        sample = emb.filter(F.col("vec_id") % sample_mod == 0)
+    centroids = [centroid_values(dim, c) for c in range(n_cells)]
+    for _ in range(n_iter):
+        assign = ivf_assign(
+            sample, dim, n_cells, n_probe=1, centroids=centroids
+        ).select("vec_id", "cell")
+        means = (
+            assign.join(sample.select("vec_id", "embedding"), "vec_id")
+            .select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # empty cells keep previous
+        by_cell: dict[int, list] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), []).append(
+                (int(r["pos"]), float(r["m"]))
+            )
+        for cell, entries in by_cell.items():
+            for pos, m in entries:
+                new_c[cell][pos] = m
+        centroids = new_c
+    return centroids
 
 
 def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 3, dim: int = 64) -> DataFrame:

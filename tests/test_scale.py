@@ -273,3 +273,60 @@ def test_run_health_report(spark, pages_parquet, out_dir):
     for r in rows.values():
         assert r["wall_sec"] > 0 and r["n_buckets"] >= 1
         assert r["docs_per_sec"] is None or r["docs_per_sec"] >= 0
+
+
+def test_iceberg_read_paths_full_resume_cycle(spark, pages_parquet, out_dir,
+                                              monkeypatch):
+    """The iceberg-branch READ paths (_read / completed_urls /
+    run_stats) get a full write -> resume -> no-dupes cycle against a
+    table-serving double: appends store each ``{table}_{kind}`` under
+    its FULL table name, reads are served back through the _read_table
+    seam by that exact name — so a typo in the ``{table}_{kind}``
+    construction on either side breaks resume or run_stats here instead
+    of shipping silently (the writer-chain test only covered writes)."""
+    import os
+
+    from pvsyst_pdf_parser_spark.scale import ResultSink, resumable_extract
+
+    store: dict[str, str] = {}  # full table name -> backing parquet path
+
+    def fake_append(self, df, kind):
+        assert self.mode == "iceberg"
+        name = f"{self.table}_{kind}"
+        path = os.path.join(out_dir, "store", kind)
+        df.write.mode("append").parquet(path)
+        store[name] = path
+
+    def fake_read_table(self, name):
+        if name not in store:  # missing table: same surface as catalog
+            raise RuntimeError(f"table not found: {name}")
+        return self.spark.read.parquet(store[name])
+
+    monkeypatch.setattr(ResultSink, "_append", fake_append)
+    monkeypatch.setattr(ResultSink, "_read_table", fake_read_table)
+    spark.conf.set("spark.sql.catalog.cat_rb", "org.example.FakeCatalog")
+    try:
+        table = "cat_rb.db.t"
+        pages = spark.read.parquet(pages_parquet)
+        n_total = pages.count()
+        first = pages.orderBy("url").limit(7)
+
+        s1 = resumable_extract(spark, first, out_dir, run_id="i1", table=table)
+        assert s1["n_results"] == 7  # run_stats read the manifest back
+
+        s2 = resumable_extract(spark, pages, out_dir, run_id="i2", table=table)
+        assert s2["n_results"] == n_total - 7  # completed_urls excluded run 1
+
+        s3 = resumable_extract(spark, pages, out_dir, run_id="i3", table=table)
+        assert s3["n_results"] == 0  # nothing left
+
+        res = spark.read.parquet(store[f"{table}_results"])
+        assert res.count() == n_total
+        assert res.select("url").distinct().count() == n_total  # no dupes
+
+        # snapshot-read sanity: completed_urls unions manifest + results
+        sink = ResultSink(spark, out_dir, table=table)
+        assert sink.mode == "iceberg"
+        assert sink.completed_urls().count() == n_total
+    finally:
+        spark.conf.unset("spark.sql.catalog.cat_rb")
