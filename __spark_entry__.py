@@ -32,6 +32,7 @@ from pvsyst_pdf_parser_spark.training import multimodal as M  # noqa: E402
 from pvsyst_pdf_parser_spark.training import sampling as SA  # noqa: E402
 from pvsyst_pdf_parser_spark.training import simsearch as S  # noqa: E402
 from pvsyst_pdf_parser_spark.training import textstats as X  # noqa: E402
+from pvsyst_pdf_parser_spark.training import urlnorm as U  # noqa: E402
 from pvsyst_pdf_parser_spark.training.hashing import (  # noqa: E402
     MERSENNE_P,
     perm_params,
@@ -162,6 +163,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": lambda s, d: X.quality_scores(_docs(s, d)),
         "text_quality_v2": lambda s, d: X.quality_scores_v2(_docs(s, d)),
         "doc_fingerprint": lambda s, d: X.doc_fingerprints(_docs(s, d)),
+        # CCNet-style perplexity proxy: corpus unigram NLL per doc
+        "text_unigram_logprob": lambda s, d: X.unigram_logprob_scores(
+            _docs(s, d)
+        ),
+        # web-scale url canonicalization over synthesized messy urls
+        "url_canonicalize": lambda s, d: U.canonical_url_stats(_docs(s, d)),
         "multimodal_metadata": lambda s, d: (
             _ensure_workers_have_repo(s),
             M.extract_media_metadata(_docs(s, d)),
@@ -924,6 +931,51 @@ SELECT CASE WHEN ({_H56.format(expr="doc_id::varchar")} % 100) < 10
        count(*) AS n_docs,
        sum(length(text))::bigint AS n_chars_total
 FROM documents GROUP BY 1
+""",
+        "text_unigram_logprob": """
+WITH t2 AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE doc_id % 2 = 0),
+tk AS (SELECT doc_id, tok FROM t2 WHERE tok <> ''),
+freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+tot AS (SELECT sum(c) AS total FROM freq),
+nl AS (SELECT tk.doc_id, -ln(freq.c / tot.total) AS nll
+       FROM tk JOIN freq USING (tok) CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 4) AS avg_nll
+FROM nl GROUP BY doc_id
+""",
+        "url_canonicalize": r"""
+WITH r AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+      THEN printf('HTTPS://WWW.Mirror%d.Example.COM:443/Docs/%d/?utm_source=feed&id=%d&utm_campaign=x#frag',
+                  doc_id % 7, doc_id, doc_id)
+      ELSE printf('http://mirror%d.example.com:80/Docs/%d?fbclid=abc%d&page=2',
+                  doc_id % 7, doc_id, doc_id)
+    END AS raw_url
+  FROM documents),
+p AS (
+  SELECT doc_id, raw_url,
+    lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(lower(regexp_extract(raw_url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(80|443)$', '') AS host,
+    regexp_extract(raw_url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
+    regexp_replace(regexp_replace(regexp_extract(raw_url, '\?([^#]*)', 1),
+        '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g'), '[&]+$', '') AS query
+  FROM r),
+q AS (
+  SELECT doc_id, raw_url, scheme, host, query,
+    CASE WHEN raw_path = '' THEN '/' ELSE raw_path END AS path0 FROM p),
+s AS (
+  SELECT doc_id, raw_url, scheme, host, query,
+    CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+         THEN substring(path0, 1, length(path0) - 1) ELSE path0 END AS path
+  FROM q)
+SELECT doc_id, raw_url,
+  scheme || '://' || host || path
+    || CASE WHEN query = '' THEN '' ELSE '?' || query END AS canonical_url
+FROM s
 """,
         "doc_fingerprint": (
             "SELECT doc_id, "

@@ -45,13 +45,20 @@ def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     """(id, shingle) — distinct word n-gram shingles per document."""
     # split on a literal single space — parity with DuckDB string_split
     tokens = F.split(F.lower(F.col(text_col)), " ", -1)
+    # Guard docs shorter than n tokens: sequence(1, 0) DESCENDS in Spark
+    # ([1, 0] — start > stop steps -1) and element_at(tokens, 0) throws
+    # INVALID_INDEX_OF_ZERO, while the oracle's generate_series(1, 0) is
+    # empty — same failure class the repetition_stats guard covers.
     shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, i + k) for k in range(n)]
+        F.when(
+            F.size(tokens) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tokens, i + k) for k in range(n)]
+                ),
             ),
-        )
+        ).otherwise(F.array().cast("array<string>"))
     )
     return docs.select(F.col(id_col).alias("doc_id"),
                        F.explode(shingles).alias("shingle"))

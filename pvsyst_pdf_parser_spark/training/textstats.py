@@ -226,6 +226,45 @@ def repetition_stats(docs: DataFrame, n: int = 5, sample_mod: int = 10) -> DataF
     )
 
 
+def unigram_logprob_scores(docs: DataFrame, sample_mod: int = 2) -> DataFrame:
+    """Per-document mean unigram negative log-likelihood under the
+    CORPUS unigram distribution — the DataFrame-native proxy for the
+    LM-perplexity quality filter of public pipelines (CCNet, Wenzek et
+    al. 2020 score documents with a KenLM model; the unigram form needs
+    no model artifact and ranks the same gross failures): gibberish /
+    OCR noise is rare-token-heavy and scores HIGH, natural prose scores
+    LOW.
+
+    Plan shape at 10^12 docs: one token-keyed aggregation (map-side
+    combined) builds the vocabulary frequency table; the per-token join
+    BROADCASTS that table (a web-corpus unigram vocab is millions of
+    rows — broadcastable — vs the corpus' trillions of token
+    occurrences, so the big side never shuffles); one doc-keyed
+    aggregation finishes.  The corpus total rides along as a column of
+    the broadcast frame — no driver-side scalar round trip."""
+    toks = (
+        docs.filter(F.col("doc_id") % sample_mod == 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ", -1)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    freq = freq.crossJoin(F.broadcast(total)).withColumn(
+        "nll", -F.log(F.col("c") / F.col("total"))
+    )
+    return (
+        toks.join(F.broadcast(freq.select("tok", "nll")), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+        )
+    )
+
+
 def doc_fingerprints(docs: DataFrame, sample_mod: int = 25) -> DataFrame:
     """56-bit fingerprint of whitespace-normalized lowercase text."""
     norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")

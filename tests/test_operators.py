@@ -391,3 +391,78 @@ def test_image_header_metadata_round_trip(spark):
         assert r["n_frames"] == 1
         assert r["codec"] == ("image/png", "image/jpeg", "image/gif")[i % 3]
         assert r["byte_len"] == (33, 17, 13)[i % 3]
+
+
+def test_canonicalize_url_rules(spark):
+    """Every canonicalization rule on hand-written urls: case-fold of
+    scheme/host only, default-port strip, fragment drop, tracking-param
+    strip with separator cleanup, trailing-slash strip except root."""
+    import pyspark.sql.functions as F
+
+    from pvsyst_pdf_parser_spark.training.urlnorm import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&q=1#frag",
+         "https://www.example.com/A/B?q=1"),
+        ("http://host.example.com:80/", "http://host.example.com/"),
+        ("http://host.example.com", "http://host.example.com/"),
+        ("https://h.example.com/Path/", "https://h.example.com/Path"),
+        ("https://h.example.com/p?fbclid=abc", "https://h.example.com/p"),
+        ("https://h.example.com/p?a=1&utm_campaign=z&b=2",
+         "https://h.example.com/p?a=1&b=2"),
+        ("https://h.example.com/CaseKept/Q?X=Y",
+         "https://h.example.com/CaseKept/Q?X=Y"),
+        ("https://h.example.com:8443/p", "https://h.example.com:8443/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "raw string")
+    got = [r["c"] for r in
+           df.select(canonicalize_url(F.col("raw")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_unigram_logprob_orders_gibberish_above_prose(spark):
+    """The corpus-unigram NLL score must rank a rare-token gibberish doc
+    strictly above repetitive common-token prose (the CCNet-style
+    quality signal), and every score is positive and finite."""
+    import math
+
+    from pvsyst_pdf_parser_spark.training.textstats import unigram_logprob_scores
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [
+        (0, common + " " + common, "en", "s"),
+        (2, "zqx jvk wpf qgh xzt bnm vrc klp", "en", "s"),  # all-rare
+        (4, common, "en", "s"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["doc_id"]: r for r in
+           unigram_logprob_scores(df, sample_mod=2).collect()}
+    assert set(out) == {0, 2, 4}
+    for r in out.values():
+        assert r["avg_nll"] > 0 and math.isfinite(r["avg_nll"])
+    assert out[2]["avg_nll"] > out[0]["avg_nll"]
+    assert out[2]["avg_nll"] > out[4]["avg_nll"]
+
+
+def test_short_doc_shingles_empty_not_crash(spark):
+    """doc_shingles on a document shorter than n tokens must yield no
+    shingles (DuckDB's generate_series(1,0) is empty) instead of the
+    descending-sequence element_at(_, 0) crash — same guard class as
+    repetition_stats."""
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        doc_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "two words", "en", "s"),
+         (5, "one two three four five six", "en", "s"),
+         (10, "one two three four five six", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    sh = doc_shingles(df).collect()
+    assert all(r["doc_id"] != 0 for r in sh)  # short doc: no shingles
+    pairs = ngram_jaccard_pairs(df, threshold=0.0, sample_mod=5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(5, 10)}
