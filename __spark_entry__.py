@@ -167,6 +167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": lambda s, d: X.unigram_logprob_scores(
             _docs(s, d)
         ),
+        # exact length-distribution percentiles (corpus report)
+        "text_length_percentiles": lambda s, d: X.length_percentile_stats(
+            _docs(s, d)
+        ),
         # web-scale url canonicalization over synthesized messy urls
         "url_canonicalize": lambda s, d: U.canonical_url_stats(_docs(s, d)),
         "multimodal_metadata": lambda s, d: (
@@ -931,6 +935,17 @@ SELECT CASE WHEN ({_H56.format(expr="doc_id::varchar")} % 100) < 10
        count(*) AS n_docs,
        sum(length(text))::bigint AS n_chars_total
 FROM documents GROUP BY 1
+""",
+        "text_length_percentiles": """
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(len(string_split(text, ' ')), 0.5), 2)
+         AS p50_tokens,
+       round(quantile_cont(len(string_split(text, ' ')), 0.9), 2)
+         AS p90_tokens,
+       round(quantile_cont(len(string_split(text, ' ')), 0.99), 2)
+         AS p99_tokens,
+       max(len(string_split(text, ' '))) AS max_tokens
+FROM documents GROUP BY source
 """,
         "text_unigram_logprob": """
 WITH t2 AS (

@@ -226,6 +226,28 @@ def repetition_stats(docs: DataFrame, n: int = 5, sample_mod: int = 10) -> DataF
     )
 
 
+def length_percentile_stats(docs: DataFrame) -> DataFrame:
+    """Per-source token-length distribution (p50/p90/p99/max) — the
+    corpus report an operator runs BEFORE choosing the Gopher length
+    bounds for a new crawl.  Uses EXACT linear-interpolation
+    `percentile` so the DuckDB `quantile_cont` oracle matches
+    value-for-value; at 10^12 docs swap in `percentile_approx`
+    (t-digest, bounded memory) and downgrade the oracle to a tolerance
+    check — the documented exact↔sketch trade."""
+    n_tokens = F.size(F.split(F.col("text"), r" ", -1))
+    return (
+        docs.select("source", n_tokens.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 2).alias("p50_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.9)"), 2).alias("p90_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.99)"), 2).alias("p99_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
 def unigram_logprob_scores(docs: DataFrame, sample_mod: int = 2) -> DataFrame:
     """Per-document mean unigram negative log-likelihood under the
     CORPUS unigram distribution — the DataFrame-native proxy for the
