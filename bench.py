@@ -59,6 +59,13 @@ HEADLINE = [
     "text_quality_v2",
     "multimodal_metadata",
     "multimodal_frame_sample",
+    # round-4 operators
+    "dedup_minhash_wide",
+    "dedup_clusters_stars",
+    "multimodal_image_headers",
+    "text_unigram_logprob",
+    "text_length_percentiles",
+    "url_canonicalize",
 ]
 
 

@@ -78,3 +78,26 @@ def test_salted_agg_is_two_phase(spark):
     # partial/final pair
     assert p.count("HashAggregate") >= 4
     assert "CartesianProduct" not in p
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The per-token frequency join must BROADCAST the vocab side — a
+    sort-merge join here would shuffle the trillion-token occurrence
+    side at corpus scale."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pvsyst_pdf_parser_spark.training.textstats import unigram_logprob_scores
+
+    p = _plan(unigram_logprob_scores(docs))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_url_canonicalize_is_pure_projection(spark):
+    """Canonicalization is a map-only plan: no exchange anywhere (at
+    10^12 urls this stage must be free)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pvsyst_pdf_parser_spark.training.urlnorm import canonical_url_stats
+
+    p = _plan(canonical_url_stats(docs))
+    assert "Exchange" not in p
+    assert "*(1)" in p  # whole-stage-codegen marker: stays JVM-side
