@@ -176,6 +176,106 @@ def dedup_documents_stream(docs, fingerprint_col: str = "fingerprint",
     ).dropDuplicatesWithinWatermark([fingerprint_col])
 
 
+NEARDUP_EVENT_SCHEMA = "url string, text string"
+NEARDUP_OUT_SCHEMA = "url string, band_sig string, status string, dup_of string"
+_NEARDUP_STATE_SCHEMA = "first_url string"
+
+
+def _neardup_state_func(key, pdfs, state, timeout_ms: int = 3_600_000):
+    """applyInPandasWithState body for streaming near-dup blocking: the
+    first document in a band bucket passes as status='first'; every
+    later same-bucket document is flagged 'near_dup_candidate' with the
+    first url attached (the batch verify join is the precision stage —
+    banding is the recall stage, same contract as batch LSH).
+    Processing-time timeout evicts idle buckets, bounding state."""
+    import pandas as pd
+
+    band_sig = key[0]
+    if state.hasTimedOut:
+        state.remove()
+        return
+    first_url = state.get[0] if state.exists else None
+    urls, statuses, dup_ofs = [], [], []
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            if first_url is None:
+                first_url = row.url
+                urls.append(row.url)
+                statuses.append("first")
+                dup_ofs.append(None)
+            else:
+                urls.append(row.url)
+                statuses.append("near_dup_candidate")
+                dup_ofs.append(first_url)
+    state.update((first_url,))
+    state.setTimeoutDuration(timeout_ms)
+    yield pd.DataFrame(
+        {"url": urls, "band_sig": [band_sig] * len(urls),
+         "status": statuses, "dup_of": dup_ofs}
+    )
+
+
+def neardup_candidates_stream(docs, band_idx: int = 0,
+                              timeout_ms: int = 3_600_000):
+    """Streaming NEAR-duplicate candidate detection — the streaming face
+    of batch MinHash LSH: each document's band signature is computed
+    ROW-LOCALLY (training/dedup.row_minhash_bands — a pure projection,
+    bit-identical to the batch signature path, so stream and batch
+    agree on blocking keys), then one stateful stage keyed by the
+    chosen band flags later same-bucket arrivals.
+
+    Single-band blocking trades recall for a single stateful operator
+    (Spark restricts chained stateful stages); run one query per band
+    for OR-amplification, or treat this as the cheap online screen with
+    the batch `minhash_lsh_verified` sweep as the precision backstop.
+    State is one url per occupied bucket, evicted by processing-time
+    timeout — bounded by bucket fan-out, not corpus size."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from .training.dedup import row_minhash_bands
+
+    keyed = docs.select(
+        "url",
+        F.element_at(row_minhash_bands(), band_idx + 1).alias("band_sig"),
+    ).filter(F.col("band_sig").isNotNull())
+    return keyed.groupBy("band_sig").applyInPandasWithState(
+        functools.partial(_neardup_state_func, timeout_ms=timeout_ms),
+        outputStructType=NEARDUP_OUT_SCHEMA,
+        stateStructType=_NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+
+
+def stream_neardup_docs(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    band_idx: int = 0,
+):
+    """File-source stream of (url, text) docs → streaming near-dup
+    blocking → parquet sink.  maxFilesPerTrigger=1 forces near-dups to
+    arrive in LATER micro-batches, exercising cross-batch band state."""
+    docs = (
+        spark.readStream.schema(NEARDUP_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    return (
+        neardup_candidates_stream(docs, band_idx=band_idx)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedup_docs(
     spark: SparkSession,
     docs_dir: str,

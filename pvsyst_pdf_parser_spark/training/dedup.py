@@ -253,6 +253,60 @@ def minhash_lsh_verified(docs: DataFrame, threshold: float = 0.01,
     )
 
 
+def row_minhash_bands(
+    text_col: str = "text", n: int = 3,
+    n_perms: int = N_PERMS, n_bands: int = N_BANDS,
+) -> "F.Column":
+    """Array of LSH band-signature strings computed ROW-LOCALLY (pure
+    higher-order-function expression — no explode, no groupBy, no
+    shuffle): the streaming-safe twin of the aggregated signature path,
+    bit-identical per document (pinned by
+    test_operators::test_row_minhash_bands_match_aggregated_path).
+
+    The batch path shuffles (doc, shingle) pairs because the shingle
+    posting table is ALSO needed for the verify join; a stream that
+    only needs the band key for stateful blocking computes it in-row
+    and never touches an aggregation — that keeps the dedup state op
+    the ONLY stateful stage in the streaming plan.  Docs shorter than
+    n tokens yield NULL (no shingles → nothing to block on)."""
+    if n_perms % n_bands:
+        raise ValueError(f"n_bands {n_bands} must divide n_perms {n_perms}")
+    rows_per_band = n_perms // n_bands
+    tokens = F.split(F.lower(F.col(text_col)), " ", -1)
+    shingles = F.array_distinct(
+        F.when(
+            F.size(tokens) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tokens, i + k) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    hs = F.transform(shingles, lambda s: md5_56(s) % F.lit(MERSENNE_P))
+    params = perm_params(n_perms)
+
+    def perm_min(j: int):
+        a, b = params[j]
+        return F.aggregate(
+            hs,
+            F.lit(MERSENNE_P).cast("bigint"),
+            lambda acc, h: F.least(acc, minhash_value(h, a, b)),
+        )
+
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[perm_min(bd * rows_per_band + r) for r in range(rows_per_band)],
+            )
+            for bd in range(n_bands)
+        ]
+    )
+    return F.when(F.size(shingles) > 0, bands)
+
+
 def simhash(docs: DataFrame, bits: int = 16, sample_mod: int = 10) -> DataFrame:
     """(doc_id, simhash) — token-hash bit-majority fingerprint."""
     docs = docs.filter(F.col("doc_id") % sample_mod == 0)

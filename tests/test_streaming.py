@@ -226,3 +226,85 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     assert sorted(by_fp) == [111, 222, 333]
     assert all(len(urls) == 1 for urls in by_fp.values())
     assert by_fp[111] == ["http://a"]  # first-wins, mirror dropped
+
+
+def test_row_minhash_bands_match_aggregated_path(spark):
+    """The row-local HOF band computation must be bit-identical to the
+    batch groupBy signature path — stream and batch agree on blocking
+    keys, so the online screen and the batch sweep see the same
+    buckets."""
+    import pyspark.sql.functions as F
+
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        N_BANDS,
+        N_PERMS,
+        _signatures_from_shingles,
+        doc_shingles,
+        row_minhash_bands,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows_per_band = N_PERMS // N_BANDS
+    sig = _signatures_from_shingles(doc_shingles(docs))
+    agg_bands = {
+        r["doc_id"]: [
+            "_".join(str(r[f"mh{b * rows_per_band + k}"])
+                     for k in range(rows_per_band))
+            for b in range(N_BANDS)
+        ]
+        for r in sig.collect()
+    }
+    row_bands = {
+        r["doc_id"]: r["bands"]
+        for r in docs.select(
+            "doc_id", row_minhash_bands().alias("bands")
+        ).collect()
+    }
+    assert agg_bands  # fixture corpus is non-trivial
+    for doc_id, expected in agg_bands.items():
+        assert row_bands[doc_id] == expected, doc_id
+
+
+def test_stream_neardup_candidates_across_batches(spark, tmp_path):
+    """Streaming near-dup blocking: a document arriving in a LATER
+    micro-batch whose band-0 signature collides with an earlier one is
+    flagged near_dup_candidate with the first url attached; distinct
+    docs pass as 'first'; short docs (no shingles) pass through the
+    filter untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from pvsyst_pdf_parser_spark.streaming import stream_neardup_docs
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_c = "completely different content about solar inverter reports here"
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+
+    def write_docs(name, rows):
+        urls, texts = zip(*rows)
+        pq.write_table(
+            pa.table({"url": pa.array(urls, pa.string()),
+                      "text": pa.array(texts, pa.string())}),
+            str(docs_dir / f"{name}.parquet"),
+        )
+
+    write_docs("b0", [("http://a", text_a), ("http://c", text_c)])
+    # identical text in a later batch -> same band signature, flagged
+    write_docs("b1", [("http://a-mirror", text_a), ("http://short", "too short")])
+
+    out_dir = str(tmp_path / "out")
+    q = stream_neardup_docs(
+        spark, str(docs_dir), out_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    rows = {r["url"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert rows["http://a"]["status"] == "first"
+    assert rows["http://c"]["status"] == "first"
+    assert rows["http://a-mirror"]["status"] == "near_dup_candidate"
+    assert rows["http://a-mirror"]["dup_of"] == "http://a"
+    assert "http://short" not in rows  # no shingles -> filtered upstream
