@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": lambda s, d: S.embedding_neardup_pairs(
             _emb(s, d)
         ),
+        # embedding near-dup pairs -> star clusters -> keep/drop verdict
+        "dedup_embedding_keepers": lambda s, d: S.embedding_dedup_keepers(
+            _emb(s, d)
+        ),
         "text_token_count": lambda s, d: X.token_count_stats(_docs(s, d)),
         "text_lang_id": lambda s, d: X.lang_id_heuristic(_docs(s, d)),
         "text_lang_id_multi": lambda s, d: X.lang_id_multi(_docs(s, d)),
@@ -834,6 +838,30 @@ FROM cand
 JOIN embeddings ea ON ea.vec_id = id_a
 JOIN embeddings eb ON eb.vec_id = id_b
 WHERE {_cos_sql("ea.embedding", "eb.embedding")} >= 0.35
+""",
+        # embedding pairs -> recursive-CTE components -> min-id keeper
+        "dedup_embedding_keepers": f"""
+WITH RECURSIVE bb AS ({_multiband_bucket_sql()}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bb x JOIN bb y USING (band_idx, bucket)
+  WHERE x.vec_id < y.vec_id),
+prs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = id_a
+  JOIN embeddings eb ON eb.vec_id = id_b
+  WHERE {_cos_sql("ea.embedding", "eb.embedding")} >= 0.35),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION SELECT id_b, id_a FROM prs),
+reach(src, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.src)
+SELECT src AS vec_id, min(label) AS cluster_rep,
+       (src = min(label))::int AS keep
+FROM reach GROUP BY src
 """,
         "dedup_simhash": f"""
 WITH toks AS (

@@ -428,6 +428,35 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_dedup_keepers(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    dim: int = 64,
+    n_bands: int = N_BANDS_ANN,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> DataFrame:
+    """The end-to-end EMBEDDING dedup decision: multi-band cosine
+    near-dup pairs → transitive clusters (giant-component-safe star
+    contraction) → one keeper per cluster (the minimum vec_id, which is
+    by construction the cluster representative) with explicit keep
+    flags — the embedding-space twin of the text-space
+    :func:`~pvsyst_pdf_parser_spark.training.dedup.dedup_keepers`.
+    Every stage is the bounded-bucketed form: banded candidates (never
+    all-pairs), O(log² n) contraction, one projection for the verdict."""
+    from .dedup import connected_components_stars
+
+    pairs = embedding_neardup_pairs(
+        emb, threshold=threshold, dim=dim,
+        n_bands=n_bands, planes_per_band=planes_per_band,
+    )
+    clusters = connected_components_stars(pairs, a="id_a", b="id_b")
+    return clusters.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_rep",
+        (F.col("doc_id") == F.col("cluster_rep")).cast("int").alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse quantizer → probe nearest cells
 # ---------------------------------------------------------------------------
@@ -610,6 +639,102 @@ def ivf_recall_report(
         "n_truth",
         F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
     )
+
+
+def tune_nprobe(
+    emb: DataFrame,
+    target_recall: float = 0.5,
+    probes: list | None = None,
+    n_queries: int = 20,
+    k: int = 5,
+    dim: int = 64,
+    n_cells: int = N_CELLS,
+    centroids: list | None = None,
+) -> dict:
+    """Walk n_probe operating points for the IVF index, measuring
+    recall@k (vs brute force) and the scanned posting-list fraction
+    for each; return the CHEAPEST point meeting ``target_recall`` — or
+    the max-recall point when none does — plus the measured curve.
+    The IVF twin of :func:`tune_bands` (same contract, same chosen/
+    curve shape, so an operator can A/B tuners across index families).
+
+    Plan shape mirrors the tuner lessons: brute-force truth and the
+    corpus home-cell assignment are probe-count-INDEPENDENT, so both
+    are computed once and persisted; each grid point only re-runs the
+    (tiny) query-side assignment at its n_probe and derives recall and
+    scanned fraction from one candidate set."""
+    from pyspark import StorageLevel
+
+    truth = (
+        brute_force_topk(emb, n_queries=n_queries, k=k)
+        .select("query_id", "cand_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_truth = truth.count()
+    home = (
+        ivf_assign(emb, dim, n_cells, n_probe=1, centroids=centroids)
+        .select(F.col("vec_id").alias("cand_id"), "cell")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    home.count()
+    total_pairs = n_queries * (emb.count() - 1)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    results = []
+    for n_probe in probes or [1, 2, 3, 4]:
+        probe_cells = ivf_assign(
+            emb.filter(F.col("vec_id") < n_queries), dim, n_cells,
+            n_probe=n_probe, centroids=centroids,
+        ).select(F.col("vec_id").alias("query_id"), "cell")
+        cands = (
+            probe_cells.join(home, "cell")
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id")
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_cands = cands.count()
+        scored = (
+            cands.join(F.broadcast(queries), "query_id")
+            .join(
+                emb.select(F.col("vec_id").alias("cand_id"), "embedding"),
+                "cand_id",
+            )
+            .withColumn(
+                "cos_sim",
+                F.round(cosine(F.col("q_emb"), F.col("embedding")), 3),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("cand_id")
+        )
+        approx = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id")
+        )
+        n_hits = truth.join(
+            approx, ["query_id", "cand_id"], "left_semi"
+        ).count()
+        cands.unpersist()
+        results.append(
+            {
+                "n_probe": n_probe,
+                "recall": float(round(n_hits / n_truth, 4)) if n_truth else 0.0,
+                "cand_fraction": round(
+                    n_cands / total_pairs if total_pairs else 0.0, 4
+                ),
+            }
+        )
+    truth.unpersist()
+    home.unpersist()
+    feasible = [x for x in results if x["recall"] >= target_recall]
+    if feasible:
+        chosen = min(feasible, key=lambda x: (x["cand_fraction"], -x["recall"]))
+    else:
+        chosen = max(results, key=lambda x: (x["recall"], -x["cand_fraction"]))
+    return {"chosen": chosen, "curve": results}
 
 
 def train_ivf_centroids(

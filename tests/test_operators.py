@@ -466,3 +466,75 @@ def test_short_doc_shingles_empty_not_crash(spark):
     assert all(r["doc_id"] != 0 for r in sh)  # short doc: no shingles
     pairs = ngram_jaccard_pairs(df, threshold=0.0, sample_mod=5).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(5, 10)}
+
+
+def test_tune_nprobe_monotone_and_cheapest_feasible(spark):
+    """tune_nprobe mirrors tune_bands for the IVF family: recall and
+    candidate fraction are non-decreasing in n_probe, the chosen point
+    is the cheapest feasible (or max-recall when infeasible), and the
+    probe-independent inputs (truth, home cells) are computed once."""
+    from pvsyst_pdf_parser_spark.training import simsearch as S
+
+    calls = {"truth": 0, "assign": 0}
+    real_truth, real_assign = S.brute_force_topk, S.ivf_assign
+
+    def counting_truth(*a, **kw):
+        calls["truth"] += 1
+        return real_truth(*a, **kw)
+
+    def counting_assign(*a, **kw):
+        calls["assign"] += 1
+        return real_assign(*a, **kw)
+
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    mp.setattr(S, "brute_force_topk", counting_truth)
+    mp.setattr(S, "ivf_assign", counting_assign)
+    try:
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = S.tune_nprobe(emb, target_recall=0.4, probes=[1, 2, 3],
+                            n_queries=10, k=3)
+    finally:
+        mp.undo()
+
+    curve = out["curve"]
+    assert [p["n_probe"] for p in curve] == [1, 2, 3]
+    for a, b in zip(curve, curve[1:]):
+        assert b["recall"] >= a["recall"]
+        assert b["cand_fraction"] >= a["cand_fraction"]
+    assert calls["truth"] == 1
+    assert calls["assign"] == 1 + len(curve)  # home once + one per probe
+    feasible = [p for p in curve if p["recall"] >= 0.4]
+    if feasible:
+        assert out["chosen"]["cand_fraction"] == min(
+            p["cand_fraction"] for p in feasible
+        )
+    else:
+        assert out["chosen"]["recall"] == max(p["recall"] for p in curve)
+
+
+def test_embedding_dedup_keepers_partition_and_flags(spark):
+    """Keeper flags: exactly one keeper per cluster, the keeper IS the
+    cluster rep (minimum vec_id), and every flagged row's cluster is
+    consistent with the pair graph."""
+    import pyspark.sql.functions as F
+
+    from pvsyst_pdf_parser_spark.training.simsearch import (
+        embedding_dedup_keepers,
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = embedding_dedup_keepers(emb).collect()
+    assert out
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_rep"], []).append(r)
+    for rep, rows in by_cluster.items():
+        keepers = [r for r in rows if r["keep"] == 1]
+        assert len(keepers) == 1
+        assert keepers[0]["vec_id"] == rep == min(r["vec_id"] for r in rows)
+    labels = {r["vec_id"]: r["cluster_rep"] for r in out}
+    for p in embedding_neardup_pairs(emb).collect():
+        assert labels[p["id_a"]] == labels[p["id_b"]]
