@@ -136,6 +136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), n_perms=64, n_bands=32
         ),
         "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
+        # pigeonhole-blocked hamming pairs over the simhash fingerprints
+        "dedup_simhash_pairs": lambda s, d: D.simhash_neardup_pairs(
+            _docs(s, d)
+        ),
         "dedup_clusters": lambda s, d: D.dedup_cluster_reps(_docs(s, d)),
         # same clusters via Kiveris star contraction (giant-component-
         # safe path); oracle is the identical recursive-CTE fixpoint
@@ -175,6 +179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_percentiles": lambda s, d: X.length_percentile_stats(
             _docs(s, d)
         ),
+        # the whole cleaning decision (lang + quality + dedup) per source
+        "cleaning_funnel": lambda s, d: X.cleaning_funnel_stats(_docs(s, d)),
         # web-scale url canonicalization over synthesized messy urls
         "url_canonicalize": lambda s, d: U.canonical_url_stats(_docs(s, d)),
         "multimodal_metadata": lambda s, d: (
@@ -345,6 +351,106 @@ SELECT doc_id, n_tokens,
        round((flag_word_len + flag_stopwords + flag_symbols + flag_ttr
               + flag_length) / 5.0, 4) AS quality2_score
 FROM f
+"""
+
+
+def _simhash_cte(sample_mod: int = 10, bits: int = 16) -> str:
+    """toks → per-token 56-bit hash → bit-majority simhash (shared by
+    the fingerprint and pigeonhole-pair oracles)."""
+    hv = _H56.format(expr="tok")
+    return f"""
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE doc_id % {sample_mod} = 0),
+h AS (SELECT doc_id, {hv} AS hv FROM toks WHERE tok <> ''),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+  FROM h, unnest(generate_series(0, {bits - 1})) AS t(b)
+  GROUP BY doc_id, b),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN votes > 0 THEN (1::bigint << b) ELSE 0 END)::bigint
+           AS simhash
+  FROM bits GROUP BY doc_id)"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, bits: int = 16,
+                       sample_mod: int = 10) -> str:
+    n_chunks = max_hamming + 1
+    width = bits // n_chunks
+    mask = (1 << width) - 1
+    popcnt = " + ".join(
+        f"((xor(sh_a, sh_b) >> {b}) & 1)" for b in range(bits)
+    )
+    return f"""
+WITH {_simhash_cte(sample_mod, bits)},
+ck AS (
+  SELECT doc_id, simhash, c AS chunk_idx,
+         ((simhash >> (c * {width})) & {mask}) AS chunk_key
+  FROM sh, unnest(generate_series(0, {n_chunks - 1})) AS t(c)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM ck a JOIN ck b USING (chunk_idx, chunk_key)
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, ({popcnt})::int AS hamming
+FROM cand WHERE ({popcnt}) <= {max_hamming}
+"""
+
+
+def _cleaning_funnel_sql() -> str:
+    """DuckDB replay of textstats.cleaning_funnel_stats (language gate
+    + Gopher/C4 quality gate + exact-dup first-copy gate)."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        LANG_MARKERS,
+        LANG_MIN_RATIO_DEN,
+    )
+
+    hit_exprs = ", ".join(
+        "(" + " + ".join(_count_sql("t", m) for m in markers) + f") AS h_{code}"
+        for code, markers in LANG_MARKERS
+    )
+    best = "greatest(" + ", ".join(f"h_{c}" for c, _ in LANG_MARKERS) + ")"
+    stop = " + ".join(_count_sql("t", m) for m in (" the ", " and ", " a "))
+    return f"""
+WITH s AS (
+  SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS t,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_distinct(string_split(text, ' '))) AS n_types
+  FROM documents),
+h AS (
+  SELECT doc_id, source, text, n_tokens, {hit_exprs},
+         (n_chars - (n_tokens - 1)) / n_tokens AS mwl,
+         n_types / n_tokens AS ttr,
+         ({stop}) AS stop_hits,
+         ({_count_sql("text", "#")} + {_count_sql("text", "...")})
+           AS symbol_hits
+  FROM s),
+f AS (
+  SELECT doc_id, source, text, n_tokens, {best} AS best,
+         ((mwl >= 3.0 AND mwl <= 10.0)::int + (stop_hits >= 2)::int
+          + (symbol_hits * 10 <= n_tokens)::int + (ttr >= 0.2)::int
+          + (n_tokens >= 50 AND n_tokens <= 100000)::int) AS q_flags
+  FROM h),
+g AS (
+  SELECT source,
+         (best * {LANG_MIN_RATIO_DEN} >= n_tokens AND best > 0)::int
+           AS pass_lang,
+         (q_flags >= 4)::int AS pass_quality,
+         (row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)::int
+           AS first_copy
+  FROM f)
+SELECT source, count(*) AS n_docs,
+       sum(pass_lang)::bigint AS n_pass_lang,
+       sum(pass_quality)::bigint AS n_pass_quality,
+       sum(first_copy)::bigint AS n_first_copy,
+       sum((pass_lang = 1 AND pass_quality = 1 AND first_copy = 1)::int)::bigint
+         AS n_retained,
+       round(sum((pass_lang = 1 AND pass_quality = 1
+                  AND first_copy = 1)::int) / count(*), 4) AS retention_rate
+FROM g GROUP BY source
 """
 
 
@@ -964,6 +1070,8 @@ SELECT CASE WHEN ({_H56.format(expr="doc_id::varchar")} % 100) < 10
        sum(length(text))::bigint AS n_chars_total
 FROM documents GROUP BY 1
 """,
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "cleaning_funnel": _cleaning_funnel_sql(),
         "text_length_percentiles": """
 SELECT source, count(*) AS n_docs,
        round(quantile_cont(len(string_split(text, ' ')), 0.5), 2)

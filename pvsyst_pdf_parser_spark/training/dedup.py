@@ -338,6 +338,65 @@ def simhash(docs: DataFrame, bits: int = 16, sample_mod: int = 10) -> DataFrame:
     )
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = 16,
+    sample_mod: int = 10,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming
+    via the pigeonhole blocking trick (Manku et al. 2007, public):
+    split the ``bits``-bit fingerprint into ``max_hamming + 1`` chunks —
+    any two fingerprints within Hamming distance max_hamming MUST agree
+    on at least one whole chunk — so candidates come from a chunk-keyed
+    equi-join (bounded by per-chunk bucket occupancy, never all-pairs),
+    then the exact Hamming distance verifies each candidate.
+
+    The Hamming popcount is an unrolled per-bit XOR sum (a ``bits``-term
+    integer expression) so the DuckDB oracle reproduces it exactly."""
+    n_chunks = max_hamming + 1
+    if bits % n_chunks:
+        raise ValueError(f"{n_chunks} chunks must divide {bits} bits")
+    width = bits // n_chunks
+    mask = (1 << width) - 1
+    sh = simhash(docs, bits=bits, sample_mod=sample_mod)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_idx"),
+                    (
+                        F.shiftright("simhash", c * width)
+                        .bitwiseAND(F.lit(mask))
+                    ).alias("chunk_key"),
+                )
+                for c in range(n_chunks)
+            ])
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk_idx", "ck.chunk_key")
+    cands = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk_idx", "chunk_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    x = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = sum(
+        F.shiftright(x, b).bitwiseAND(F.lit(1)) for b in range(bits)
+    ).cast("int")
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def connected_components(
     pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 20
 ) -> DataFrame:

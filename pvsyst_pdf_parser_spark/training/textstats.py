@@ -226,6 +226,79 @@ def repetition_stats(docs: DataFrame, n: int = 5, sample_mod: int = 10) -> DataF
     )
 
 
+def cleaning_funnel_stats(docs: DataFrame) -> DataFrame:
+    """The end-to-end corpus-cleaning FUNNEL in one pass: per source,
+    how many documents survive each gate and all gates together —
+
+    1. language gate: the multi-language stopword guess is not 'und'
+    2. quality gate: ≥ 4 of the 5 Gopher/C4 rules pass
+    3. exact-dup gate: first occurrence of the text (min doc_id keeps)
+
+    This is the decision report an operator reads before committing a
+    cleaning run — which source loses how much, and to which gate.
+    Plan: one projection computes every flag, ONE window over the text
+    hash ranks exact dups, one aggregation — the same shuffle count as
+    exact dedup alone."""
+    from pyspark.sql import Window
+
+    text = F.col("text")
+    spaced = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    toks = F.split(text, r" ", -1)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+
+    # language gate (same formula as lang_id_multi)
+    hit_cols = [
+        sum(_count_occurrences(spaced, m) for m in markers).alias(f"h_{code}")
+        for code, markers in LANG_MARKERS
+    ]
+    # quality gate (same flags as quality_scores_v2)
+    mean_word_len = (n_chars - (n_tokens - 1)) / n_tokens
+    stop_hits = sum(_count_occurrences(spaced, m) for m in EN_MARKERS)
+    symbol_hits = _count_occurrences(text, "#") + _count_occurrences(text, "...")
+    ttr = F.size(F.array_distinct(toks)) / n_tokens
+    q_flags = (
+        ((mean_word_len >= 3.0) & (mean_word_len <= 10.0)).cast("int")
+        + (stop_hits >= 2).cast("int")
+        + (symbol_hits * 10 <= n_tokens).cast("int")
+        + (ttr >= 0.2).cast("int")
+        + ((n_tokens >= 50) & (n_tokens <= 100_000)).cast("int")
+    )
+
+    base = docs.select(
+        "doc_id", "source", "text", n_tokens.alias("n_tokens"),
+        *hit_cols, q_flags.alias("q_flags"),
+    )
+    best = F.greatest(*[F.col(f"h_{c}") for c, _ in LANG_MARKERS])
+    pass_lang = (
+        (best * LANG_MIN_RATIO_DEN >= F.col("n_tokens")) & (best > 0)
+    ).cast("int")
+    pass_quality = (F.col("q_flags") >= 4).cast("int")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    flagged = base.withColumn("pass_lang", pass_lang).withColumn(
+        "pass_quality", pass_quality
+    ).withColumn("first_copy", (F.row_number().over(w) == 1).cast("int"))
+    retained = (
+        (F.col("pass_lang") == 1)
+        & (F.col("pass_quality") == 1)
+        & (F.col("first_copy") == 1)
+    ).cast("int")
+    return (
+        flagged.withColumn("retained", retained)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("pass_lang").alias("n_pass_lang"),
+            F.sum("pass_quality").alias("n_pass_quality"),
+            F.sum("first_copy").alias("n_first_copy"),
+            F.sum("retained").alias("n_retained"),
+            F.round(F.sum("retained") / F.count("*"), 4).alias(
+                "retention_rate"
+            ),
+        )
+    )
+
+
 def length_percentile_stats(docs: DataFrame) -> DataFrame:
     """Per-source token-length distribution (p50/p90/p99/max) — the
     corpus report an operator runs BEFORE choosing the Gopher length

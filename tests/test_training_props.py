@@ -238,3 +238,46 @@ def test_trained_ivf_centroids_improve_recall(spark, emb):
         emb, n_queries=20, k=5, centroids=cents
     ).collect()[0]["recall"]
     assert trained_rec >= hash_rec
+
+
+def test_simhash_pairs_pigeonhole_complete_and_bounded(spark, docs):
+    """Pigeonhole blocking must be COMPLETE for its guarantee: every
+    sampled doc pair with true Hamming distance <= max_hamming appears
+    in the output (chunk agreement is a theorem, not a heuristic), and
+    every emitted pair is correctly bounded and oriented."""
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        simhash,
+        simhash_neardup_pairs,
+    )
+
+    max_h = 3
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_neardup_pairs(docs, max_hamming=max_h,
+                                          sample_mod=1).collect()}
+    for (a, b), h in out.items():
+        assert a < b and 0 <= h <= max_h
+
+    fps = {r["doc_id"]: r["simhash"]
+           for r in simhash(docs, sample_mod=1).collect()}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            true_h = bin(fps[a] ^ fps[b]).count("1")
+            if true_h <= max_h:
+                assert (a, b) in out and out[(a, b)] == true_h
+            else:
+                assert (a, b) not in out
+
+
+def test_cleaning_funnel_gate_arithmetic(spark, docs):
+    """Funnel invariants: retained <= each individual gate count <=
+    n_docs; retention_rate consistent; totals cover the corpus."""
+    from pvsyst_pdf_parser_spark.training.textstats import cleaning_funnel_stats
+
+    rows = cleaning_funnel_stats(docs).collect()
+    assert rows
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        for gate in ("n_pass_lang", "n_pass_quality", "n_first_copy"):
+            assert 0 <= r["n_retained"] <= r[gate] <= r["n_docs"]
+        assert abs(r["retention_rate"] - round(r["n_retained"] / r["n_docs"], 4)) < 1e-9
