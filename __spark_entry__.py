@@ -168,6 +168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": lambda s, d: X.repetition_stats(_docs(s, d)),
         "stratified_sample": lambda s, d: SA.stratified_sample_stats(_docs(s, d)),
         "train_val_split": lambda s, d: SA.train_val_split_stats(_docs(s, d)),
+        # per-source token-budget mixing sample (prefix of hash order)
+        "token_budget_sample": lambda s, d: SA.token_budget_sample_stats(
+            _docs(s, d)
+        ),
         "text_quality_score": lambda s, d: X.quality_scores(_docs(s, d)),
         "text_quality_v2": lambda s, d: X.quality_scores_v2(_docs(s, d)),
         "doc_fingerprint": lambda s, d: X.doc_fingerprints(_docs(s, d)),
@@ -1127,6 +1131,23 @@ SELECT doc_id, raw_url,
   scheme || '://' || host || path
     || CASE WHEN query = '' THEN '' ELSE '?' || query END AS canonical_url
 FROM s
+""",
+        "token_budget_sample": f"""
+WITH b AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+         {_H56.format(expr="doc_id::varchar")} AS hk
+  FROM documents),
+c AS (
+  SELECT source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM b)
+SELECT source, count(*) AS n_docs,
+       sum((cum <= 2000)::int)::bigint AS n_selected,
+       sum(CASE WHEN cum <= 2000 THEN n_tokens ELSE 0 END)::bigint
+         AS tokens_selected
+FROM c GROUP BY source
 """,
         "doc_fingerprint": (
             "SELECT doc_id, "

@@ -66,6 +66,9 @@ HEADLINE = [
     "text_unigram_logprob",
     "text_length_percentiles",
     "url_canonicalize",
+    "dedup_simhash_pairs",
+    "cleaning_funnel",
+    "token_budget_sample",
 ]
 
 

@@ -42,6 +42,52 @@ def stratified_sample_stats(docs: DataFrame, pct: int = 20) -> DataFrame:
     )
 
 
+def token_budget_sample_stats(
+    docs: DataFrame, budget_tokens: int = 2000
+) -> DataFrame:
+    """Per-source TOKEN-budget sampling — the data-MIXING primitive
+    ("take ~N tokens from each source for this training mix"):
+    documents are ordered by (md5 hash of the key, key) — a
+    reproducible pseudo-random order, not head-of-corpus bias — and
+    selected while the running token total stays within the budget.
+
+    Plan: one window (cumulative sum per source over the hash order) +
+    one aggregation.  The source partitions shuffle once; a skewed
+    giant source is the known hot key — mitigate with the salting
+    pattern (demo_queries.salted_hot_key_agg) or per-source range
+    partitioning when one source dominates the corpus.
+
+    Selection is a prefix of a deterministic order, so re-runs pick the
+    SAME documents; unlike per-key percentage sampling, ADDING data can
+    displace previously selected docs near the budget boundary — use
+    :func:`stratified_sample_stats` when per-key stability matters more
+    than an exact token budget."""
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.col("text"), " ", -1))
+    base = docs.select(
+        "source", "doc_id", n_tokens.alias("n_tokens"),
+        md5_56(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    sel = (cum <= budget_tokens).cast("int")
+    return (
+        base.withColumn("selected", sel)
+        .withColumn("sel_tokens", F.col("selected") * F.col("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("selected").alias("n_selected"),
+            F.sum("sel_tokens").cast("bigint").alias("tokens_selected"),
+        )
+    )
+
+
 def train_val_split_stats(docs: DataFrame, val_pct: int = 10) -> DataFrame:
     """(split, n_docs, n_chars_total): deterministic train/val split by
     key hash.  Per-key assignment means adding documents never moves an

@@ -281,3 +281,22 @@ def test_cleaning_funnel_gate_arithmetic(spark, docs):
         for gate in ("n_pass_lang", "n_pass_quality", "n_first_copy"):
             assert 0 <= r["n_retained"] <= r[gate] <= r["n_docs"]
         assert abs(r["retention_rate"] - round(r["n_retained"] / r["n_docs"], 4)) < 1e-9
+
+
+def test_token_budget_sample_budget_and_determinism(spark, docs):
+    """The per-source token budget is never exceeded, selection is a
+    deterministic prefix (re-runs identical), and every source with at
+    least one doc under budget selects something."""
+    from pvsyst_pdf_parser_spark.training.sampling import (
+        token_budget_sample_stats,
+    )
+
+    budget = 500
+    a = sorted(tuple(r) for r in
+               token_budget_sample_stats(docs, budget).collect())
+    b = sorted(tuple(r) for r in
+               token_budget_sample_stats(docs, budget).collect())
+    assert a == b  # deterministic
+    for (_, n_docs, n_sel, toks) in a:
+        assert 0 <= n_sel <= n_docs
+        assert toks <= budget
