@@ -102,7 +102,46 @@ def _pvsyst_extract_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order IS the driver's run order, and the driver's correctness
+    # budget can truncate the tail (it did in round 4: stopped at 50/55).
+    # So the queries whose hard signal matters most run FIRST: the
+    # flagship whole-pipeline differential, then queries that have never
+    # had (or lost) a driver verdict; redundant demo-class relational
+    # queries go last — they are the right rows to lose to a truncated
+    # run.
     return {
+        # flagship extraction (differential hash oracle vs the committed
+        # reference-golden parquet; full byte gate in pytest)
+        "pvsyst_extract_smoke": _pvsyst_extract_smoke,
+        # web-scale url canonicalization over synthesized messy urls
+        "url_canonicalize": lambda s, d: U.canonical_url_stats(_docs(s, d)),
+        # REAL header decode: deterministic PNG/JPEG/GIF payloads whose
+        # dimensions are read back from the encoded header fields (pure
+        # public-spec byte parsing, no codec library); the oracle
+        # replays the generator arithmetic
+        "multimodal_image_headers": lambda s, d: (
+            _ensure_workers_have_repo(s),
+            M.image_header_metadata(_docs(s, d)),
+        )[1],
+        "multimodal_metadata": lambda s, d: (
+            _ensure_workers_have_repo(s),
+            M.extract_media_metadata(_docs(s, d)),
+        )[1],
+        "multimodal_frame_sample": lambda s, d: (
+            _ensure_workers_have_repo(s),
+            M.sample_frames(_docs(s, d)),
+        )[1],
+        # same clusters via Kiveris star contraction (giant-component-
+        # safe path, auto-dispatched); oracle is the identical
+        # recursive-CTE fixpoint.  Failed in r04 (ANSI overflow in the
+        # fixpoint probe, fixed in r05) — run early for a fresh verdict.
+        "dedup_clusters_stars": lambda s, d: D.dedup_cluster_reps(
+            _docs(s, d), algo="stars"
+        ),
+        # embedding near-dup pairs -> star clusters -> keep/drop verdict
+        "dedup_embedding_keepers": lambda s, d: S.embedding_dedup_keepers(
+            _emb(s, d)
+        ),
         # relational operator classes (SURVEY §2)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "broadcast_join_revenue": Q.broadcast_join_revenue,
@@ -141,11 +180,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "dedup_clusters": lambda s, d: D.dedup_cluster_reps(_docs(s, d)),
-        # same clusters via Kiveris star contraction (giant-component-
-        # safe path); oracle is the identical recursive-CTE fixpoint
-        "dedup_clusters_stars": lambda s, d: D.dedup_cluster_reps(
-            _docs(s, d), algo="stars"
-        ),
         "dedup_keepers": lambda s, d: D.dedup_keepers(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: S.brute_force_topk(_emb(s, d)),
         "ann_lsh_buckets": lambda s, d: S.lsh_bucket_stats(_emb(s, d)),
@@ -156,10 +190,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": lambda s, d: S.ivf_recall_report(_emb(s, d)),
         "ann_recall": lambda s, d: S.ann_recall_report(_emb(s, d)),
         "dedup_embedding_cosine": lambda s, d: S.embedding_neardup_pairs(
-            _emb(s, d)
-        ),
-        # embedding near-dup pairs -> star clusters -> keep/drop verdict
-        "dedup_embedding_keepers": lambda s, d: S.embedding_dedup_keepers(
             _emb(s, d)
         ),
         "text_token_count": lambda s, d: X.token_count_stats(_docs(s, d)),
@@ -185,27 +215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # the whole cleaning decision (lang + quality + dedup) per source
         "cleaning_funnel": lambda s, d: X.cleaning_funnel_stats(_docs(s, d)),
-        # web-scale url canonicalization over synthesized messy urls
-        "url_canonicalize": lambda s, d: U.canonical_url_stats(_docs(s, d)),
-        "multimodal_metadata": lambda s, d: (
-            _ensure_workers_have_repo(s),
-            M.extract_media_metadata(_docs(s, d)),
-        )[1],
-        "multimodal_frame_sample": lambda s, d: (
-            _ensure_workers_have_repo(s),
-            M.sample_frames(_docs(s, d)),
-        )[1],
-        # REAL header decode: deterministic PNG/JPEG/GIF payloads whose
-        # dimensions are read back from the encoded header fields (pure
-        # public-spec byte parsing, no codec library); the oracle
-        # replays the generator arithmetic
-        "multimodal_image_headers": lambda s, d: (
-            _ensure_workers_have_repo(s),
-            M.image_header_metadata(_docs(s, d)),
-        )[1],
-        # flagship extraction (differential hash oracle vs the committed
-        # reference-golden parquet; full byte gate in pytest)
-        "pvsyst_extract_smoke": _pvsyst_extract_smoke,
     }
 
 

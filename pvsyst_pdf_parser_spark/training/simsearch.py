@@ -443,13 +443,13 @@ def embedding_dedup_keepers(
     :func:`~pvsyst_pdf_parser_spark.training.dedup.dedup_keepers`.
     Every stage is the bounded-bucketed form: banded candidates (never
     all-pairs), O(log² n) contraction, one projection for the verdict."""
-    from .dedup import connected_components_stars
+    from .dedup import connected_components_auto
 
     pairs = embedding_neardup_pairs(
         emb, threshold=threshold, dim=dim,
         n_bands=n_bands, planes_per_band=planes_per_band,
     )
-    clusters = connected_components_stars(pairs, a="id_a", b="id_b")
+    clusters = connected_components_auto(pairs, a="id_a", b="id_b")
     return clusters.select(
         F.col("doc_id").alias("vec_id"),
         "cluster_rep",

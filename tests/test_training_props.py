@@ -179,6 +179,83 @@ def test_stars_cc_long_path_and_parity_with_propagation(spark, docs):
     assert by_prop == by_stars
 
 
+def test_edge_signature_overflow_free_on_sign_uniform_hashes(spark):
+    """The fixpoint probe must survive edge sets whose xxhash64 values
+    are SIGN-UNIFORM (all positive), where a sum-based checksum
+    overflows LongType with certainty — the exact ANSI
+    ARITHMETIC_OVERFLOW that killed dedup_clusters_stars and
+    dedup_embedding_keepers in the round-4 driver run (the old graphs
+    passed only because their hash signs happened to cancel).  bit_xor
+    is closed over 64 bits, so the probe must return the exact XOR of
+    the per-edge hashes."""
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        _edge_signature,
+        connected_components_stars,
+    )
+
+    base = spark.range(4000).select(
+        F.col("id").alias("u"), (F.col("id") + 100_000).alias("v")
+    )
+    rows = (
+        base.withColumn("h", F.xxhash64("u", "v"))
+        .filter(F.col("h") > 0)
+        .collect()
+    )
+    # Sign-uniform by construction: the old F.sum(xxhash64) probe would
+    # blow past 2^63 on these (ANSI -> hard error, non-ANSI -> silent
+    # wraparound).
+    assert sum(r["h"] for r in rows) > 2**63
+    edges = spark.createDataFrame(
+        [(r["u"], r["v"]) for r in rows], "u bigint, v bigint"
+    )
+    n, h = _edge_signature(edges)
+    assert n == len(rows)
+    expected = 0
+    for r in rows:
+        expected ^= r["h"] & 0xFFFFFFFFFFFFFFFF
+    if expected >= 2**63:  # back to two's-complement signed
+        expected -= 2**64
+    assert h == expected
+
+    # And the full contraction completes on the same sign-uniform set
+    # (disjoint 2-node components: everything labels to its min).
+    labels = connected_components_stars(
+        edges.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
+    )
+    assert labels.filter(F.col("cluster_rep") != F.col("doc_id") % 100_000).count() == 0
+
+
+def test_cc_auto_dispatch_parity_and_long_chain_fallback(spark, docs):
+    """connected_components_auto must (a) agree exactly with both
+    underlying algorithms on a real near-dup graph, and (b) recover via
+    star contraction when the small-graph propagation path hits a long
+    chain whose diameter exceeds its round budget — instead of raising."""
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        connected_components_auto,
+        connected_components_stars,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.0)
+    by_auto = sorted(
+        (r["doc_id"], r["cluster_rep"])
+        for r in connected_components_auto(pairs).collect()
+    )
+    by_stars = sorted(
+        (r["doc_id"], r["cluster_rep"])
+        for r in connected_components_stars(pairs).collect()
+    )
+    assert by_auto == by_stars
+
+    n = 64  # small edge count, diameter 63 > propagation's 20 rounds
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    labels = connected_components_auto(chain)
+    assert labels.count() == n
+    assert labels.filter(F.col("cluster_rep") != 0).count() == 0
+
+
 def test_release_persisted_drains_tracked_cache(spark, docs):
     """Operators persist fan-out intermediates (shingle frames, bucket
     projections) through the tracked scope; release_persisted() must
