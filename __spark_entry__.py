@@ -1125,8 +1125,11 @@ p AS (
         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(80|443)$', '') AS host,
     regexp_extract(raw_url,
         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS raw_path,
-    regexp_replace(regexp_replace(regexp_extract(raw_url, '\?([^#]*)', 1),
-        '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g'), '[&]+$', '') AS query
+    regexp_replace(regexp_replace(regexp_replace(
+        regexp_extract(raw_url, '\?([^#]*)', 1),
+        '&(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+        '^(utm_[a-z]+|fbclid|gclid)=[^&]*&?', ''),
+        '[&]+$', '') AS query
   FROM r),
 q AS (
   SELECT doc_id, raw_url, scheme, host, query,

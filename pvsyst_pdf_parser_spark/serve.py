@@ -79,14 +79,26 @@ def _make_handler(spark, max_payload_bytes: int = MAX_PAYLOAD_BYTES):
                 self._json(404, json.dumps({"detail": "not found"}))
                 return
             # Malformed headers must yield a clean 4xx, not an unhandled
-            # exception (connection reset); chunked uploads have no
-            # Content-Length at all — reject explicitly with 411 rather
-            # than silently reading an empty body.
+            # exception (connection reset).  Chunked transfer encoding is
+            # not implemented here: a chunked request WITH Content-Length
+            # is the classic request-smuggling ambiguity (RFC 9112 §6.1
+            # says Transfer-Encoding wins; reading by Content-Length
+            # would swallow chunk framing into the body) — reject 400
+            # whenever chunked is present, 411 when there is no length
+            # at all.
             raw_len = self.headers.get("Content-Length")
-            if raw_len is None and "chunked" in (
+            if "chunked" in (
                 self.headers.get("Transfer-Encoding") or ""
             ).lower():
-                self._json(411, json.dumps({"detail": "Length Required"}))
+                if raw_len is None:
+                    self._json(411, json.dumps({"detail": "Length Required"}))
+                else:
+                    self._json(
+                        400,
+                        json.dumps(
+                            {"detail": "Transfer-Encoding: chunked is not supported."}
+                        ),
+                    )
                 return
             try:
                 length = int(raw_len or "0")

@@ -67,6 +67,14 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int, str] | None:
         while i + 4 <= n:
             if payload[i] != 0xFF:
                 return None
+            # ITU-T T.81 §B.1.1.2: any number of 0xFF FILL bytes may
+            # precede a marker code.  Without this skip a fill byte
+            # reads as marker==0xFF, falls into the segment-length
+            # branch and walks garbage (ADVICE r4).
+            while i + 1 < n and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > n:
+                return None
             marker = payload[i + 1]
             if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
                 i += 2

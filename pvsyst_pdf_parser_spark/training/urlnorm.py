@@ -29,7 +29,19 @@ _SCHEME_PAT = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOST_PAT = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_PAT = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
 _QUERY_PAT = r"\?([^#]*)"
-_TRACKING_PAT = r"(utm_[a-z]+|fbclid|gclid)=[^&]*&?"
+# Tracking-param removal is BOUNDARY-ANCHORED in two passes: an
+# unanchored pattern partially strips any param whose name merely ends
+# in a tracking name ('a=1&myfbclid=2&b=3' -> 'a=1&myb=3' — unrelated
+# params merged into a corrupted one, so distinct urls could collide
+# and identical urls diverge).  Pass 1 strips '&name=value' mid-query
+# (the '&' must IMMEDIATELY precede the tracking name); pass 2 strips a
+# leading 'name=value&?'.  Running mid before lead makes a run of
+# leading tracking params collapse correctly ('utm_a=1&utm_b=2&id=3':
+# mid drops '&utm_b=2', lead then drops 'utm_a=1&').  Plain anchors +
+# alternation only — no backreferences/lookaround, portable to RE2,
+# Java regex and DuckDB alike.
+_TRACKING_MID_PAT = r"&(utm_[a-z]+|fbclid|gclid)=[^&]*"
+_TRACKING_LEAD_PAT = r"^(utm_[a-z]+|fbclid|gclid)=[^&]*&?"
 
 
 def canonicalize_url(col: Column) -> Column:
@@ -44,7 +56,8 @@ def canonicalize_url(col: Column) -> Column:
         F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     )
     query = F.regexp_extract(u, _QUERY_PAT, 1)
-    query = F.regexp_replace(query, _TRACKING_PAT, "")
+    query = F.regexp_replace(query, _TRACKING_MID_PAT, "")
+    query = F.regexp_replace(query, _TRACKING_LEAD_PAT, "")
     query = F.regexp_replace(query, r"[&]+$", "")
     return F.concat(
         scheme,

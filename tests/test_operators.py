@@ -364,6 +364,13 @@ def test_parse_image_header_real_bytes():
     jpeg = b"\xff\xd8" + app0 + dqt + sof2 + b"\xff\xd9"
     assert parse_image_header(jpeg) == (456, 123, 1, "image/jpeg")
 
+    # T.81 §B.1.1.2 permits 0xFF FILL bytes before any marker — a padded
+    # JPEG must still yield its real header values, not the stub
+    # fallback (ADVICE r4: a fill byte read as marker==0xFF walked
+    # garbage and returned None).
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + app0 + b"\xff" + dqt + sof2
+    assert parse_image_header(padded) == (456, 123, 1, "image/jpeg")
+
     gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00\x00\x00"
     assert parse_image_header(gif) == (320, 200, 1, "image/gif")
 
@@ -413,6 +420,22 @@ def test_canonicalize_url_rules(spark):
         ("https://h.example.com/CaseKept/Q?X=Y",
          "https://h.example.com/CaseKept/Q?X=Y"),
         ("https://h.example.com:8443/p", "https://h.example.com:8443/p"),
+        # Boundary anchoring (ADVICE r4): a param whose name merely ENDS
+        # in a tracking name must survive intact — the old unanchored
+        # pattern corrupted this to ?a=1&myb=3.
+        ("https://h.example.com/p?a=1&myfbclid=2&b=3",
+         "https://h.example.com/p?a=1&myfbclid=2&b=3"),
+        ("https://h.example.com/p?xutm_source=f",
+         "https://h.example.com/p?xutm_source=f"),
+        # Run of leading tracking params collapses fully (mid pass
+        # before lead pass), with and without a survivor.
+        ("https://h.example.com/p?utm_a=1&utm_b=2&id=3",
+         "https://h.example.com/p?id=3"),
+        ("https://h.example.com/p?utm_a=1&gclid=x",
+         "https://h.example.com/p"),
+        # Tracking name as a prefix of a longer param name survives.
+        ("https://h.example.com/p?gclid2=x&q=1",
+         "https://h.example.com/p?gclid2=x&q=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "raw string")
     got = [r["c"] for r in

@@ -102,3 +102,16 @@ def test_malformed_content_length_and_chunked_rejected(spark):
             ["Content-Type: application/pdf", "Transfer-Encoding: chunked"],
         )
         assert resp.split(b"\r\n", 1)[0].split()[1] == b"411"
+
+        # Chunked WITH a Content-Length is the request-smuggling
+        # ambiguity (RFC 9112 §6.1) — must be refused outright with 400,
+        # never served by reading Content-Length bytes of chunk framing.
+        resp = raw_request(
+            srv.url,
+            [
+                "Content-Type: application/pdf",
+                "Transfer-Encoding: chunked",
+                "Content-Length: 10",
+            ],
+        )
+        assert resp.split(b"\r\n", 1)[0].split()[1] == b"400"
