@@ -5,7 +5,11 @@ skewed pages table.  Prints ONE JSON line:
 
   {"metric": "total_sec", "value": N, "unit": "sec",
    "queries": {...per-query min-of-N sec...}, "sf": 0.1,
-   "extraction_docs_per_sec": R, "host": {...}, ...}
+   "extraction_docs_per_sec": R, ...}
+
+sized to fit the driver's bounded stdout tail; the FULL artifact
+(per-rep times, host spin/loadavg samples) is written to
+BENCH/bench_full.json.
 
 CONTENTION-AWARE since round 4: this host's external load swings wall
 times 1.5-2x between consecutive runs (BENCH_r03 inflated every
@@ -15,13 +19,14 @@ untouched query ~1.5x vs r2 purely from a noisy window), so
   robust to one-sided noise;
 - a pure CPU-spin throughput sample (no Spark — the same technique as
   scripts/scaling_bench.py's host-capacity ceiling) plus /proc/loadavg
-  are recorded BEFORE and AFTER the query loop into the JSON, so a
-  depressed spin rate / elevated loadavg flags the window itself as
-  contended and round-over-round comparisons can discount it.
+  are recorded BEFORE and AFTER the query loop into the full artifact,
+  so a depressed spin rate / elevated loadavg flags the window itself
+  as contended and round-over-round comparisons can discount it.
 
 "value" is the sum of per-query minima plus the extraction minimum
 (the regression-tracking number); "wall_sec_all_reps" is the actual
-wall clock spent.  Per-rep times are kept under "queries_all".
+wall clock spent.  Per-rep times are kept under "queries_all" in
+BENCH/bench_full.json.
 
 Scaling (local[8] vs local[32]) is measured by scripts/scaling_bench.py
 → BENCH/BASELINE.md (one JVM can't switch master mid-process).
@@ -174,7 +179,12 @@ def main() -> None:
     host["loadavg_after"] = loadavg1()
     host["spin_ips_after"] = host_spin_sample(cpus)
 
-    result = {
+    # Compact headline (the driver captures only a bounded stdout tail —
+    # round 4's single fat line with per-rep arrays outgrew it and
+    # BENCH_r04 parsed as null): per-query MINIMA only, last stdout
+    # line.  The full artifact (per-rep times, host samples) goes to a
+    # file for the humans/judge.
+    headline = {
         "metric": "total_sec",
         "value": round(sum(timings.values()) + extract_sec, 3),
         "unit": "sec",
@@ -182,15 +192,23 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "reps": reps,
-        "queries_all": timings_all,
-        "wall_sec_all_reps": round(time.time() - t_total, 3),
-        "extraction_docs": n_out,
-        "extraction_sec": extract_sec,
-        "extraction_sec_all": extract_times,
         "extraction_docs_per_sec": round(n_out / extract_sec, 2),
-        "host": host,
+        "full_artifact": "BENCH/bench_full.json",
     }
-    print(json.dumps(result))
+    full = dict(
+        headline,
+        queries_all=timings_all,
+        wall_sec_all_reps=round(time.time() - t_total, 3),
+        extraction_docs=n_out,
+        extraction_sec=extract_sec,
+        extraction_sec_all=extract_times,
+        host=host,
+    )
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
