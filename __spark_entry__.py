@@ -68,6 +68,18 @@ def _emb(spark, sf_dir):
 _SMOKE_GOLDENS = os.path.join(_REPO, "fixtures", "smoke_goldens.parquet")
 
 
+def _trained_centroids() -> list[list[float]]:
+    """Frozen Lloyd-trained IVF centroids (scripts/train_ivf.py).  The
+    committed JSON is the single source of truth: both the Spark plan
+    (numpy closure literals) and the DuckDB oracle (DOUBLE[] literals
+    via repr) embed exactly these floats, the same way a production job
+    broadcasts retrained model parameters."""
+    import json
+
+    with open(os.path.join(_REPO, "fixtures", "ivf_trained_centroids.json")) as f:
+        return json.load(f)["centroids"]
+
+
 def _pvsyst_extract_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship extraction pipeline on deterministically generated fixture
     pages.  The oracle reads fixtures/smoke_goldens.parquet — the
@@ -141,6 +153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding near-dup pairs -> star clusters -> keep/drop verdict
         "dedup_embedding_keepers": lambda s, d: S.embedding_dedup_keepers(
             _emb(s, d)
+        ),
+        # trained (Lloyd) IVF centroids vs hash anchors, A/B'd on one
+        # shared brute-force truth — the driver row that makes the
+        # training win visible (recall: trained >= anchors)
+        "ann_ivf_trained_recall": lambda s, d: S.ivf_trained_recall_ab(
+            _emb(s, d), _trained_centroids()
         ),
         # relational operator classes (SURVEY §2)
         "q1_pricing_summary": Q.q1_pricing_summary,
@@ -527,14 +545,29 @@ _CENTROID = (
 )
 
 
-def _ivf_scores_sql(n_cells: int = 8) -> str:
-    """Long-form (vec_id, cell, score) over all cells (UNION ALL)."""
-    from pvsyst_pdf_parser_spark.training.simsearch import centroid_half_norm
+def _ivf_scores_sql(n_cells: int = 8, centroids: list | None = None) -> str:
+    """Long-form (vec_id, cell, score) over all cells (UNION ALL).
+
+    ``centroids`` swaps the hash-anchor formula for TRAINED cells: each
+    centroid becomes an explicit DOUBLE[] literal (``repr`` round-trips
+    Python floats exactly, so both engines subtract bit-identical
+    half-norm constants and dot identical cell vectors — the same
+    literal-embedding contract as the hash anchors)."""
+    from pvsyst_pdf_parser_spark.training.simsearch import (
+        _seq_half_norm,
+        centroid_half_norm,
+    )
 
     parts = []
+    if centroids is not None:
+        n_cells = len(centroids)
     for c in range(n_cells):
-        cent = _CENTROID.format(cb=(c + 101) * 40503)
-        hn = repr(centroid_half_norm(64, c))
+        if centroids is None:
+            cent = _CENTROID.format(cb=(c + 101) * 40503)
+            hn = repr(centroid_half_norm(64, c))
+        else:
+            cent = "[" + ", ".join(repr(v) for v in centroids[c]) + "]::DOUBLE[]"
+            hn = repr(_seq_half_norm(centroids[c]))
         parts.append(
             f"SELECT vec_id, {c} AS cell, "
             f"list_dot_product(embedding::DOUBLE[], {cent}) - {hn} AS score "
@@ -543,9 +576,9 @@ def _ivf_scores_sql(n_cells: int = 8) -> str:
     return " UNION ALL ".join(parts)
 
 
-def _ivf_rank_cte(n_cells: int = 8) -> str:
+def _ivf_rank_cte(n_cells: int = 8, centroids: list | None = None) -> str:
     return f"""
-s AS ({_ivf_scores_sql(n_cells)}),
+s AS ({_ivf_scores_sql(n_cells, centroids)}),
 r AS (SELECT vec_id, cell,
              row_number() OVER (PARTITION BY vec_id
                                 ORDER BY score DESC, cell) AS rk
@@ -575,9 +608,12 @@ SELECT query_id, cand_id, cos_sim, rank::int AS rank FROM rr WHERE rank <= {k}
 """
 
 
-def _ivf_recall_sql(n_queries: int = 20, k: int = 5, n_probe: int = 2) -> str:
+def _ivf_recall_sql(
+    n_queries: int = 20, k: int = 5, n_probe: int = 2,
+    centroids: list | None = None,
+) -> str:
     return f"""
-WITH RECURSIVE {_ivf_rank_cte()},
+WITH RECURSIVE {_ivf_rank_cte(centroids=centroids)},
 home AS (SELECT vec_id AS cand_id, cell FROM r WHERE rk = 1),
 probes AS (SELECT vec_id AS query_id, cell FROM r
            WHERE rk <= {n_probe} AND vec_id < {n_queries}),
@@ -611,6 +647,16 @@ SELECT {n_queries} AS n_queries, {k} AS k,
        (SELECT count(*) FROM truth) AS n_truth,
        round((SELECT count(*) FROM hits) / (SELECT count(*) FROM truth), 4)
          AS recall
+"""
+
+
+def _ivf_trained_recall_ab_sql() -> str:
+    """A/B: hash-anchor IVF recall vs trained-centroid IVF recall, one
+    row per variant (mirrors simsearch.ivf_trained_recall_ab)."""
+    return f"""
+SELECT 'anchors' AS variant, * FROM ({_ivf_recall_sql()})
+UNION ALL
+SELECT 'trained' AS variant, * FROM ({_ivf_recall_sql(centroids=_trained_centroids())})
 """
 
 
@@ -944,6 +990,7 @@ FROM r WHERE rk = 1 GROUP BY cell
 """,
         "ann_ivf_topk": _ivf_topk_sql(),
         "ann_ivf_recall": _ivf_recall_sql(),
+        "ann_ivf_trained_recall": _ivf_trained_recall_ab_sql(),
         "ann_recall": _ann_recall_sql(),
         "dedup_embedding_cosine": f"""
 WITH bb AS ({_multiband_bucket_sql()}),

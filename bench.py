@@ -74,6 +74,8 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "cleaning_funnel",
     "token_budget_sample",
+    # round-5 operators
+    "ann_ivf_trained_recall",
 ]
 
 

@@ -614,6 +614,7 @@ def ivf_recall_report(
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
     centroids: list | None = None,
+    truth: DataFrame | None = None,
 ) -> DataFrame:
     """recall@k of IVF ANN vs the brute-force baseline (mirror of
     :func:`ann_recall_report` for the cell-probing index — the two
@@ -621,10 +622,12 @@ def ivf_recall_report(
     per corpus).  Expected n_probe/n_cells of the corpus is scanned, so
     recall ≈ fraction of true neighbors in the probed cells; raise
     n_probe to buy recall.  ``centroids`` A/Bs trained cells against
-    the hash anchors."""
-    truth = brute_force_topk(emb, n_queries=n_queries, k=k).select(
-        "query_id", "cand_id"
-    )
+    the hash anchors; ``truth`` injects a precomputed (and persisted)
+    brute-force top-k so A/B callers pay for the exact baseline once."""
+    if truth is None:
+        truth = brute_force_topk(emb, n_queries=n_queries, k=k).select(
+            "query_id", "cand_id"
+        )
     approx = ivf_topk(
         emb, n_queries=n_queries, k=k, dim=dim,
         n_cells=n_cells, n_probe=n_probe, centroids=centroids,
@@ -788,6 +791,44 @@ def train_ivf_centroids(
                 new_c[cell][pos] = m
         centroids = new_c
     return centroids
+
+
+def ivf_trained_recall_ab(
+    emb: DataFrame,
+    centroids: list,
+    n_queries: int = 20,
+    k: int = 5,
+    dim: int = 64,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """A/B recall report: the deterministic hash-anchor IVF vs the SAME
+    index topology with TRAINED (Lloyd k-means) centroids — one row per
+    variant, shared schema with :func:`ivf_recall_report` plus a
+    leading ``variant`` column.  The expensive exact brute-force truth
+    is computed once and persisted (scoped cache), then reused by both
+    variants — the only cost difference between the arms is the cell
+    assignment matmul, exactly as on a real corpus where the operator
+    A/Bs a retrained quantizer before swapping it in.
+
+    Trained centroids reach the plan as driver-side float literals
+    (fixtures/ivf_trained_centroids.json, regenerated by
+    scripts/train_ivf.py), the same way a production job broadcasts
+    model parameters with the closure."""
+    from .cache import persist_tracked
+
+    truth = persist_tracked(
+        brute_force_topk(emb, n_queries=n_queries, k=k).select(
+            "query_id", "cand_id"
+        )
+    )
+    kw = dict(n_queries=n_queries, k=k, dim=dim, n_cells=n_cells,
+              n_probe=n_probe, truth=truth)
+    anchors = ivf_recall_report(emb, **kw)
+    trained = ivf_recall_report(emb, centroids=centroids, **kw)
+    return anchors.select(F.lit("anchors").alias("variant"), "*").unionByName(
+        trained.select(F.lit("trained").alias("variant"), "*")
+    )
 
 
 def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 3, dim: int = 64) -> DataFrame:

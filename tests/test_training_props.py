@@ -317,6 +317,40 @@ def test_trained_ivf_centroids_improve_recall(spark, emb):
     assert trained_rec >= hash_rec
 
 
+def test_trained_ivf_fixture_ab_report(spark):
+    """The COMMITTED centroid fixture (fixtures/ivf_trained_centroids
+    .json, frozen by scripts/train_ivf.py) must (a) repr-roundtrip so
+    the DuckDB oracle embeds bit-identical literals, and (b) win the
+    A/B on the corpus it was trained for (the fixture records its
+    sf_dir; a coarse quantizer is retrained per corpus — at sf0.001 the
+    sf0.01-trained cells lose to the anchors, 0.37 vs 0.42): trained
+    recall >= anchor recall in ivf_trained_recall_ab's two-row report,
+    with both arms sharing one persisted truth."""
+    import json
+    import os
+
+    from pvsyst_pdf_parser_spark.training.simsearch import (
+        ivf_trained_recall_ab,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fx = json.load(open(os.path.join(repo, "fixtures",
+                                     "ivf_trained_centroids.json")))
+    cents = fx["centroids"]
+    assert len(cents) == fx["n_cells"] and all(
+        len(c) == fx["dim"] for c in cents
+    )
+    for c in cents:
+        for v in c:
+            assert float(repr(v)) == v  # exact literal embedding
+    emb_trained = spark.read.parquet(f"{fx['sf_dir']}/embeddings.parquet")
+    rows = {r["variant"]: r for r in
+            ivf_trained_recall_ab(emb_trained, cents).collect()}
+    assert set(rows) == {"anchors", "trained"}
+    assert rows["trained"]["n_truth"] == rows["anchors"]["n_truth"]
+    assert rows["trained"]["recall"] >= rows["anchors"]["recall"]
+
+
 def test_simhash_pairs_pigeonhole_complete_and_bounded(spark, docs):
     """Pigeonhole blocking must be COMPLETE for its guarantee: every
     sampled doc pair with true Hamming distance <= max_hamming appears
