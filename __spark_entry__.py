@@ -27,6 +27,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from pvsyst_pdf_parser_spark import demo_queries as Q  # noqa: E402
+from pvsyst_pdf_parser_spark.training import corpus as C  # noqa: E402
 from pvsyst_pdf_parser_spark.training import dedup as D  # noqa: E402
 from pvsyst_pdf_parser_spark.training import multimodal as M  # noqa: E402
 from pvsyst_pdf_parser_spark.training import sampling as SA  # noqa: E402
@@ -160,6 +161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_recall": lambda s, d: S.ivf_trained_recall_ab(
             _emb(s, d), _trained_centroids()
         ),
+        # END-TO-END corpus build: gate -> near-dup dedup -> token-budget
+        # mix composed over ONE documents scan (plan-gated in
+        # tests/test_plans.py) — the full cleaning-run decision
+        "corpus_build": lambda s, d: C.corpus_build_report(_docs(s, d)),
         # relational operator classes (SURVEY §2)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "broadcast_join_revenue": Q.broadcast_join_revenue,
@@ -482,6 +487,117 @@ SELECT source, count(*) AS n_docs,
        round(sum((pass_lang = 1 AND pass_quality = 1
                   AND first_copy = 1)::int) / count(*), 4) AS retention_rate
 FROM g GROUP BY source
+"""
+
+
+def _corpus_build_sql(budget: int = 2000, threshold: float = 0.02,
+                      sample_mod: int = 5) -> str:
+    """DuckDB replay of corpus.corpus_build_report: funnel gates →
+    near-dup keeper rule over the GATED survivors (sampled stratum) →
+    token-budget prefix over the kept set, per source."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        LANG_MARKERS,
+        LANG_MIN_RATIO_DEN,
+    )
+
+    hit_exprs = ", ".join(
+        "(" + " + ".join(_count_sql("t", m) for m in markers) + f") AS h_{code}"
+        for code, markers in LANG_MARKERS
+    )
+    best = "greatest(" + ", ".join(f"h_{c}" for c, _ in LANG_MARKERS) + ")"
+    stop = " + ".join(_count_sql("t", m) for m in (" the ", " and ", " a "))
+    hk = _H56.format(expr="doc_id::varchar")
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS t,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_distinct(string_split(text, ' '))) AS n_types
+  FROM documents),
+h AS (
+  SELECT doc_id, source, text, n_tokens, {hit_exprs},
+         (n_chars - (n_tokens - 1)) / n_tokens AS mwl,
+         n_types / n_tokens AS ttr,
+         ({stop}) AS stop_hits,
+         ({_count_sql("text", "#")} + {_count_sql("text", "...")})
+           AS symbol_hits
+  FROM s),
+f AS (
+  SELECT doc_id, source, text, n_tokens, {best} AS best,
+         ((mwl >= 3.0 AND mwl <= 10.0)::int + (stop_hits >= 2)::int
+          + (symbol_hits * 10 <= n_tokens)::int + (ttr >= 0.2)::int
+          + (n_tokens >= 50 AND n_tokens <= 100000)::int) AS q_flags
+  FROM h),
+g AS (
+  SELECT doc_id, source, text, n_tokens,
+         (best * {LANG_MIN_RATIO_DEN} >= n_tokens AND best > 0)::int
+           AS pass_lang,
+         (q_flags >= 4)::int AS pass_quality,
+         (row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)::int
+           AS first_copy
+  FROM f),
+gated AS (
+  SELECT doc_id, source, text, n_tokens FROM g
+  WHERE pass_lang = 1 AND pass_quality = 1 AND first_copy = 1),
+gdocs AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM gated WHERE doc_id % {sample_mod} = 0),
+gsh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM gdocs, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)),
+gsizes AS (SELECT doc_id, count(*) AS n FROM gsh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM gsh a JOIN gsh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM p JOIN gsizes za ON za.doc_id = doc_a
+  JOIN gsizes zb ON zb.doc_id = doc_b
+  WHERE round(n_common / (za.n + zb.n - n_common), 4) >= {threshold}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.src),
+clusters AS (SELECT src AS doc_id, min(label) AS cluster_rep
+             FROM reach GROUP BY src),
+sized AS (
+  SELECT c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_rep
+                            ORDER BY length(d.text) DESC, c.doc_id) AS pick
+  FROM clusters c JOIN gated d USING (doc_id)),
+drops AS (SELECT doc_id FROM sized WHERE pick > 1),
+kept AS (
+  SELECT * FROM gated
+  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+cur AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY {hk}, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM kept),
+ka AS (
+  SELECT source, count(*) AS n_kept,
+         sum((cum <= {budget})::int)::bigint AS n_selected,
+         sum(CASE WHEN cum <= {budget} THEN n_tokens ELSE 0 END)::bigint
+           AS tokens_selected
+  FROM cur GROUP BY source),
+ps AS (
+  SELECT source, count(*) AS n_docs,
+         sum((pass_lang = 1 AND pass_quality = 1
+              AND first_copy = 1)::int)::bigint AS n_gated
+  FROM g GROUP BY source)
+SELECT ps.source, ps.n_docs, ps.n_gated,
+       (ps.n_gated - coalesce(ka.n_kept, 0))::bigint AS n_neardup_dropped,
+       coalesce(ka.n_kept, 0)::bigint AS n_kept,
+       coalesce(ka.n_selected, 0)::bigint AS n_selected,
+       coalesce(ka.tokens_selected, 0)::bigint AS tokens_selected,
+       round(coalesce(ka.n_kept, 0) / ps.n_docs, 4) AS kept_rate
+FROM ps LEFT JOIN ka USING (source)
 """
 
 
@@ -1132,6 +1248,7 @@ FROM documents GROUP BY 1
 """,
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "cleaning_funnel": _cleaning_funnel_sql(),
+        "corpus_build": _corpus_build_sql(),
         "text_length_percentiles": """
 SELECT source, count(*) AS n_docs,
        round(quantile_cont(len(string_split(text, ' ')), 0.5), 2)

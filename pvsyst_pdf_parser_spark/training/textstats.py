@@ -226,19 +226,18 @@ def repetition_stats(docs: DataFrame, n: int = 5, sample_mod: int = 10) -> DataF
     )
 
 
-def cleaning_funnel_stats(docs: DataFrame) -> DataFrame:
-    """The end-to-end corpus-cleaning FUNNEL in one pass: per source,
-    how many documents survive each gate and all gates together —
+def funnel_flags(docs: DataFrame) -> DataFrame:
+    """Per-document cleaning-gate flags in ONE projection + ONE window:
+    (doc_id, source, text, n_tokens, pass_lang, pass_quality,
+    first_copy) — the shared root of :func:`cleaning_funnel_stats`
+    (the per-source report) and corpus.corpus_build_report (the
+    end-to-end build), so composed pipelines pay for the flag pass
+    once.
 
     1. language gate: the multi-language stopword guess is not 'und'
     2. quality gate: ≥ 4 of the 5 Gopher/C4 rules pass
     3. exact-dup gate: first occurrence of the text (min doc_id keeps)
-
-    This is the decision report an operator reads before committing a
-    cleaning run — which source loses how much, and to which gate.
-    Plan: one projection computes every flag, ONE window over the text
-    hash ranks exact dups, one aggregation — the same shuffle count as
-    exact dedup alone."""
+    """
     from pyspark.sql import Window
 
     text = F.col("text")
@@ -275,9 +274,25 @@ def cleaning_funnel_stats(docs: DataFrame) -> DataFrame:
     ).cast("int")
     pass_quality = (F.col("q_flags") >= 4).cast("int")
     w = Window.partitionBy("text").orderBy("doc_id")
-    flagged = base.withColumn("pass_lang", pass_lang).withColumn(
+    return base.withColumn("pass_lang", pass_lang).withColumn(
         "pass_quality", pass_quality
-    ).withColumn("first_copy", (F.row_number().over(w) == 1).cast("int"))
+    ).withColumn("first_copy", (F.row_number().over(w) == 1).cast("int")).select(
+        "doc_id", "source", "text", "n_tokens",
+        "pass_lang", "pass_quality", "first_copy",
+    )
+
+
+def cleaning_funnel_stats(docs: DataFrame) -> DataFrame:
+    """The end-to-end corpus-cleaning FUNNEL in one pass: per source,
+    how many documents survive each gate and all gates together (see
+    :func:`funnel_flags` for the gates).
+
+    This is the decision report an operator reads before committing a
+    cleaning run — which source loses how much, and to which gate.
+    Plan: one projection computes every flag, ONE window over the text
+    hash ranks exact dups, one aggregation — the same shuffle count as
+    exact dedup alone."""
+    flagged = funnel_flags(docs)
     retained = (
         (F.col("pass_lang") == 1)
         & (F.col("pass_quality") == 1)

@@ -101,3 +101,31 @@ def test_url_canonicalize_is_pure_projection(spark):
     p = _plan(canonical_url_stats(docs))
     assert "Exchange" not in p
     assert "*(1)" in p  # whole-stage-codegen marker: stays JVM-side
+
+
+def test_corpus_build_shares_one_documents_scan(spark):
+    """The composed corpus build (gate -> near-dup dedup -> budget) must
+    fan out from the PERSISTED funnel-flag frame: every downstream
+    consumer (gate aggregate, shingle pipeline, keeper join, budget
+    cursor) reads the cached relation, so the documents parquet is
+    executed once.  A raw FileScan outside a cached-relation
+    description would mean a branch silently re-reads the corpus —
+    the recompute-amplification bug class at 10^12 docs."""
+    from pvsyst_pdf_parser_spark.training.corpus import corpus_build_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(corpus_build_report(docs))
+    # flagged fan-out: gate aggregate + keeper-size join + kept branch
+    # all read the cached relation (the shingle branch consumed it
+    # eagerly inside the CC fixpoint loop and re-enters via the
+    # localCheckpoint below, so it is absent from this final plan)
+    assert p.count("InMemoryTableScan") >= 3
+    # the CC result re-enters as a checkpointed RDD, not a recompute
+    assert "ExistingRDD" in p
+    # every FileScan line in the plan is the pruned cached-relation
+    # child (InMemoryRelation prints its cached plan); a raw re-read
+    # of the corpus would surface an un-pruned or extra scan
+    for line in p.splitlines():
+        if "FileScan parquet" in line:
+            assert "[doc_id#" in line and "text#" in line, line
+    assert "CartesianProduct" not in p
