@@ -28,12 +28,15 @@ if _REPO not in sys.path:
 
 from pvsyst_pdf_parser_spark import demo_queries as Q  # noqa: E402
 from pvsyst_pdf_parser_spark.training import corpus as C  # noqa: E402
+from pvsyst_pdf_parser_spark.training import decontam as DC  # noqa: E402
 from pvsyst_pdf_parser_spark.training import dedup as D  # noqa: E402
+from pvsyst_pdf_parser_spark.training import paragraphs as P  # noqa: E402
 from pvsyst_pdf_parser_spark.training import multimodal as M  # noqa: E402
 from pvsyst_pdf_parser_spark.training import sampling as SA  # noqa: E402
 from pvsyst_pdf_parser_spark.training import simsearch as S  # noqa: E402
 from pvsyst_pdf_parser_spark.training import textstats as X  # noqa: E402
 from pvsyst_pdf_parser_spark.training import urlnorm as U  # noqa: E402
+from pvsyst_pdf_parser_spark.training import webclean as W  # noqa: E402
 from pvsyst_pdf_parser_spark.training.hashing import (  # noqa: E402
     MERSENNE_P,
     perm_params,
@@ -165,6 +168,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mix composed over ONE documents scan (plan-gated in
         # tests/test_plans.py) — the full cleaning-run decision
         "corpus_build": lambda s, d: C.corpus_build_report(_docs(s, d)),
+        # round-5 web-corpus hygiene operators (never yet verified —
+        # keep ahead of the demo classes so a budget-truncated
+        # correctness run still reaches them)
+        "decontam_benchmark": lambda s, d: DC.decontaminate_report(
+            _docs(s, d), n=4
+        ),
+        "dedup_paragraphs": lambda s, d: P.dedup_paragraphs_report(_docs(s, d)),
+        "pii_scrub": lambda s, d: W.pii_scrub_stats(_docs(s, d)),
+        "domain_stats": lambda s, d: W.domain_stats(_docs(s, d)),
+        "training_order": lambda s, d: SA.training_order(_docs(s, d)),
         # relational operator classes (SURVEY §2)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "broadcast_join_revenue": Q.broadcast_join_revenue,
@@ -598,6 +611,148 @@ SELECT ps.source, ps.n_docs, ps.n_gated,
        coalesce(ka.tokens_selected, 0)::bigint AS tokens_selected,
        round(coalesce(ka.n_kept, 0) / ps.n_docs, 4) AS kept_rate
 FROM ps LEFT JOIN ka USING (source)
+"""
+
+
+def _decontam_sql(n: int = 4, min_overlap: int = 1, bench_mod: int = 50) -> str:
+    """DuckDB replay of decontam.decontaminate_report: benchmark =
+    doc_id % bench_mod == 0, scan = the rest; distinct n-gram shingles
+    both sides; contaminated = ≥ min_overlap shared shingles."""
+    gram = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {gram} AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(toks) - {n - 1}, 0))) AS t(i)
+  WHERE doc_id % {bench_mod} != 0),
+bsh AS (
+  SELECT DISTINCT {gram} AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(toks) - {n - 1}, 0))) AS t(i)
+  WHERE doc_id % {bench_mod} = 0),
+perdoc AS (
+  SELECT s.doc_id, count(*) AS n_shingles,
+         sum((b.shingle IS NOT NULL)::int) AS n_overlap
+  FROM sh s LEFT JOIN bsh b USING (shingle) GROUP BY 1),
+v AS (
+  SELECT d.doc_id, d.source,
+         coalesce(p.n_overlap, 0) AS n_overlap,
+         (coalesce(p.n_overlap, 0) >= {min_overlap})::int AS contaminated
+  FROM (SELECT doc_id, source FROM documents
+        WHERE doc_id % {bench_mod} != 0) d
+  LEFT JOIN perdoc p USING (doc_id))
+SELECT source, count(*) AS n_docs,
+       sum(contaminated)::bigint AS n_contaminated,
+       round(avg(contaminated), 4) AS contaminated_rate,
+       max(n_overlap)::bigint AS max_overlap
+FROM v GROUP BY source
+"""
+
+
+def _dedup_paragraphs_sql(k: int = 10) -> str:
+    """DuckDB replay of paragraphs.dedup_paragraphs_report: k-token
+    chunks, first occurrence by (doc_id, pos) keeps, order-stable
+    reassembly."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+paras AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[(i*{k}+1):((i+1)*{k})], ' ') AS para
+  FROM toks,
+       unnest(generate_series(0,
+         cast(ceil(len(toks) / {k}.0) AS int) - 1)) AS t(i)),
+flag AS (
+  SELECT doc_id, pos, para,
+         (row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1)::int
+           AS keep
+  FROM paras)
+SELECT doc_id, count(*) AS n_paras, sum(keep)::bigint AS n_kept,
+       coalesce(string_agg(CASE WHEN keep = 1 THEN para END, ' '
+                           ORDER BY pos), '') AS clean_text
+FROM flag GROUP BY doc_id
+"""
+
+
+def _pii_scrub_sql() -> str:
+    """DuckDB replay of webclean.pii_scrub_stats: the SAME injected
+    PII arithmetic and the SAME portable patterns (module constants are
+    the single source of truth)."""
+    from pvsyst_pdf_parser_spark.training.webclean import (
+        EMAIL_PAT,
+        IPV4_PAT,
+        PHONE_PAT,
+    )
+
+    return f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || printf(' contact user%d@mail%d.example.org',
+                        doc_id, doc_id % 9)
+   || CASE WHEN doc_id % 3 = 0
+           THEN printf(' host 10.%d.0.%d', doc_id % 256, doc_id % 100)
+           ELSE '' END
+   || CASE WHEN doc_id % 4 = 0
+           THEN printf(' call 555-01%d-%04d', doc_id % 10, doc_id % 10000)
+           ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{EMAIL_PAT}'))::bigint AS n_emails,
+  len(regexp_extract_all(t, '{IPV4_PAT}'))::bigint AS n_ips,
+  len(regexp_extract_all(t, '{PHONE_PAT}'))::bigint AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(t,
+    '{EMAIL_PAT}', '<EMAIL>', 'g'),
+    '{IPV4_PAT}', '<IP>', 'g'),
+    '{PHONE_PAT}', '<PHONE>', 'g') AS clean_text
+FROM dirty
+"""
+
+
+def _domain_stats_sql() -> str:
+    from pvsyst_pdf_parser_spark.training.webclean import DEFAULT_BLOCKLIST
+
+    blocked = ", ".join(f"'{h}'" for h in DEFAULT_BLOCKLIST)
+    return rf"""
+WITH r AS (
+  SELECT CASE WHEN doc_id % 2 = 0
+    THEN printf('HTTPS://WWW.Mirror%d.Example.COM:443/Docs/%d/?utm_source=feed&id=%d&utm_campaign=x#frag',
+                doc_id % 7, doc_id, doc_id)
+    ELSE printf('http://mirror%d.example.com:80/Docs/%d?fbclid=abc%d&page=2',
+                doc_id % 7, doc_id, doc_id)
+    END AS raw_url,
+    len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+h AS (
+  SELECT regexp_replace(regexp_replace(
+           lower(regexp_extract(raw_url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+           ':(80|443)$', ''), '^www\.', '') AS host,
+         n_tokens
+  FROM r)
+SELECT host,
+       regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS registered_domain,
+       count(*) AS n_docs, sum(n_tokens)::bigint AS total_tokens,
+       (host IN ({blocked}))::int AS blocked
+FROM h GROUP BY host
+"""
+
+
+def _training_order_sql() -> str:
+    hk = _H56.format(expr="doc_id::varchar")
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {hk}, doc_id) AS rnd
+  FROM documents),
+s AS (
+  SELECT source, row_number() OVER (ORDER BY source) AS src_idx
+  FROM (SELECT DISTINCT source FROM documents)),
+n AS (SELECT count(*) AS n_sources FROM s)
+SELECT ((rnd - 1) * n_sources + src_idx)::bigint AS ord,
+       doc_id, source, rnd::bigint AS round
+FROM r JOIN s USING (source) CROSS JOIN n
 """
 
 
@@ -1249,6 +1404,11 @@ FROM documents GROUP BY 1
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "cleaning_funnel": _cleaning_funnel_sql(),
         "corpus_build": _corpus_build_sql(),
+        "decontam_benchmark": _decontam_sql(n=4),
+        "dedup_paragraphs": _dedup_paragraphs_sql(),
+        "pii_scrub": _pii_scrub_sql(),
+        "domain_stats": _domain_stats_sql(),
+        "training_order": _training_order_sql(),
         "text_length_percentiles": """
 SELECT source, count(*) AS n_docs,
        round(quantile_cont(len(string_split(text, ' ')), 0.5), 2)

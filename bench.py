@@ -76,6 +76,12 @@ HEADLINE = [
     "token_budget_sample",
     # round-5 operators
     "ann_ivf_trained_recall",
+    "corpus_build",
+    "decontam_benchmark",
+    "dedup_paragraphs",
+    "pii_scrub",
+    "domain_stats",
+    "training_order",
 ]
 
 

@@ -1,0 +1,102 @@
+"""Benchmark decontamination — remove/flag training documents that
+overlap evaluation benchmarks, the standard pre-training hygiene step
+(public practice: GPT-3 appendix C n-gram filtering, PaLM / Llama
+13-gram decontamination, The Pile's exact-substring variant).
+
+Shape at 10^12 docs: the benchmark side is TINY (thousands of eval
+rows) — its distinct shingle set broadcasts, so the trillion-document
+side is one explode + one broadcast-hash semi-match + one per-doc
+aggregate.  **No shuffle of the corpus at all** when only the flag is
+needed: the explode and the aggregate are keyed by doc_id, which is
+the parent row's key, so AQE keeps them in the scan partitioning; the
+only exchange is the per-doc groupBy (map-side combined, one row per
+doc out).  Never a corpus self-join.
+
+The n-gram width is a parameter: public practice uses 8-13 word
+n-grams; the demo oracle uses a smaller n so the tiny synthetic corpus
+produces a non-degenerate overlap distribution.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .dedup import doc_shingles
+
+
+def benchmark_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Per-document benchmark contamination: (doc_id, n_shingles,
+    n_overlap, contaminated).
+
+    ``benchmark`` is a small frame with a ``text`` column (an eval
+    set's inputs/targets).  A document is contaminated when at least
+    ``min_overlap`` of its distinct word ``n``-grams appear anywhere
+    in the benchmark — the GPT-3-style conservative rule (one shared
+    n-gram of sufficient width is evidence of leakage, because wide
+    n-grams are near-unique).
+
+    Plan: benchmark shingles are distinct'd and BROADCAST; the corpus
+    side explodes its shingles once, left-semi-ish marks hits via a
+    broadcast join, and re-aggregates per doc_id."""
+    bench_sh = (
+        doc_shingles(benchmark, n=n)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus_sh = doc_shingles(docs, n=n)
+    per_doc = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_overlap"),
+        )
+    )
+    # docs too short to shingle have zero rows in corpus_sh: restore
+    # them with a left join from the corpus spine so every input doc
+    # gets a verdict (an unshingleable doc cannot be contaminated)
+    spine = docs.select("doc_id")
+    return (
+        spine.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_report(
+    docs: DataFrame, n: int = 8, min_overlap: int = 1, bench_mod: int = 50
+) -> DataFrame:
+    """Demo/oracle face: treat every ``doc_id % bench_mod == 0``
+    document as a held-out benchmark row and decontaminate the REST of
+    the corpus against it, reporting the per-source damage:
+    (source, n_docs, n_contaminated, contaminated_rate,
+    max_overlap)."""
+    benchmark = docs.filter(F.col("doc_id") % bench_mod == 0).select(
+        "doc_id", "text"
+    )
+    scan = docs.filter(F.col("doc_id") % bench_mod != 0)
+    verdicts = benchmark_overlap(scan, benchmark, n=n, min_overlap=min_overlap)
+    return (
+        scan.select("doc_id", "source")
+        .join(verdicts, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("contaminated").cast("bigint").alias("n_contaminated"),
+            F.round(F.avg("contaminated"), 4).alias("contaminated_rate"),
+            F.max("n_overlap").alias("max_overlap"),
+        )
+    )

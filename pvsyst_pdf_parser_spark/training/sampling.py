@@ -102,3 +102,57 @@ def train_val_split_stats(docs: DataFrame, val_pct: int = 10) -> DataFrame:
             F.sum("n_chars").alias("n_chars_total"),
         )
     )
+
+
+def training_order(docs: DataFrame) -> DataFrame:
+    """Deterministic GLOBAL training order with source interleaving:
+    (ord, doc_id, source, round) — round r of the order takes at most
+    one document from every source (round-robin), and within a source
+    documents arrive in md5-hash order (a reproducible shuffle, not
+    corpus order).  Epoch ordering is a real training lever: grouped
+    same-source runs bias early optimization, and a re-run must
+    produce the SAME order to resume mid-epoch.
+
+    Scale shape: one window per source (rank within source — the only
+    corpus shuffle) plus a BROADCAST join against the tiny distinct-
+    source index.  ``ord`` is the closed form
+    ``(round - 1) * n_sources + source_idx`` — strictly increasing,
+    collision-free, computed WITHOUT a global row_number (an
+    unpartitioned window is a one-task bottleneck at 10^12 rows).
+    Uneven source sizes leave gaps in ``ord``; it is an ORDER key, not
+    a dense index — writers sort by it and derive dense positions from
+    (file, offset) at read time."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id", "source",
+        md5_56(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    src_w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    ranked = base.withColumn("round", F.row_number().over(src_w))
+
+    sources = (
+        docs.select("source").distinct()
+        .withColumn(
+            "src_idx",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy("source")
+            ),
+        )
+    )
+    n_sources = F.max("src_idx").over(
+        Window.partitionBy(F.lit(1))
+    )
+    sources = sources.withColumn("n_sources", n_sources)
+
+    return (
+        ranked.join(F.broadcast(sources), "source")
+        .select(
+            (
+                (F.col("round") - 1) * F.col("n_sources") + F.col("src_idx")
+            ).cast("bigint").alias("ord"),
+            "doc_id",
+            "source",
+            F.col("round").cast("bigint").alias("round"),
+        )
+    )

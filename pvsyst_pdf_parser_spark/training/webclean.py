@@ -1,0 +1,131 @@
+"""Web-corpus hygiene: PII scrubbing and domain-level filtering —
+the per-row redaction and per-site policy passes every public
+web-corpus pipeline runs before training (C4 removed pages by
+blocklist; CCNet/RefinedWeb describe URL/domain filtering; PII
+masking of emails/IPs/phones is standard release practice).
+
+Both operators are pure column expressions:
+
+- PII scrub: three chained regexp_replace projections — zero shuffle,
+  a free map stage at 10^12 docs.  Patterns use plain character
+  classes and alternation only (no backreferences, no lookaround) so
+  they behave identically under Java regex (Spark), RE2, and DuckDB.
+- domain stats: one regexp projection + one groupBy on the domain key
+  (map-side combined; domain cardinality is millions, not trillions,
+  so the aggregate output is small) + a broadcast blocklist check.
+
+The synthetic corpus has no real PII/URLs, so the demo faces inject
+deterministic PII / urls from doc_id (same technique as
+urlnorm.synthetic_raw_url) — the operators themselves take any text /
+url column.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .urlnorm import _HOST_PAT, synthetic_raw_url
+
+# Plain-class patterns, portable across Java regex / RE2 / DuckDB.
+EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+IPV4_PAT = (
+    r"[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?\."
+    r"[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?"
+)
+PHONE_PAT = r"[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+_REPLACEMENTS = [
+    # order matters: emails first (their local/domain parts contain
+    # digits and dots an IP/phone pattern could bite into), then IPs
+    # (dotted digits), then phones (dashed digits)
+    (EMAIL_PAT, "<EMAIL>"),
+    (IPV4_PAT, "<IP>"),
+    (PHONE_PAT, "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Mask emails / IPv4 addresses / dashed phone numbers with typed
+    placeholder tokens."""
+    out = col
+    for pat, token in _REPLACEMENTS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_scrub_stats(docs: DataFrame) -> DataFrame:
+    """Demo/oracle face: inject deterministic PII into each document,
+    scrub it, and report per doc: (doc_id, n_emails, n_ips, n_phones,
+    clean_text).  Every doc gets an email; ids divisible by 3 get an
+    IP, divisible by 4 a phone — so counts vary and the oracle can
+    replay the arithmetic."""
+    d = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.format_string(" contact user%d@mail%d.example.org", d, d % 9),
+        F.when(
+            d % 3 == 0, F.format_string(" host 10.%d.0.%d", d % 256, d % 100)
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0, F.format_string(" call 555-01%d-%04d", d % 10, d % 10000)
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(EMAIL_PAT)).cast("bigint").alias("n_emails"),
+        F.regexp_count(dirty, F.lit(IPV4_PAT)).cast("bigint").alias("n_ips"),
+        F.regexp_count(dirty, F.lit(PHONE_PAT)).cast("bigint").alias("n_phones"),
+        scrub_pii(dirty).alias("clean_text"),
+    )
+
+
+# -- domain-level stats / blocklist ----------------------------------
+
+# naive registered domain = last two dot labels; real pipelines use the
+# Public Suffix List (multi-label TLDs like co.uk need it) — that is a
+# data file, not an algorithm change: the regex becomes a longest-match
+# join against the PSL broadcast
+_REG_DOMAIN = r"([^.]+\.[^.]+)$"
+
+DEFAULT_BLOCKLIST = ("mirror2.example.com", "mirror5.example.com")
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host with default ports stripped (the host rules of
+    urlnorm.canonicalize_url, applied directly so the full
+    canonicalization isn't recomputed for a host-keyed aggregate)."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(url, _HOST_PAT, 1)), r":(80|443)$", ""
+    )
+
+
+def domain_stats(
+    docs: DataFrame, blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST
+) -> DataFrame:
+    """Per-host corpus report over the synthesized urls: (host,
+    registered_domain, n_docs, total_tokens, blocked) — the table a
+    crawl operator ranks to decide domain-level policy.  The blocklist
+    is a literal here; a real one is a small frame broadcast into the
+    same expression."""
+    host = host_of(synthetic_raw_url(F.col("doc_id")))
+    # www. is a display alias, not a distinct site
+    host = F.regexp_replace(host, r"^www\.", "")
+    tokens = F.size(F.split(F.col("text"), " ", -1))
+    per = docs.select(
+        host.alias("host"), tokens.alias("n_tokens")
+    )
+    return (
+        per.groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "host",
+            F.regexp_extract("host", _REG_DOMAIN, 1).alias("registered_domain"),
+            "n_docs",
+            "total_tokens",
+            F.col("host").isin(*blocklist).cast("int").alias("blocked"),
+        )
+    )

@@ -561,3 +561,116 @@ def test_embedding_dedup_keepers_partition_and_flags(spark):
     labels = {r["vec_id"]: r["cluster_rep"] for r in out}
     for p in embedding_neardup_pairs(emb).collect():
         assert labels[p["id_a"]] == labels[p["id_b"]]
+
+
+def test_decontam_flags_benchmark_overlap(spark):
+    """A doc sharing one wide n-gram with the benchmark is flagged; a
+    disjoint doc is not; a doc too short to shingle gets a clean 0."""
+    from pvsyst_pdf_parser_spark.training.decontam import benchmark_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words then quick brown fox jumps verbatim tail"),
+            (2, "completely unrelated tokens about solar inverters"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in benchmark_overlap(docs, bench, n=4).collect()
+    }
+    assert out[1]["contaminated"] == 1 and out[1]["n_overlap"] >= 1
+    assert out[2]["contaminated"] == 0 and out[2]["n_overlap"] == 0
+    assert out[3]["contaminated"] == 0 and out[3]["n_shingles"] == 0
+
+
+def test_dedup_paragraphs_keeps_first_occurrence(spark):
+    """Cross-doc duplicate paragraph survives only in the lowest
+    (doc_id, pos); within-doc repeats collapse; reassembly preserves
+    token order of the kept chunks."""
+    from pvsyst_pdf_parser_spark.training.paragraphs import (
+        dedup_paragraphs_report,
+    )
+
+    a = " ".join(f"a{i}" for i in range(10))
+    b = " ".join(f"b{i}" for i in range(10))
+    c = " ".join(f"c{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} {b}"),        # defines a and b
+            (2, f"{b} {c}"),        # b is a dup -> only c kept
+            (3, f"{c} {c}"),        # both chunks dup (cross + within)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs_report(docs, para_tokens=10).collect()
+    }
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["clean_text"] == f"{a} {b}"
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["clean_text"] == c
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 0)
+    assert out[3]["clean_text"] == ""
+
+
+def test_scrub_pii_masks_typed_tokens(spark):
+    from pyspark.sql import functions as F
+
+    from pvsyst_pdf_parser_spark.training.webclean import scrub_pii
+
+    cases = [
+        ("mail me at jane.doe+x@sub.example.co.uk today",
+         "mail me at <EMAIL> today"),
+        ("server 192.168.001.1 then call 555-012-3456",
+         "server <IP> then call <PHONE>"),
+        # email eaten before its dotted digits can look like an IP
+        ("ping 1.2.3.4 or a1@b2.example.org",
+         "ping <IP> or <EMAIL>"),
+        ("no pii here", "no pii here"),
+    ]
+    df = spark.createDataFrame(cases, "t string, want string")
+    for r in df.withColumn("got", scrub_pii(F.col("t"))).collect():
+        assert r["got"] == r["want"], r["t"]
+
+
+def test_domain_stats_blocklist_and_www_strip(spark):
+    from pvsyst_pdf_parser_spark.training.webclean import domain_stats
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 9 + "w") for i in range(40)], "doc_id long, text string"
+    )
+    rows = {r["host"]: r for r in domain_stats(docs).collect()}
+    # both url templates (odd/even doc_id) collapse to the bare host
+    assert all(not h.startswith("www.") for h in rows)
+    assert rows["mirror2.example.com"]["blocked"] == 1
+    assert rows["mirror1.example.com"]["blocked"] == 0
+    assert all(r["registered_domain"] == "example.com" for r in rows.values())
+    assert sum(r["n_docs"] for r in rows.values()) == 40
+
+
+def test_training_order_round_robin_and_deterministic(spark):
+    """ord is collision-free and strictly interleaves: within any
+    round, at most one doc per source; re-running yields the identical
+    assignment."""
+    from pvsyst_pdf_parser_spark.training.sampling import training_order
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "x") for i in range(30)] + [(100, "s0", "x")],
+        "doc_id long, source string, text string",
+    )
+    rows = training_order(docs).collect()
+    assert len({r["ord"] for r in rows}) == len(rows)
+    per_round = {}
+    for r in rows:
+        key = (r["round"], r["source"])
+        assert key not in per_round, "two docs from one source in a round"
+        per_round[key] = r["doc_id"]
+    again = {r["doc_id"]: r["ord"] for r in training_order(docs).collect()}
+    assert again == {r["doc_id"]: r["ord"] for r in rows}
