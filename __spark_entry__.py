@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": lambda s, d: W.pii_scrub_stats(_docs(s, d)),
         "domain_stats": lambda s, d: W.domain_stats(_docs(s, d)),
         "training_order": lambda s, d: SA.training_order(_docs(s, d)),
+        "warc_roundtrip": lambda s, d: _warc_roundtrip(s, d),
         # relational operator classes (SURVEY §2)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "broadcast_join_revenue": Q.broadcast_join_revenue,
@@ -611,6 +612,37 @@ SELECT ps.source, ps.n_docs, ps.n_gated,
        coalesce(ka.tokens_selected, 0)::bigint AS tokens_selected,
        round(coalesce(ka.n_kept, 0) / ps.n_docs, 4) AS kept_rate
 FROM ps LEFT JOIN ka USING (source)
+"""
+
+
+def _warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC write→parse differential (io/warc.py): worker closures
+    reference the repo package, so ship it when the session wasn't
+    launched from the repo root (same contract as the extract smoke)."""
+    from pvsyst_pdf_parser_spark.io.warc import warc_roundtrip_report
+
+    _ensure_workers_have_repo(spark)
+    return warc_roundtrip_report(_docs(spark, sf_dir))
+
+
+def _warc_roundtrip_sql(n_files: int = 8) -> str:
+    """DuckDB replay of warc_roundtrip_report's deterministic
+    arithmetic: uri template, fixed 45-byte HTTP prefix, warcinfo at
+    rec_idx 0 so responses start at 1, doc_id order within a file."""
+    from pvsyst_pdf_parser_spark.io.warc import HTTP_PREFIX_LEN
+
+    return f"""
+SELECT doc_id, (doc_id % {n_files})::bigint AS file_id,
+       (row_number() OVER (PARTITION BY doc_id % {n_files}
+                           ORDER BY doc_id))::int AS rec_idx,
+       printf('https://mirror%d.example.com/doc/%d',
+              doc_id % 7, doc_id) AS target_uri,
+       200 AS http_status,
+       ({HTTP_PREFIX_LEN} + octet_length(encode(text)))::bigint
+         AS content_length,
+       octet_length(encode(text))::bigint AS body_len,
+       1 AS matched
+FROM documents
 """
 
 
@@ -1409,6 +1441,7 @@ FROM documents GROUP BY 1
         "pii_scrub": _pii_scrub_sql(),
         "domain_stats": _domain_stats_sql(),
         "training_order": _training_order_sql(),
+        "warc_roundtrip": _warc_roundtrip_sql(),
         "text_length_percentiles": """
 SELECT source, count(*) AS n_docs,
        round(quantile_cont(len(string_split(text, ' ')), 0.5), 2)

@@ -82,6 +82,7 @@ HEADLINE = [
     "pii_scrub",
     "domain_stats",
     "training_order",
+    "warc_roundtrip",
 ]
 
 

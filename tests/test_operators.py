@@ -674,3 +674,70 @@ def test_training_order_round_robin_and_deterministic(spark):
         per_round[key] = r["doc_id"]
     again = {r["doc_id"]: r["ord"] for r in training_order(docs).collect()}
     assert again == {r["doc_id"]: r["ord"] for r in rows}
+
+
+def test_warc_parse_mixed_records_and_quarantine(spark):
+    """Byte-level WARC walk: mixed record types parse with exact
+    offsets; bodies containing CRLFCRLF don't split records (length-
+    delimited, not delimiter-scanned); malformed regions quarantine as
+    'invalid' rows instead of crashing."""
+    from pvsyst_pdf_parser_spark.io.warc import (
+        build_http_response,
+        build_warc_file,
+        parse_warc_records,
+    )
+
+    tricky_body = b"a\r\n\r\nWARC/1.0\r\n\r\nstill the same body"
+    good = build_warc_file(
+        [
+            ("warcinfo", "", b"software: x\r\n"),
+            ("request", "https://ex.com/a", b"GET /a HTTP/1.1\r\n\r\n"),
+            ("response", "https://ex.com/a", build_http_response(tricky_body)),
+            ("response", "https://ex.com/b",
+             build_http_response(b"nf", status=404, reason="Not Found")),
+        ]
+    )
+    # case-insensitive header names must still parse
+    shouty = good.replace(b"Content-Length:", b"CONTENT-LENGTH:")
+    truncated = good[: len(good) - 30]
+    garbage = b"not a warc at all"
+    files = spark.createDataFrame(
+        [(1, good), (2, shouty), (3, truncated), (4, garbage)],
+        "file_id long, warc binary",
+    )
+    rows = parse_warc_records(files).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file_id"], []).append(r)
+
+    for fid in (1, 2):
+        recs = sorted(by_file[fid], key=lambda r: r["rec_idx"])
+        assert [r["warc_type"] for r in recs] == [
+            "warcinfo", "request", "response", "response"
+        ]
+        assert recs[0]["rec_offset"] == 0
+        assert bytes(recs[2]["body"]) == tricky_body
+        assert recs[2]["http_status"] == 200
+        assert recs[3]["http_status"] == 404
+        assert bytes(recs[3]["body"]) == b"nf"
+        assert recs[1]["http_status"] is None  # request: no HTTP status
+    assert by_file[3][-1]["warc_type"] == "invalid"  # truncated payload
+    assert [r["warc_type"] for r in by_file[4]] == ["invalid"]  # bad magic
+
+
+def test_warc_roundtrip_matches_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from pvsyst_pdf_parser_spark.io.warc import warc_roundtrip_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_docs = docs.count()
+    out = warc_roundtrip_report(docs)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum("matched").alias("n_matched"),
+        F.min("rec_idx").alias("min_idx"),
+    ).collect()[0]
+    assert agg["n"] == n_docs
+    assert agg["n_matched"] == n_docs  # every body byte-identical
+    assert agg["min_idx"] == 1  # warcinfo occupies rec_idx 0
