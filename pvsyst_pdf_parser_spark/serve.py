@@ -71,6 +71,15 @@ def _make_handler(spark, max_payload_bytes: int = MAX_PAYLOAD_BYTES):
         def do_GET(self):
             if self.path == "/api/health":
                 self._json(200, json.dumps({"status": "ok"}))
+            elif self.path in ("/", "/index.html"):
+                from .webui import INDEX_HTML
+
+                body = INDEX_HTML.encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, json.dumps({"detail": "not found"}))
 

@@ -115,3 +115,19 @@ def test_malformed_content_length_and_chunked_rejected(spark):
             ],
         )
         assert resp.split(b"\r\n", 1)[0].split()[1] == b"400"
+
+
+def test_index_page_served_and_wired_to_api(spark):
+    """GET / returns the upload UI; it must reference both API routes
+    so the page actually drives the same contract the tests cover."""
+    import urllib.request
+
+    from pvsyst_pdf_parser_spark.serve import ParserServer
+
+    with ParserServer(spark) as srv:
+        with urllib.request.urlopen(f"{srv.url}/") as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/html")
+            html = resp.read().decode("utf-8")
+    assert "/api/parse" in html and "/api/health" in html
+    assert "<input" in html and "FormData" in html
