@@ -129,3 +129,40 @@ def test_corpus_build_shares_one_documents_scan(spark):
         if "FileScan parquet" in line:
             assert "[doc_id#" in line and "text#" in line, line
     assert "CartesianProduct" not in p
+
+
+def test_decontam_benchmark_side_broadcasts(spark):
+    """The eval-set shingles must BROADCAST: a sort-merge join here
+    means the trillion-row corpus side shuffles on the shingle key —
+    the exact cost the operator exists to avoid."""
+    from pvsyst_pdf_parser_spark.training.decontam import decontaminate_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(decontaminate_report(docs, n=4))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_pii_scrub_is_pure_projection(spark):
+    from pvsyst_pdf_parser_spark.training.webclean import pii_scrub_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(pii_scrub_stats(docs))
+    assert "Exchange" not in p  # zero shuffle: free map stage at scale
+    assert "*(1)" in p  # stays inside whole-stage codegen
+
+
+def test_paragraph_dedup_single_window_no_cartesian(spark):
+    """Paragraph dedup must cost ONE corpus-wide shuffle (the para-keyed
+    window) + the per-doc re-aggregation — the exact-dedup shuffle
+    profile on a finer key, never a self-join."""
+    from pvsyst_pdf_parser_spark.training.paragraphs import (
+        dedup_paragraphs_report,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(dedup_paragraphs_report(docs))
+    assert p.count("Window") == 1
+    assert p.count("Exchange") <= 2  # window key + doc_id agg
+    assert "CartesianProduct" not in p and "Join" not in p
