@@ -31,6 +31,7 @@ from pvsyst_pdf_parser_spark.training import corpus as C  # noqa: E402
 from pvsyst_pdf_parser_spark.training import decontam as DC  # noqa: E402
 from pvsyst_pdf_parser_spark.training import dedup as D  # noqa: E402
 from pvsyst_pdf_parser_spark.training import paragraphs as P  # noqa: E402
+from pvsyst_pdf_parser_spark.training import qualitymodel as QM  # noqa: E402
 from pvsyst_pdf_parser_spark.training import multimodal as M  # noqa: E402
 from pvsyst_pdf_parser_spark.training import sampling as SA  # noqa: E402
 from pvsyst_pdf_parser_spark.training import simsearch as S  # noqa: E402
@@ -82,6 +83,17 @@ def _trained_centroids() -> list[list[float]]:
 
     with open(os.path.join(_REPO, "fixtures", "ivf_trained_centroids.json")) as f:
         return json.load(f)["centroids"]
+
+
+def _quality_model() -> dict:
+    """Frozen hashed-BoW quality classifier (scripts/train_quality.py):
+    class-balanced logistic GD over rule-gate weak labels, weights
+    committed as the single source of truth for BOTH engines (same
+    contract as the IVF centroids fixture)."""
+    import json
+
+    with open(os.path.join(_REPO, "fixtures", "quality_model.json")) as f:
+        return json.load(f)
 
 
 def _pvsyst_extract_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,6 +190,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": lambda s, d: W.pii_scrub_stats(_docs(s, d)),
         "domain_stats": lambda s, d: W.domain_stats(_docs(s, d)),
         "training_order": lambda s, d: SA.training_order(_docs(s, d)),
+        # model-based quality gate: frozen hashed-BoW logistic scores as
+        # a pure HOF projection (weights enter as an array literal);
+        # report = per-source score/agreement vs the rule-gate labels
+        "quality_model_score": lambda s, d: (
+            lambda m: QM.quality_model_report(
+                _docs(s, d), m["weights"], m["bias"]
+            )
+        )(_quality_model()),
         "warc_roundtrip": lambda s, d: _warc_roundtrip(s, d),
         # relational operator classes (SURVEY §2)
         "q1_pricing_summary": Q.q1_pricing_summary,
@@ -1019,6 +1039,57 @@ SELECT {n_queries} AS n_queries, {k} AS k,
 """
 
 
+def _quality_model_sql(tau: float = 0.5) -> str:
+    """DuckDB replay of qualitymodel.quality_model_report with the SAME
+    frozen fixture weights as array literals: weak label = the 5-rule
+    quality gate (textstats.quality_gate_expr), score = sigmoid(bias +
+    mean over tokens of weights[md5_56(token) % n_buckets])."""
+    m = _quality_model()
+    nb = m["n_buckets"]
+    warr = "[" + ", ".join(repr(float(x)) for x in m["weights"]) + "]::DOUBLE[]"
+    bias = repr(float(m["bias"]))
+    stop = " + ".join(_count_sql("t", x) for x in (" the ", " and ", " a "))
+    bucket = "((('0x' || substr(md5(x), 1, 14))::bigint) % " + str(nb) + ")::int"
+    return f"""
+WITH s AS (
+  SELECT doc_id, source, ' ' || lower(text) || ' ' AS t,
+         string_split(lower(text), ' ') AS ltoks,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_distinct(string_split(text, ' '))) AS n_types
+  FROM documents),
+h AS (
+  SELECT doc_id, source, ltoks, n_tokens,
+         (n_chars - (n_tokens - 1)) / n_tokens AS mwl,
+         n_types / n_tokens AS ttr,
+         ({stop}) AS stop_hits,
+         ({_count_sql("t", "#")} + {_count_sql("t", "...")}) AS symbol_hits
+  FROM s),
+lab AS (
+  SELECT doc_id, source, ltoks,
+         (((mwl >= 3.0 AND mwl <= 10.0)::int + (stop_hits >= 2)::int
+           + (symbol_hits * 10 <= n_tokens)::int + (ttr >= 0.2)::int
+           + (n_tokens >= 50 AND n_tokens <= 100000)::int) >= 4)::int
+           AS label
+  FROM h),
+sc AS (
+  SELECT source, label,
+         round(1.0 / (1.0 + exp(-({bias}
+           + list_sum(list_transform(ltoks,
+               x -> ({warr})[{bucket} + 1])) / len(ltoks)))), 6) AS score
+  FROM lab),
+p AS (SELECT source, label, score, (score >= {tau})::int AS pred FROM sc)
+SELECT source, count(*) AS n_docs,
+       sum(label)::bigint AS n_pos,
+       round(avg(CASE WHEN label = 1 THEN score END), 4) AS mean_score_pos,
+       round(avg(CASE WHEN label = 0 THEN score END), 4) AS mean_score_neg,
+       sum(pred)::bigint AS n_above_tau,
+       sum((pred = label)::int)::bigint AS n_agree,
+       round(avg((pred = label)::int), 4) AS agree_rate
+FROM p GROUP BY source
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     g = _H56
     out = {
@@ -1441,6 +1512,7 @@ FROM documents GROUP BY 1
         "pii_scrub": _pii_scrub_sql(),
         "domain_stats": _domain_stats_sql(),
         "training_order": _training_order_sql(),
+        "quality_model_score": _quality_model_sql(),
         "warc_roundtrip": _warc_roundtrip_sql(),
         "text_length_percentiles": """
 SELECT source, count(*) AS n_docs,

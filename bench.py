@@ -83,6 +83,7 @@ HEADLINE = [
     "domain_stats",
     "training_order",
     "warc_roundtrip",
+    "quality_model_score",
 ]
 
 

@@ -226,6 +226,31 @@ def repetition_stats(docs: DataFrame, n: int = 5, sample_mod: int = 10) -> DataF
     )
 
 
+def quality_gate_expr(text=None):
+    """Boolean 'passes the quality gate' column (≥4 of the 5 Gopher/C4
+    rules of :func:`quality_scores_v2`) as a pure expression — shared
+    by :func:`funnel_flags` and the weak labels of
+    training/qualitymodel.py so the gate cannot drift between its
+    consumers."""
+    text = F.col("text") if text is None else text
+    spaced = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    toks = F.split(text, r" ", -1)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    mean_word_len = (n_chars - (n_tokens - 1)) / n_tokens
+    stop_hits = sum(_count_occurrences(spaced, m) for m in EN_MARKERS)
+    symbol_hits = _count_occurrences(text, "#") + _count_occurrences(text, "...")
+    ttr = F.size(F.array_distinct(toks)) / n_tokens
+    q_flags = (
+        ((mean_word_len >= 3.0) & (mean_word_len <= 10.0)).cast("int")
+        + (stop_hits >= 2).cast("int")
+        + (symbol_hits * 10 <= n_tokens).cast("int")
+        + (ttr >= 0.2).cast("int")
+        + ((n_tokens >= 50) & (n_tokens <= 100_000)).cast("int")
+    )
+    return q_flags >= 4
+
+
 def funnel_flags(docs: DataFrame) -> DataFrame:
     """Per-document cleaning-gate flags in ONE projection + ONE window:
     (doc_id, source, text, n_tokens, pass_lang, pass_quality,
@@ -251,28 +276,16 @@ def funnel_flags(docs: DataFrame) -> DataFrame:
         sum(_count_occurrences(spaced, m) for m in markers).alias(f"h_{code}")
         for code, markers in LANG_MARKERS
     ]
-    # quality gate (same flags as quality_scores_v2)
-    mean_word_len = (n_chars - (n_tokens - 1)) / n_tokens
-    stop_hits = sum(_count_occurrences(spaced, m) for m in EN_MARKERS)
-    symbol_hits = _count_occurrences(text, "#") + _count_occurrences(text, "...")
-    ttr = F.size(F.array_distinct(toks)) / n_tokens
-    q_flags = (
-        ((mean_word_len >= 3.0) & (mean_word_len <= 10.0)).cast("int")
-        + (stop_hits >= 2).cast("int")
-        + (symbol_hits * 10 <= n_tokens).cast("int")
-        + (ttr >= 0.2).cast("int")
-        + ((n_tokens >= 50) & (n_tokens <= 100_000)).cast("int")
-    )
-
     base = docs.select(
         "doc_id", "source", "text", n_tokens.alias("n_tokens"),
-        *hit_cols, q_flags.alias("q_flags"),
+        *hit_cols,
+        quality_gate_expr(text).cast("int").alias("q_pass"),
     )
     best = F.greatest(*[F.col(f"h_{c}") for c, _ in LANG_MARKERS])
     pass_lang = (
         (best * LANG_MIN_RATIO_DEN >= F.col("n_tokens")) & (best > 0)
     ).cast("int")
-    pass_quality = (F.col("q_flags") >= 4).cast("int")
+    pass_quality = F.col("q_pass")
     w = Window.partitionBy("text").orderBy("doc_id")
     return base.withColumn("pass_lang", pass_lang).withColumn(
         "pass_quality", pass_quality

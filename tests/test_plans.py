@@ -166,3 +166,22 @@ def test_paragraph_dedup_single_window_no_cartesian(spark):
     assert p.count("Window") == 1
     assert p.count("Exchange") <= 2  # window key + doc_id agg
     assert "CartesianProduct" not in p and "Join" not in p
+
+
+def test_quality_model_score_is_literal_projection(spark):
+    """The frozen-model score is a pure HOF projection — the weights
+    enter as an array literal, no Python UDF, and the only exchange in
+    the report is the final per-source aggregate (scoring itself is a
+    free map stage over 10^12 docs)."""
+    import json
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pvsyst_pdf_parser_spark.training.qualitymodel import (
+        quality_model_report,
+    )
+
+    with open("fixtures/quality_model.json") as f:
+        m = json.load(f)
+    p = _plan(quality_model_report(docs, m["weights"], m["bias"]))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange") == 1  # the groupBy(source) agg only

@@ -411,3 +411,70 @@ def test_token_budget_sample_budget_and_determinism(spark, docs):
     for (_, n_docs, n_sel, toks) in a:
         assert 0 <= n_sel <= n_docs
         assert toks <= budget
+
+
+def test_quality_model_trains_a_discriminator(spark, docs):
+    """Class-balanced GD on the rule-gate weak labels must beat the
+    constant base-rate predictor AND separate the class score means —
+    the two failure signatures of unbalanced training on an
+    imbalanced web corpus (which converges to 'always positive')."""
+    from pvsyst_pdf_parser_spark.training.qualitymodel import (
+        quality_model_report,
+        train_quality_model,
+        weak_quality_label,
+    )
+
+    w, b = train_quality_model(docs, iters=24)
+    w2, b2 = train_quality_model(docs, iters=24)
+    assert (w, b) == (w2, b2)  # fully deterministic: no RNG anywhere
+
+    rep = quality_model_report(docs, w, b).collect()
+    n = sum(r["n_docs"] for r in rep)
+    above = sum(r["n_above_tau"] for r in rep)
+    assert 0 < above < n, "degenerate constant predictor"
+    # balanced training optimizes BALANCED accuracy: per-class recall
+    # must both beat coin-flip (a constant predictor scores 0.5 here
+    # exactly, whatever the class imbalance)
+    from pvsyst_pdf_parser_spark.training.qualitymodel import (
+        hashed_bow_score,
+    )
+
+    per_class = (
+        weak_quality_label(docs)
+        .select(
+            "label",
+            (hashed_bow_score(F.col("text"), w, b) >= 0.5)
+            .cast("int")
+            .alias("pred"),
+        )
+        .groupBy("label")
+        .agg(F.avg((F.col("pred") == F.col("label")).cast("int")).alias("r"))
+        .collect()
+    )
+    recall = {r["label"]: r["r"] for r in per_class}
+    balanced = (recall[0] + recall[1]) / 2
+    assert balanced > 0.55, f"balanced accuracy {balanced:.3f} ≤ chance"
+    pos = [r["mean_score_pos"] for r in rep if r["mean_score_pos"] is not None]
+    neg = [r["mean_score_neg"] for r in rep if r["mean_score_neg"] is not None]
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+
+def test_quality_model_fixture_matches_trainer_contract(spark):
+    """The committed fixture is loadable, has the advertised shape, and
+    scoring with it is bounded to (0, 1)."""
+    import json
+
+    from pvsyst_pdf_parser_spark.training.qualitymodel import (
+        N_BUCKETS,
+        hashed_bow_score,
+    )
+
+    with open("fixtures/quality_model.json") as f:
+        m = json.load(f)
+    assert m["n_buckets"] == N_BUCKETS
+    assert len(m["weights"]) == N_BUCKETS
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps",), ("zzz qqq xxx",)], "text string"
+    ).select(hashed_bow_score(F.col("text"), m["weights"], m["bias"]).alias("s"))
+    for r in df.collect():
+        assert 0.0 < r["s"] < 1.0
