@@ -25,6 +25,8 @@ DuckDB oracles reproduce values bit-for-bit.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -397,6 +399,32 @@ def simhash_neardup_pairs(
     )
 
 
+@contextmanager
+def _coalesced_rounds(df: DataFrame):
+    """Scope AQE partition coalescing ON for an iterative graph loop.
+
+    The session default keeps coalescing OFF because extraction stages
+    are CPU-bound Python/regex work where per-row cost dwarfs bytes
+    (session.py) — that argument does not apply to contraction rounds
+    over 16-byte edge tuples, where the cost IS the shuffle machinery.
+    Near-dup edge sets are orders of magnitude smaller than the corpus
+    that produced them, so fixed-width rounds (corpus-sized
+    ``spark.sql.shuffle.partitions`` per join) pay ~full task-overhead
+    cost per round for near-empty partitions; letting AQE size each
+    round's exchanges by bytes makes the round cost track the LIVE edge
+    set — exactly the behavior an iterative contraction wants at both
+    19 edges (sandbox) and 10^9 edges (spam component).  Restores the
+    caller's conf on exit."""
+    conf = df.sparkSession.conf
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = conf.get(key, "false")
+    conf.set(key, "true")
+    try:
+        yield
+    finally:
+        conf.set(key, prev)
+
+
 def connected_components(
     pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 20
 ) -> DataFrame:
@@ -431,31 +459,33 @@ def connected_components(
     )
     labels = edges.select("src").distinct().withColumn("label", F.col("src"))
     converged = False
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("src").alias("dst"), "label"), "dst"
+    with _coalesced_rounds(pairs):
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(F.col("src").alias("dst"), "label"), "dst"
+                )
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = labels.join(nbr_min, "src", "left").select(
-            "src",
-            F.least(
-                F.col("label"), F.coalesce("nbr_label", "label")
-            ).alias("label"),
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
+            # the changed flag rides the SAME join that computes the new
+            # label (nbr_label < label ⟺ the min-update fired), so the
+            # convergence probe is a filter over the checkpointed frame
+            # — no extra new-vs-old join per round
+            staged = labels.join(nbr_min, "src", "left").select(
+                "src",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias(
+                    "chg"
+                ),
+            ).localCheckpoint()
+            changed = staged.filter("chg").limit(1).count()
+            labels = staged.select("src", "label")
+            if changed == 0:
+                converged = True
+                break
     # labels is localCheckpointed (materialized) — the edge cache is dead
     edges.unpersist()
     if not converged:
@@ -565,22 +595,24 @@ def connected_components_stars(
     cur = orig
     sig = _edge_signature(cur)
     converged = False
-    for r in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint()
-        # Probe every round early (tiny dense near-dup graphs converge
-        # in 1-2 rounds) then every 2nd round: the star-forest fixpoint
-        # is stable under further contraction, so a 2-round stride only
-        # costs one extra (cheap, identity) contraction at worst while
-        # halving the per-round probe jobs on long runs.  A would-be
-        # period-2 oscillation slipping through the stride is caught by
-        # the validate star-forest join below (detect, don't trust).
-        if r >= 2 and r % 2 == 0:
-            continue
-        new_sig = _edge_signature(cur)
-        if new_sig == sig:
-            converged = True
-            break
-        sig = new_sig
+    with _coalesced_rounds(pairs):
+        for r in range(max_iter):
+            cur = _small_star(_large_star(cur)).localCheckpoint()
+            # Probe every round early (tiny dense near-dup graphs
+            # converge in 1-2 rounds) then every 2nd round: the
+            # star-forest fixpoint is stable under further contraction,
+            # so a 2-round stride only costs one extra (cheap, identity)
+            # contraction at worst while halving the per-round probe
+            # jobs on long runs.  A would-be period-2 oscillation
+            # slipping through the stride is caught by the validate
+            # star-forest join below (detect, don't trust).
+            if r >= 2 and r % 2 == 0:
+                continue
+            new_sig = _edge_signature(cur)
+            if new_sig == sig:
+                converged = True
+                break
+            sig = new_sig
     if not converged:
         raise RuntimeError(
             f"connected_components_stars did not reach a fixpoint in "
