@@ -28,6 +28,7 @@ if _REPO not in sys.path:
 
 from pvsyst_pdf_parser_spark import demo_queries as Q  # noqa: E402
 from pvsyst_pdf_parser_spark.training import corpus as C  # noqa: E402
+from pvsyst_pdf_parser_spark.training import crawl as CR  # noqa: E402
 from pvsyst_pdf_parser_spark.training import decontam as DC  # noqa: E402
 from pvsyst_pdf_parser_spark.training import dedup as D  # noqa: E402
 from pvsyst_pdf_parser_spark.training import paragraphs as P  # noqa: E402
@@ -180,6 +181,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mix composed over ONE documents scan (plan-gated in
         # tests/test_plans.py) — the full cleaning-run decision
         "corpus_build": lambda s, d: C.corpus_build_report(_docs(s, d)),
+        # round-5 crawl-lifecycle operators (never yet verified — run
+        # early): cross-snapshot keep-latest over canonical urls,
+        # fixed-iteration PageRank with dangling mass, Bloom-gated
+        # incremental ingest dedup (oracle reproduces the FP rows)
+        "snapshot_latest": lambda s, d: CR.latest_snapshot(_docs(s, d)),
+        "link_pagerank": lambda s, d: CR.link_pagerank(_docs(s, d)),
+        "bloom_incremental_dedup": lambda s, d: CR.bloom_incremental_dedup(
+            _docs(s, d)
+        ),
         # round-5 web-corpus hygiene operators (never yet verified —
         # keep ahead of the demo classes so a budget-truncated
         # correctness run still reaches them)
@@ -1090,6 +1100,105 @@ FROM p GROUP BY source
 """
 
 
+def _snapshot_latest_sql() -> str:
+    """Keep-latest per canonical url.  The oracle derives the canonical
+    form DIRECTLY from the snapshot-template arithmetic (an independent
+    derivation, not a replay of the regex pipeline), so it cross-checks
+    both the keep-latest window AND canonicalize_url's output on these
+    urls."""
+    return """
+WITH r AS (
+  SELECT doc_id,
+         printf('https://www.site%d.example.com/page/%d?v=1',
+                (doc_id // 4) % 13, doc_id // 4) AS canonical_url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 4) * INTERVAL 1 DAY
+           + (doc_id % 7) * INTERVAL 1 MINUTE AS warc_ts
+  FROM documents)
+SELECT doc_id, canonical_url, warc_ts,
+       count(*) OVER (PARTITION BY canonical_url) AS n_captures,
+       (row_number() OVER (PARTITION BY canonical_url
+                           ORDER BY warc_ts DESC, doc_id DESC) = 1)::int
+         AS is_latest
+FROM r
+"""
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85,
+                  top_k: int = 20) -> str:
+    """Unrolled fixed-iteration damped PageRank with uniform dangling-
+    mass redistribution — the same rounds link_pagerank runs, one CTE
+    pair (dangling mass, inflow) per iteration."""
+    d = repr(float(damping))
+    parts = [f"""
+WITH nn AS (SELECT count(*)::double AS n FROM documents),
+ids AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * a + b) % n::bigint AS dst
+    FROM documents, nn, (VALUES (7, 1), (13, 3), (31, 5)) t(a, b)) e
+  WHERE src % 10 != 0 AND src != dst),
+outdeg AS (SELECT src, count(*)::double AS outdeg FROM edges GROUP BY src),
+dang AS (SELECT doc_id FROM ids
+         WHERE doc_id NOT IN (SELECT src FROM edges)),
+pr0 AS (SELECT doc_id, 1.0 / n AS pr FROM ids, nn)"""]
+    for i in range(iters):
+        parts.append(f""",
+dm{i} AS (SELECT coalesce(sum(pr), 0.0) AS dm
+          FROM pr{i} JOIN dang USING (doc_id)),
+c{i} AS (SELECT e.dst AS doc_id, sum(p.pr / o.outdeg) AS inflow
+         FROM edges e
+         JOIN pr{i} p ON p.doc_id = e.src
+         JOIN outdeg o ON o.src = e.src
+         GROUP BY e.dst),
+pr{i + 1} AS (
+  SELECT i.doc_id,
+         (1.0 - {d}) / n + {d} * (coalesce(c.inflow, 0.0) + dm.dm / n) AS pr
+  FROM ids i LEFT JOIN c{i} c USING (doc_id), dm{i} dm, nn)""")
+    parts.append(f"""
+SELECT doc_id, round(pr * n, 8) AS rank_x_n
+FROM pr{iters}, nn
+ORDER BY rank_x_n DESC, doc_id
+LIMIT {top_k}
+""")
+    return "".join(parts)
+
+
+def _bloom_dedup_sql(m: int = CR.BLOOM_M, k: int = CR.BLOOM_K) -> str:
+    """Bit-exact replay of the Bloom incremental-dedup gate: same
+    md5-derived positions, same m-bit filter over the prior corpus,
+    so even the FALSE POSITIVES match row-for-row."""
+    g = _H56
+    probe = " AND ".join(
+        "({h} % {m}) IN (SELECT p FROM bits)".format(
+            h=g.format(expr="'b%d:' || text" % j), m=m
+        )
+        for j in range(k)
+    )
+    js = ", ".join(str(j) for j in range(k))
+    return f"""
+WITH prior AS (SELECT * FROM documents),
+newb AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 4 = 0 THEN text
+              ELSE text || ' fresh ' || doc_id END AS text
+  FROM documents),
+bits AS (
+  SELECT DISTINCT
+         ({g.format(expr="'b' || j || ':' || text")} % {m}) AS p
+  FROM prior, (SELECT unnest([{js}]) AS j) jj),
+ph AS (SELECT DISTINCT {g.format(expr="text")} AS h FROM prior),
+np AS (
+  SELECT doc_id, source, {g.format(expr="text")} AS h,
+         ({probe}) AS maybe
+  FROM newb)
+SELECT doc_id, source, maybe::int AS bloom_maybe_dup,
+       (maybe AND h IN (SELECT h FROM ph))::int AS verified_dup,
+       (maybe AND h NOT IN (SELECT h FROM ph))::int AS false_positive
+FROM np
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     g = _H56
     out = {
@@ -1507,6 +1616,9 @@ FROM documents GROUP BY 1
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "cleaning_funnel": _cleaning_funnel_sql(),
         "corpus_build": _corpus_build_sql(),
+        "snapshot_latest": _snapshot_latest_sql(),
+        "link_pagerank": _pagerank_sql(),
+        "bloom_incremental_dedup": _bloom_dedup_sql(),
         "decontam_benchmark": _decontam_sql(n=4),
         "dedup_paragraphs": _dedup_paragraphs_sql(),
         "pii_scrub": _pii_scrub_sql(),

@@ -84,6 +84,9 @@ HEADLINE = [
     "training_order",
     "warc_roundtrip",
     "quality_model_score",
+    "snapshot_latest",
+    "link_pagerank",
+    "bloom_incremental_dedup",
 ]
 
 

@@ -1,0 +1,284 @@
+"""Crawl-lifecycle operators: the steps between "a crawler wrote WARCs"
+and "the corpus is ready for cleaning" on a Common-Crawl-style table of
+``(url, warc_ts, html, text, lang)`` pages.
+
+Three operators, each oracle-gated:
+
+- :func:`latest_snapshot` — cross-snapshot url dedup: the same page is
+  captured in many crawl snapshots (often under trivially different
+  urls); keep the LATEST capture per canonical url.  One window over
+  the canonical-url key — the same shuffle profile as exact dedup.
+- :func:`link_pagerank` — damped PageRank over a link graph, the
+  public web-scale quality/centrality signal (Brin & Page 1998;
+  Common Crawl publishes domain-level centrality ranks).  Fixed
+  iteration count so the DuckDB oracle can unroll the same rounds.
+- :func:`bloom_incremental_dedup` — incremental-ingest dedup: probe a
+  new crawl batch against a Bloom filter (Bloom 1970) built from the
+  ALREADY-INGESTED corpus.  The filter is m bits regardless of corpus
+  size, so it broadcasts to every executor and the trillion-row new
+  batch is gated in a ZERO-SHUFFLE map stage; only flagged docs pay
+  the exact-verification join.
+
+Portability: every hash is the md5-derived 56-bit integer
+(training/hashing.py), every arithmetic step is integer mod — the
+DuckDB oracles reproduce each bit, including the Bloom filter's false
+positives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import md5_56
+from .urlnorm import canonicalize_url
+
+# ---------------------------------------------------------------------------
+# cross-snapshot keep-latest
+# ---------------------------------------------------------------------------
+
+
+def synthetic_snapshots(docs: DataFrame) -> DataFrame:
+    """Deterministic (doc_id, raw_url, warc_ts) recrawl fixture: groups
+    of up to 4 consecutive doc_ids are captures of ONE page, each
+    capture carrying a different utm_source (so only canonicalization
+    reveals they are the same url) and a later warc_ts."""
+    d = F.col("doc_id")
+    page = (d / 4).cast("bigint")  # page key: 4 captures per page
+    cap = d % 4  # capture index within the page
+    raw = F.format_string(
+        "HTTPS://WWW.Site%d.Example.COM:443/page/%d/?utm_source=snap%d&v=1",
+        page % 13,
+        page,
+        cap,
+    )
+    ts = F.expr(
+        "timestamp'2024-01-01 00:00:00' "
+        "+ make_interval(0, 0, 0, cast(doc_id % 4 as int), 0, "
+        "cast(doc_id % 7 as int), 0)"
+    )
+    return docs.select(
+        "doc_id", raw.alias("raw_url"), ts.alias("warc_ts")
+    )
+
+
+def latest_snapshot(docs: DataFrame) -> DataFrame:
+    """Per-capture verdict ``(doc_id, canonical_url, warc_ts,
+    n_captures, is_latest)``: the latest ``warc_ts`` per CANONICAL url
+    wins (ties to the higher doc_id — a deterministic total order).
+
+    Scale shape: one projection (canonicalization is shuffle-free) +
+    ONE window over the canonical-url key.  At 10^12 pages this is the
+    same cost as exact dedup; AQE skew-join/salting notes for hot urls
+    (a template page captured in every snapshot) apply unchanged."""
+    snaps = synthetic_snapshots(docs).withColumn(
+        "canonical_url", canonicalize_url(F.col("raw_url"))
+    )
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col("warc_ts").desc(), F.col("doc_id").desc()
+    )
+    return snaps.select(
+        "doc_id",
+        "canonical_url",
+        "warc_ts",
+        F.count("*").over(Window.partitionBy("canonical_url")).alias(
+            "n_captures"
+        ),
+        (F.row_number().over(w) == 1).cast("int").alias("is_latest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# link-graph PageRank
+# ---------------------------------------------------------------------------
+
+
+def synthetic_link_edges(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Deterministic (src, dst) link graph over the doc ids: every page
+    links to three arithmetic neighbors, except every 10th page which
+    is DANGLING (no out-links — the case that breaks naive PageRank).
+    Self-loops dropped, parallel edges deduped."""
+    d = F.col("doc_id")
+    dsts = F.array(
+        (d * 7 + 1) % n_docs, (d * 13 + 3) % n_docs, (d * 31 + 5) % n_docs
+    )
+    return (
+        docs.select(d.alias("src"), F.explode(dsts).alias("dst"))
+        .filter((F.col("src") % 10 != 0) & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+
+
+def link_pagerank(
+    docs: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k pages by damped PageRank after a FIXED number of power
+    iterations, dangling mass redistributed uniformly:
+
+        pr'(v) = (1-d)/n + d * (Σ_{u→v} pr(u)/outdeg(u) + dangling/n)
+
+    Distributed shape per iteration: one edges⋈ranks join + one
+    groupBy(dst) sum (partial aggregation map-side), plus a ONE-ROW
+    dangling-mass aggregate that re-enters via a broadcast cross join —
+    no driver-side collect anywhere, so the loop is K bounded shuffle
+    rounds on the edge key, the standard Pregel cost shape.  The edge
+    and out-degree frames are computed once and persisted.  Fixed
+    ``iters`` keeps the oracle expressible as unrolled SQL; production
+    runs iterate to an L1 fixpoint probe instead (same rounds).
+
+    Output ranks are scaled by n (so a uniform-rank page scores 1.0)
+    and rounded; the top-k sort runs on the ROUNDED rank in both
+    engines so float summation order can never flip boundary
+    membership."""
+    n_docs = docs.count()  # one bounded job; the oracle's COUNT(*) twin
+    ids = docs.select("doc_id")
+    edges = synthetic_link_edges(docs, n_docs).persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # nodes with no out-links: their whole rank is dangling mass
+    dangling = ids.join(
+        edges.select("src").distinct(),
+        ids["doc_id"] == F.col("src"),
+        "left_anti",
+    ).select("doc_id")
+
+    ranks = ids.select("doc_id", F.lit(1.0 / n_docs).alias("pr"))
+    for _ in range(iters):
+        dmass = dangling.join(ranks, "doc_id").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dmass")
+        )
+        contribs = (
+            edges.join(
+                ranks.withColumnRenamed("doc_id", "src"), "src"
+            )
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.col("pr") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            ids.join(contribs, "doc_id", "left")
+            .crossJoin(F.broadcast(dmass))
+            .select(
+                "doc_id",
+                (
+                    F.lit((1.0 - damping) / n_docs)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("dmass") / n_docs
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    scaled = ranks.select(
+        "doc_id", F.round(F.col("pr") * n_docs, 8).alias("rank_x_n")
+    )
+    return scaled.orderBy(F.col("rank_x_n").desc(), "doc_id").limit(top_k)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup
+# ---------------------------------------------------------------------------
+
+# Demo operating point: sized so the sf0.01 fixture (500 prior docs ×
+# 3 probes → ~52% fill) produces a MEASURABLE false-positive band
+# (~14% of novel docs) that the oracle reproduces bit-for-bit.
+# Production sizing is the standard Bloom rule — m ≈ 10 bits per prior
+# key gives ~1% FP at k=3; the filter stays a broadcastable constant
+# because m is chosen, not data-driven.
+BLOOM_M = 2048  # bits
+BLOOM_K = 3  # hash probes per document
+
+
+def _bloom_positions(text_col, k: int = BLOOM_K, m: int = BLOOM_M):
+    """The k bit positions of a text under the portable Bloom hash
+    family: position_j = md5_56('b{j}:' || text) mod m."""
+    return [
+        F.pmod(md5_56(F.concat(F.lit(f"b{j}:"), text_col)), F.lit(m))
+        for j in range(k)
+    ]
+
+
+def bloom_bit_positions(prior: DataFrame, text_col: str = "text") -> list[int]:
+    """The SET bits of the Bloom filter over the prior corpus — at most
+    BLOOM_M integers whatever the corpus size, which is the whole point:
+    this is the collect that is ALWAYS bounded (it is the filter), so it
+    can be broadcast into a literal predicate on any cluster."""
+    t = F.col(text_col)
+    pos = prior.select(
+        F.explode(F.array(*_bloom_positions(t))).alias("p")
+    ).distinct()
+    return sorted(r["p"] for r in pos.collect())
+
+
+def bloom_incremental_dedup(docs: DataFrame) -> DataFrame:
+    """Incremental-ingest dedup verdict for a new crawl batch against
+    an already-ingested corpus, per new document:
+
+        (doc_id, source, bloom_maybe_dup, verified_dup, false_positive)
+
+    Fixture: the PRIOR corpus is the documents table itself; the new
+    batch is a deterministic recrawl where every 4th page carries the
+    SAME text as a prior page (a true incremental dup) and the rest
+    carry novel text.  The prior corpus is folded into an m-bit Bloom
+    filter (m=2048, k=3, md5-derived positions); the new batch probes
+    it with ``isin`` against the set-bit literal — Catalyst compiles a
+    >10-element list to an InSet hash probe, so the gate is O(1)/row,
+    pure JVM, and ZERO-shuffle (the plan gate pins this).  Flagged docs
+    are then exact-verified by content-hash against the prior corpus
+    (broadcast join here; on a 10^12-doc prior this join runs
+    shuffle-side but only the Bloom-flagged sliver of the batch pays
+    it).  ``false_positive`` rows measure the filter's actual FP rate —
+    the oracle reproduces them bit-for-bit."""
+    prior = docs
+    new = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 4 == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" fresh "),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        .alias("text"),
+    )
+    bits = bloom_bit_positions(prior)
+    t = F.col("text")
+    probes = _bloom_positions(t)
+    maybe = probes[0].isin(bits)
+    for p in probes[1:]:
+        maybe = maybe & p.isin(bits)
+    prior_hashes = F.broadcast(
+        prior.select(md5_56(t).alias("h")).distinct()
+    )
+    flagged = new.select(
+        "doc_id",
+        "source",
+        maybe.cast("int").alias("bloom_maybe_dup"),
+        md5_56(t).alias("h"),
+    )
+    return (
+        flagged.join(prior_hashes.withColumn("in_prior", F.lit(1)), "h", "left")
+        .select(
+            "doc_id",
+            "source",
+            "bloom_maybe_dup",
+            (
+                (F.col("bloom_maybe_dup") == 1)
+                & F.col("in_prior").isNotNull()
+            ).cast("int").alias("verified_dup"),
+            (
+                (F.col("bloom_maybe_dup") == 1) & F.col("in_prior").isNull()
+            ).cast("int").alias("false_positive"),
+        )
+    )

@@ -741,3 +741,78 @@ def test_warc_roundtrip_matches_corpus(spark):
     assert agg["n"] == n_docs
     assert agg["n_matched"] == n_docs  # every body byte-identical
     assert agg["min_idx"] == 1  # warcinfo occupies rec_idx 0
+
+
+def test_latest_snapshot_keeps_one_latest_per_canonical_url(spark):
+    from pvsyst_pdf_parser_spark.training.crawl import latest_snapshot
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(40)], "doc_id long, text string"
+    )
+    rows = latest_snapshot(docs).collect()
+    assert len(rows) == 40  # one verdict per capture
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["canonical_url"], []).append(r)
+    # 4 consecutive doc_ids collapse to one canonical page: the
+    # per-capture utm_source differences must NOT split the group
+    assert len(by_url) == 10
+    for url, grp in by_url.items():
+        assert len(grp) == 4 and all(r["n_captures"] == 4 for r in grp)
+        winners = [r for r in grp if r["is_latest"] == 1]
+        assert len(winners) == 1
+        # capture index (doc_id % 4) drives the day offset -> latest
+        # capture is always the index-3 one
+        assert winners[0]["doc_id"] % 4 == 3
+        assert winners[0]["warc_ts"] == max(r["warc_ts"] for r in grp)
+
+
+def test_link_pagerank_mass_and_dangling(spark):
+    """Rank mass is conserved (Σ rank = 1 each iteration, so
+    Σ rank_x_n over ALL nodes = n) and dangling nodes (no out-links)
+    still receive and emit mass instead of leaking it."""
+    from pyspark.sql import functions as F
+
+    from pvsyst_pdf_parser_spark.training.crawl import link_pagerank
+
+    n = 50
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(n)], "doc_id long, text string"
+    )
+    all_ranks = link_pagerank(docs, top_k=n)
+    total = all_ranks.agg(F.sum("rank_x_n")).collect()[0][0]
+    assert abs(total - n) < 1e-4, f"mass leaked: {total} != {n}"
+    ranks = {r["doc_id"]: r["rank_x_n"] for r in all_ranks.collect()}
+    assert len(ranks) == n
+    # every node has positive rank, including the dangling ones
+    assert min(ranks.values()) > 0
+    # determinism
+    again = {r["doc_id"]: r["rank_x_n"]
+             for r in link_pagerank(docs, top_k=n).collect()}
+    assert again == ranks
+
+
+def test_bloom_incremental_dedup_catches_dups_and_measures_fps(spark):
+    from pvsyst_pdf_parser_spark.training.crawl import (
+        bloom_incremental_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text number {i} with some words", "s0")
+         for i in range(80)],
+        "doc_id long, text string, source string",
+    )
+    rows = bloom_incremental_dedup(docs).collect()
+    assert len(rows) == 80
+    by_id = {r["doc_id"]: r for r in rows}
+    for i, r in by_id.items():
+        if i % 4 == 0:
+            # replayed prior text: the Bloom filter can NEVER miss a
+            # true duplicate (no false negatives), and exact
+            # verification confirms it
+            assert r["bloom_maybe_dup"] == 1 and r["verified_dup"] == 1
+            assert r["false_positive"] == 0
+        else:
+            # novel text: never verified as dup; any flag is an FP
+            assert r["verified_dup"] == 0
+            assert r["false_positive"] == r["bloom_maybe_dup"]

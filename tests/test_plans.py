@@ -185,3 +185,22 @@ def test_quality_model_score_is_literal_projection(spark):
     p = _plan(quality_model_report(docs, m["weights"], m["bias"]))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("Exchange") == 1  # the groupBy(source) agg only
+
+
+def test_bloom_gate_is_inset_probe_no_probe_side_shuffle(spark):
+    """The Bloom incremental-dedup gate must stay an InSet hash probe
+    (Catalyst's >10-element isin compilation) over the new batch — no
+    Python eval, no sort-merge join, and the only exchanges belong to
+    the PRIOR side (distinct-hash agg + its broadcast): the trillion-row
+    probe side never shuffles."""
+    from pvsyst_pdf_parser_spark.training.crawl import (
+        bloom_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(bloom_incremental_dedup(docs))
+    assert " INSET " in p  # literal bit-set compiled to a hash probe
+    assert "BroadcastHashJoin" in p  # exact verification is broadcast
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange") <= 2  # prior-side agg + broadcast only
