@@ -72,6 +72,7 @@ def _emb(spark, sf_dir):
 
 
 _SMOKE_GOLDENS = os.path.join(_REPO, "fixtures", "smoke_goldens.parquet")
+_SPAN_GOLDENS = os.path.join(_REPO, "fixtures", "span_goldens.parquet")
 
 
 def _trained_centroids() -> list[list[float]]:
@@ -95,6 +96,29 @@ def _quality_model() -> dict:
 
     with open(os.path.join(_REPO, "fixtures", "quality_model.json")) as f:
         return json.load(f)
+
+
+def _pvsyst_field_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule span sink: per-url (field, start, end, value) anchor
+    spans over the same deterministic fixture pages as the smoke query.
+    The oracle reads fixtures/span_goldens.parquet — the single-process
+    span scan over each doc's ground-truth text layer — so the hash
+    compare gates the DISTRIBUTED path end-to-end: payload decode,
+    per-page explode, order-sensitive doc-text reassembly (any page
+    order / separator drift shifts offsets), Arrow span scan, explode."""
+    from fixtures.gen import make_docs
+    from fixtures.refharness import ensure_span_goldens_parquet
+
+    from pvsyst_pdf_parser_spark.text.spans import extract_field_spans
+
+    _ensure_workers_have_repo(spark)
+    ensure_span_goldens_parquet(_SPAN_GOLDENS)
+    docs = make_docs(9)
+    pages = spark.createDataFrame(
+        [(d.url, d.payload, d.text, "en") for d in docs],
+        "url string, html binary, text string, lang string",
+    )
+    return extract_field_spans(pages)
 
 
 def _pvsyst_extract_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,6 +166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship extraction (differential hash oracle vs the committed
         # reference-golden parquet; full byte gate in pytest)
         "pvsyst_extract_smoke": _pvsyst_extract_smoke,
+        # north-rule span sink (never yet verified - run early)
+        "pvsyst_field_spans": _pvsyst_field_spans,
         # web-scale url canonicalization over synthesized messy urls
         "url_canonicalize": lambda s, d: U.canonical_url_stats(_docs(s, d)),
         # REAL header decode: deterministic PNG/JPEG/GIF payloads whose
@@ -1746,6 +1772,10 @@ FROM documents
         # differential oracle: the reference parser's own output for the
         # same fixture docs (fixtures/smoke_goldens.parquet, committed);
         # byte-identity ⇒ identical json_len / extracted fields
+        "pvsyst_field_spans": f"""
+SELECT url, span_kind, name, midx, start, "end", value
+FROM '{_SPAN_GOLDENS}'
+""",
         "pvsyst_extract_smoke": f"""
 SELECT url, kind, n_pages,
        length(golden_json)::int AS json_len,

@@ -148,3 +148,51 @@ def generate_goldens(docs, out_dir: str) -> dict[str, tuple[str, str]]:
         (out / f"{stem}_analysis_v3.txt").write_text(report_text, encoding="utf-8")
         goldens[doc.url] = (json_text, report_text)
     return goldens
+
+
+def ensure_span_goldens_parquet(path: str, n_docs: int = 9) -> str:
+    """Deterministic golden for the pvsyst_field_spans oracle: the
+    span inventory computed SINGLE-PROCESS over each fixture doc's
+    ground-truth text layer (DocFixture.doc_text).  The Spark side must
+    reproduce every row through its distributed path — payload decode,
+    per-page explode, doc-text reassembly (order-sensitive: offsets
+    shift if page order or separators drift), Arrow span scan, explode
+    — so the driver's hash compare gates the plumbing end-to-end.
+
+    Deterministic (seeded fixtures, fixed patterns): written once and
+    committed; regeneration is byte-identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    from fixtures.gen import make_docs
+
+    from pvsyst_pdf_parser_spark.text.spans import spans_of_text
+
+    cols = {k: [] for k in
+            ("url", "span_kind", "name", "midx", "start", "end", "value")}
+    for d in make_docs(n_docs):
+        for kind, name, midx, start, end, value in spans_of_text(d.doc_text):
+            cols["url"].append(d.url)
+            cols["span_kind"].append(kind)
+            cols["name"].append(name)
+            cols["midx"].append(midx)
+            cols["start"].append(start)
+            cols["end"].append(end)
+            cols["value"].append(value)
+    table = pa.table(
+        {
+            "url": pa.array(cols["url"], pa.string()),
+            "span_kind": pa.array(cols["span_kind"], pa.string()),
+            "name": pa.array(cols["name"], pa.string()),
+            "midx": pa.array(cols["midx"], pa.int32()),
+            "start": pa.array(cols["start"], pa.int32()),
+            "end": pa.array(cols["end"], pa.int32()),
+            "value": pa.array(cols["value"], pa.string()),
+        }
+    )
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

@@ -816,3 +816,36 @@ def test_bloom_incremental_dedup_catches_dups_and_measures_fps(spark):
             # novel text: never verified as dup; any flag is an FP
             assert r["verified_dup"] == 0
             assert r["false_positive"] == r["bloom_maybe_dup"]
+
+
+def test_field_spans_match_single_process_scan(spark):
+    """The distributed span path (decode -> page explode -> doc-text
+    reassembly -> Arrow scan -> explode) must reproduce the
+    single-process span scan over each fixture doc's ground-truth text
+    layer EXACTLY — any page-order or separator drift shifts offsets."""
+    from fixtures.gen import make_docs
+
+    from pvsyst_pdf_parser_spark.text.spans import (
+        extract_field_spans,
+        spans_of_text,
+    )
+
+    docs = make_docs(9)
+    pages = spark.createDataFrame(
+        [(d.url, d.payload, d.text, "en") for d in docs],
+        "url string, html binary, text string, lang string",
+    )
+    got = sorted(
+        (r["url"], r["span_kind"], r["name"], r["midx"], r["start"],
+         r["end"], r["value"])
+        for r in extract_field_spans(pages).collect()
+    )
+    want = sorted(
+        (d.url, k, n, m, s, e, v)
+        for d in docs
+        for (k, n, m, s, e, v) in spans_of_text(d.doc_text)
+    )
+    assert got == want
+    assert len(got) > 100  # the fixture set exercises every span kind
+    kinds = {k for (_, k, *_rest) in got}
+    assert kinds == {"section", "orientation", "field"}
