@@ -43,17 +43,21 @@ def extract_documents(
     pages_table: DataFrame,
     num_partitions: int | None = None,
     pack_by_bytes: bool = False,
+    with_spans: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → (url, kind, n_pages,
     extracted_json, report_text).  ``pack_by_bytes`` enables size-aware
-    decode packing for byte-skewed corpora (io/pages.py)."""
+    decode packing for byte-skewed corpora (io/pages.py).
+    ``with_spans`` adds a ``field_spans`` array column (text/spans.py)
+    scanned from the SAME doc_text pass the extractor already makes —
+    the north-rule span sink costs zero extra decode/exchange."""
     page_df = decode_pages_df(
         pages_table, num_partitions=num_partitions, pack_by_bytes=pack_by_bytes
     )
-    return extract_decoded(page_df)
+    return extract_decoded(page_df, with_spans=with_spans)
 
 
-def extract_decoded(page_df: DataFrame) -> DataFrame:
+def extract_decoded(page_df: DataFrame, with_spans: bool = False) -> DataFrame:
     """Decoded per-page rows → final per-url results (shared by the
     one-shot and resumable entry points).
 
@@ -102,6 +106,13 @@ def extract_decoded(page_df: DataFrame) -> DataFrame:
         ).try_cast("int"),
     ).drop("tip_content")
     docs = docs.withColumn("monthly_rows", monthly_rows_inline(F.col("doc_text")))
+    if with_spans:
+        # span scan rides the same doc_text pass — doc_text is about to
+        # be dropped, so this is the last (and only) place the anchors
+        # can be located without a second decode of the raw corpus
+        from .text.spans import scan_field_spans
+
+        docs = docs.withColumn("field_spans", scan_field_spans(F.col("doc_text")))
     # every doc_text-derived column now exists — cache only the compact
     # extracted columns (doc_text would multiply cache size ~10×)
     docs = docs.drop("doc_text", "sec_matches").persist(StorageLevel.MEMORY_AND_DISK)
@@ -131,6 +142,7 @@ def extract_decoded(page_df: DataFrame) -> DataFrame:
         extra_cols=[
             "total_inverters_from_power_section",
             "parsed_inverter_count",
+            *(["field_spans"] if with_spans else []),
         ],
     )
     out = out.withColumn(

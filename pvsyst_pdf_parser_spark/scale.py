@@ -99,7 +99,10 @@ class ResultSink:
                 df.writeTo(name).append()
             else:
                 writer = df.writeTo(name).using("iceberg")
-                if kind == "results":
+                if kind in ("results", "spans"):
+                    # spans co-bucket with results: per-url review /
+                    # audit joins between the two tables are
+                    # storage-partitioned, no exchange on either side
                     writer = writer.partitionedBy(
                         F.bucket(self.n_buckets, F.col("url"))
                     )
@@ -111,6 +114,11 @@ class ResultSink:
 
     def write_results(self, results: DataFrame) -> None:
         self._append(results, "results")
+
+    def write_spans(self, spans: DataFrame) -> None:
+        """North-rule span sink — (url, span_kind, name, midx, start,
+        end, value), bucketed by hash(url) like results."""
+        self._append(spans, "spans")
 
     def write_manifest(
         self,
@@ -225,13 +233,27 @@ def resumable_extract(
     n_buckets: int = N_BUCKETS_DEFAULT,
     table: str | None = None,
     pack_by_bytes: bool = False,
+    with_spans: bool = False,
 ) -> dict:
     """Run the extraction pipeline, skipping urls completed by prior
     runs, appending results + manifest.  Returns run stats.
     ``pack_by_bytes`` enables size-aware decode packing (requires
-    ``num_partitions``; see io/pages.py)."""
+    ``num_partitions``; see io/pages.py).
+
+    ``with_spans`` also writes the north-rule span table: the spans are
+    scanned inside the SAME extraction pass (pipeline with_spans=True
+    rides the one doc_text projection) and exploded off the
+    checkpointed results frame, so the second sink costs zero extra
+    decode and zero extra exchange.  Write order is results → spans →
+    manifest; the completed set stays manifest ∪ results, so a crash in
+    the results↔spans window can only leave a SPAN GAP (urls with
+    results but no spans), never duplicates — ``reconcile_spans``
+    repairs the gap idempotently.  On a real Iceberg catalog the two
+    appends belong in one multi-table transaction (or a WAP branch
+    publish), which closes the window entirely."""
     from .io.pages import decode_pages_df
     from .pipeline import extract_decoded
+    from .text.spans import explode_spans
 
     if run_id is None:
         run_id = f"run-{int(time.time())}"
@@ -251,7 +273,7 @@ def resumable_extract(
         .select("url", "status")
         .distinct()
     )
-    results = extract_decoded(page_df)
+    results = extract_decoded(page_df, with_spans=with_spans)
 
     # Truncate lineage BEFORE writing: the plan contains an anti-join
     # that reads the results sink, so a recompute after the first append
@@ -263,7 +285,12 @@ def resumable_extract(
     # a cache-lookup miss silently falls back to re-execution.)
     results = results.localCheckpoint()
     errors = errors.localCheckpoint()
-    sink.write_results(results)
+    if with_spans:
+        spans = explode_spans(results, F.col("field_spans"))
+        sink.write_results(results.drop("field_spans"))
+        sink.write_spans(spans)
+    else:
+        sink.write_results(results)
     sink.write_manifest(run_id, results, errors, wall_sec=time.time() - t0)
     stats = sink.run_stats(run_id)
     results.unpersist()
@@ -274,6 +301,39 @@ def resumable_extract(
         "n_errors": stats["n_errors"],
         "wall_sec": round(time.time() - t0, 3),
     }
+
+
+def reconcile_spans(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    table: str | None = None,
+) -> dict:
+    """Repair the span gap a crash between the results and spans
+    appends can leave (urls with results but no spans).  Idempotent:
+    gap urls come from an anti-join of the two sinks' url columns, the
+    replacement spans are recomputed from the pages table for exactly
+    those urls, so re-running after any crash converges with no
+    duplicate span rows.  Both sides of the anti-join are single-column
+    scans (column-pruned; on Iceberg, metadata-only url manifests)."""
+    from .text.spans import extract_field_spans
+
+    sink = ResultSink(spark, out_dir, table=table, n_buckets=n_buckets)
+    results = sink._read("results")
+    if results is None:
+        return {"gap_urls": 0}
+    gap = results.select("url").distinct()
+    spans_existing = sink._read("spans")
+    if spans_existing is not None:
+        gap = gap.join(spans_existing.select("url").distinct(), "url", "left_anti")
+    gap = gap.localCheckpoint()  # sever: the write below appends to a sink we read
+    n_gap = gap.count()
+    if n_gap == 0:
+        return {"gap_urls": 0}
+    spans = extract_field_spans(pages.join(gap, "url", "left_semi"))
+    sink.write_spans(spans.localCheckpoint())
+    return {"gap_urls": n_gap}
 
 
 def compact_results(

@@ -88,21 +88,26 @@ def scan_field_spans(doc_text: pd.Series) -> pd.Series:
     return doc_text.map(spans_of_text)
 
 
+def explode_spans(df: DataFrame, spans_col) -> DataFrame:
+    """(url, <span array col>) → one row per span.  ``spans_col`` is a
+    Column (e.g. an already-computed ``field_spans`` column riding a
+    checkpointed results frame — the resumable sink path — or the scan
+    UDF applied to a text column)."""
+    return df.select("url", F.explode(spans_col).alias("s")).select(
+        "url",
+        F.col("s.span_kind").alias("span_kind"),
+        F.col("s.name").alias("name"),
+        F.col("s.midx").alias("midx"),
+        F.col("s.start").alias("start"),
+        F.col("s.end").alias("end"),
+        F.col("s.value").alias("value"),
+    )
+
+
 def field_spans(docs: DataFrame, text_col: str = "doc_text") -> DataFrame:
     """(url, span_kind, name, midx, start, end, value) rows for every
     anchor match in each document's text."""
-    return (
-        docs.select("url", F.explode(scan_field_spans(F.col(text_col))).alias("s"))
-        .select(
-            "url",
-            F.col("s.span_kind").alias("span_kind"),
-            F.col("s.name").alias("name"),
-            F.col("s.midx").alias("midx"),
-            F.col("s.start").alias("start"),
-            F.col("s.end").alias("end"),
-            F.col("s.value").alias("value"),
-        )
-    )
+    return explode_spans(docs, scan_field_spans(F.col(text_col)))
 
 
 def extract_field_spans(pages_table: DataFrame) -> DataFrame:

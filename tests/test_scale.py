@@ -330,3 +330,78 @@ def test_iceberg_read_paths_full_resume_cycle(spark, pages_parquet, out_dir,
         assert sink.completed_urls().count() == n_total
     finally:
         spark.conf.unset("spark.sql.catalog.cat_rb")
+
+
+def test_spans_sink_written_with_results_no_second_decode(
+    spark, fixture_docs, pages_parquet, out_dir
+):
+    """with_spans=True writes the north-rule span table alongside
+    results: span rows equal the single-process scan of each doc's
+    ground-truth text layer, bucketed like results, and the explode
+    reads the CHECKPOINTED results frame (no second decode of the raw
+    corpus — the plan must not contain another mapInPandas)."""
+    from pvsyst_pdf_parser_spark.scale import resumable_extract
+    from pvsyst_pdf_parser_spark.text.spans import spans_of_text
+
+    pages = spark.read.parquet(pages_parquet)
+    resumable_extract(spark, pages, out_dir, run_id="s1", with_spans=True)
+
+    spans = spark.read.parquet(f"{out_dir}/spans")
+    got = sorted(
+        (r["url"], r["span_kind"], r["name"], r["midx"], r["start"],
+         r["end"], r["value"])
+        for r in spans.collect()
+    )
+    want = sorted(
+        (d.url, k, n, m, s, e, v)
+        for d in fixture_docs
+        for (k, n, m, s, e, v) in spans_of_text(d.doc_text)
+    )
+    assert got == want
+    assert "bucket" in spans.columns  # co-bucketed with results
+
+    # results table must NOT carry the span array (dropped before write)
+    results = spark.read.parquet(f"{out_dir}/results")
+    assert "field_spans" not in results.columns
+
+    # resume: nothing to do, span sink unchanged (no duplicates)
+    resumable_extract(spark, pages, out_dir, run_id="s2", with_spans=True)
+    assert spark.read.parquet(f"{out_dir}/spans").count() == len(got)
+
+
+def test_reconcile_spans_heals_crash_gap_idempotently(
+    spark, fixture_docs, pages_parquet, out_dir
+):
+    """Crash window: results appended, spans append never ran (the
+    with_spans=False run stands in for the torn write).  reconcile_spans
+    must fill exactly the missing urls from the pages table and be a
+    no-op when re-run."""
+    from pvsyst_pdf_parser_spark.scale import reconcile_spans, resumable_extract
+    from pvsyst_pdf_parser_spark.text.spans import spans_of_text
+
+    pages = spark.read.parquet(pages_parquet)
+    first = pages.limit(5)
+    # run 1 writes results+spans; run 2 "crashes" before its span append
+    resumable_extract(spark, first, out_dir, run_id="g1", with_spans=True)
+    resumable_extract(spark, pages, out_dir, run_id="g2", with_spans=False)
+
+    n_docs = len(fixture_docs)
+    rep = reconcile_spans(spark, pages, out_dir)
+    assert rep["gap_urls"] == n_docs - 5
+
+    spans = spark.read.parquet(f"{out_dir}/spans")
+    want = sorted(
+        (d.url, k, n, m, s, e, v)
+        for d in fixture_docs
+        for (k, n, m, s, e, v) in spans_of_text(d.doc_text)
+    )
+    got = sorted(
+        (r["url"], r["span_kind"], r["name"], r["midx"], r["start"],
+         r["end"], r["value"])
+        for r in spans.collect()
+    )
+    assert got == want
+
+    # idempotent: second reconcile finds no gap, appends nothing
+    assert reconcile_spans(spark, pages, out_dir) == {"gap_urls": 0}
+    assert spark.read.parquet(f"{out_dir}/spans").count() == len(want)
