@@ -223,6 +223,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), n=4
         ),
         "dedup_paragraphs": lambda s, d: P.dedup_paragraphs_report(_docs(s, d)),
+        # C4 three-sentence-span dedup (overlapping spans, component
+        # sentences removed from later copies) — boilerplate planted
+        # deterministically, oracle replays the same CASE
+        "dedup_sentence_spans": lambda s, d: P.dedup_sentence_spans_report(
+            P.inject_prefix(_docs(s, d), 4, P.SPAN_DEMO_BOILER)
+        ),
+        # RefinedWeb within-doc line dedup: zero-shuffle projection
+        "intradoc_line_dedup": lambda s, d: P.intradoc_line_dedup_report(
+            P.inject_prefix(
+                _docs(s, d), 3, P.LINE_DEMO_BOILER + " " + P.LINE_DEMO_BOILER
+            )
+        ),
         "pii_scrub": lambda s, d: W.pii_scrub_stats(_docs(s, d)),
         "domain_stats": lambda s, d: W.domain_stats(_docs(s, d)),
         "training_order": lambda s, d: SA.training_order(_docs(s, d)),
@@ -759,6 +771,84 @@ flag AS (
 SELECT doc_id, count(*) AS n_paras, sum(keep)::bigint AS n_kept,
        coalesce(string_agg(CASE WHEN keep = 1 THEN para END, ' '
                            ORDER BY pos), '') AS clean_text
+FROM flag GROUP BY doc_id
+"""
+
+
+def _dedup_sentence_spans_sql(k: int = 5) -> str:
+    """DuckDB replay of paragraphs.dedup_sentence_spans_report (C4
+    §2.2 three-sentence spans): same k-token sentence grid, same
+    boilerplate injection, overlapping spans via two self-joins, first
+    occurrence by (doc_id, span_pos) keeps, removed spans drop their 3
+    component sentences."""
+    from pvsyst_pdf_parser_spark.training.paragraphs import SPAN_DEMO_BOILER
+
+    return f"""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN '{SPAN_DEMO_BOILER} ' || text
+              ELSE text END AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM dirty),
+sents AS (
+  SELECT doc_id, i AS sidx,
+         array_to_string(toks[(i*{k}+1):((i+1)*{k})], ' ') AS sent
+  FROM toks,
+       unnest(generate_series(0,
+         cast(ceil(len(toks) / {k}.0) AS int) - 1)) AS t(i)),
+spans AS (
+  SELECT a.doc_id, a.sidx AS span_pos,
+         a.sent || ' ' || b.sent || ' ' || c.sent AS span
+  FROM sents a
+  JOIN sents b ON b.doc_id = a.doc_id AND b.sidx = a.sidx + 1
+  JOIN sents c ON c.doc_id = a.doc_id AND c.sidx = a.sidx + 2),
+rm AS (
+  SELECT DISTINCT f.doc_id, f.span_pos + d.d AS sidx
+  FROM (SELECT doc_id, span_pos,
+               row_number() OVER (PARTITION BY span
+                                  ORDER BY doc_id, span_pos) AS rn
+        FROM spans) f,
+       (SELECT unnest(generate_series(0, 2)) AS d) d
+  WHERE f.rn > 1)
+SELECT s.doc_id, count(*)::bigint AS n_sents,
+       count(r.sidx)::bigint AS n_removed,
+       coalesce(string_agg(CASE WHEN r.sidx IS NULL THEN s.sent END, ' '
+                           ORDER BY s.sidx), '') AS clean_text
+FROM sents s
+LEFT JOIN rm r ON r.doc_id = s.doc_id AND r.sidx = s.sidx
+GROUP BY s.doc_id
+"""
+
+
+def _intradoc_line_dedup_sql(k: int = 5) -> str:
+    """DuckDB replay of paragraphs.intradoc_line_dedup_report: within
+    each doc, keep only the first occurrence of each k-token sentence
+    (Spark side is array_distinct — first-occurrence order preserved)."""
+    from pvsyst_pdf_parser_spark.training.paragraphs import LINE_DEMO_BOILER
+
+    rep = f"{LINE_DEMO_BOILER} {LINE_DEMO_BOILER}"
+    return f"""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '{rep} ' || text ELSE text END AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM dirty),
+sents AS (
+  SELECT doc_id, i AS sidx,
+         array_to_string(toks[(i*{k}+1):((i+1)*{k})], ' ') AS sent
+  FROM toks,
+       unnest(generate_series(0,
+         cast(ceil(len(toks) / {k}.0) AS int) - 1)) AS t(i)),
+flag AS (
+  SELECT doc_id, sidx, sent,
+         row_number() OVER (PARTITION BY doc_id, sent ORDER BY sidx) AS rn
+  FROM sents)
+SELECT doc_id, count(*)::bigint AS n_sents,
+       sum((rn > 1)::int)::bigint AS n_removed,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN sent END, ' '
+                           ORDER BY sidx), '') AS clean_text
 FROM flag GROUP BY doc_id
 """
 
@@ -1647,6 +1737,8 @@ FROM documents GROUP BY 1
         "bloom_incremental_dedup": _bloom_dedup_sql(),
         "decontam_benchmark": _decontam_sql(n=4),
         "dedup_paragraphs": _dedup_paragraphs_sql(),
+        "dedup_sentence_spans": _dedup_sentence_spans_sql(),
+        "intradoc_line_dedup": _intradoc_line_dedup_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "domain_stats": _domain_stats_sql(),
         "training_order": _training_order_sql(),

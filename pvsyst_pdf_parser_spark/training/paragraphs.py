@@ -82,6 +82,141 @@ def dedup_paragraphs_report(
     )
 
 
+# demo-injection constants (the synthetic corpus is a word salad with
+# no natural duplication, so the driver demos plant deterministic
+# boilerplate the oracle replays with the same CASE arithmetic).
+# SPAN_DEMO_BOILER is exactly 20 tokens = 4 aligned 5-token sentences,
+# so prefix injection yields identical cross-doc spans at pos 0 and 1.
+SPAN_DEMO_BOILER = (
+    "subscribe to our newsletter for updates follow us on social media"
+    " all rights reserved privacy policy terms of service apply"
+)
+LINE_DEMO_BOILER = "click here to read more"  # exactly one 5-token sentence
+
+
+def inject_prefix(docs: DataFrame, modulus: int, prefix: str) -> DataFrame:
+    """Prefix ``prefix + ' '`` onto the text of every doc with
+    doc_id % modulus == 0 — prefix injection keeps the k-token sentence
+    grid aligned across documents (a suffix would shift with each doc's
+    own length)."""
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % modulus == 0,
+            F.concat(F.lit(prefix + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+
+
+def _doc_sentences_col(text_col: str, sent_tokens: int):
+    """Column: array of ``sent_tokens``-word "sentences" of the
+    lowercased text (the synthetic corpus has no punctuation — real
+    corpora swap in a ``split(text, '(?<=[.!?])\\s+')``; everything
+    downstream only sees the array)."""
+    tokens = F.split(F.lower(F.col(text_col)), " ", -1)
+    n = F.ceil(F.size(tokens) / F.lit(sent_tokens)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i * sent_tokens + 1, sent_tokens)),
+    )
+
+
+def dedup_sentence_spans_report(
+    docs: DataFrame, sent_tokens: int = 5, span_sents: int = 3
+) -> DataFrame:
+    """C4's three-sentence-span dedup (Raffel et al. 2020 §2.2:
+    "we discarded all but one of any three-sentence span occurring more
+    than once in the data set").  Unlike paragraph dedup the spans
+    OVERLAP — a duplicated passage is removed sentence-by-sentence from
+    every later copy while both documents survive.
+
+    Shape at 10^12 docs: sentence + span construction is one pure
+    projection (array ops over the text column — no explode of raw
+    text, no shuffle); the posexplode emits only (doc_id, span_pos,
+    span) rows.  ONE span-keyed window (the corpus-wide shuffle — same
+    profile as exact dedup on the span key), then the removal set and
+    the reassembly ride the doc_id key.  First occurrence by
+    (doc_id, span_pos) keeps; the removed span's ``span_sents``
+    component sentences are dropped from the later copy.
+
+    Returns (doc_id, n_sents, n_removed, clean_text)."""
+    base = docs.select(
+        "doc_id", _doc_sentences_col("text", sent_tokens).alias("sents")
+    )
+    # span index list 0..n-span_sents (empty when the doc is shorter —
+    # sequence(0, negative) would count DOWN, so gate explicitly)
+    span_idx = F.when(
+        F.size("sents") >= span_sents,
+        F.sequence(F.lit(0), F.size("sents") - span_sents),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                span_idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("sents", i + j + 1) for j in range(span_sents)],
+                ),
+            )
+        ).alias("span_pos", "span"),
+    )
+    w = Window.partitionBy("span").orderBy("doc_id", "span_pos")
+    removed_spans = spans.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") > 1
+    )
+    rm = (
+        removed_spans.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("span_pos"), F.col("span_pos") + (span_sents - 1)
+                )
+            ).alias("sidx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("sidx").alias("rm_idx"))
+    )
+    joined = base.join(rm, "doc_id", "left").withColumn(
+        "rm_idx", F.coalesce("rm_idx", F.array().cast("array<int>"))
+    )
+    return joined.select(
+        "doc_id",
+        F.size("sents").cast("bigint").alias("n_sents"),
+        F.size("rm_idx").cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.filter(
+                "sents", lambda s, i: ~F.array_contains("rm_idx", i.cast("int"))
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def intradoc_line_dedup_report(
+    docs: DataFrame, sent_tokens: int = 5
+) -> DataFrame:
+    """Within-document repeated-line removal (the RefinedWeb /
+    MassiveWeb line-dedup rule: a line repeated inside the SAME page is
+    boilerplate — nav bars, cookie banners — and every copy after the
+    first is dropped).  Pure projection: array_distinct preserves
+    first-occurrence order, so there is NO shuffle at any corpus size —
+    the cheapest operator in the cleaning family and the reason it runs
+    first in real pipelines.
+
+    Returns (doc_id, n_sents, n_removed, clean_text)."""
+    base = docs.select(
+        "doc_id", _doc_sentences_col("text", sent_tokens).alias("sents")
+    )
+    kept = F.array_distinct("sents")
+    return base.select(
+        "doc_id",
+        F.size("sents").cast("bigint").alias("n_sents"),
+        (F.size("sents") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 def paragraph_dedup_stats(docs: DataFrame, para_tokens: int = 10) -> DataFrame:
     """Per-source damage report of paragraph dedup: (source, n_docs,
     n_paras, n_dropped, drop_rate, n_docs_touched) — what an operator

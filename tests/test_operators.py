@@ -849,3 +849,65 @@ def test_field_spans_match_single_process_scan(spark):
     assert len(got) > 100  # the fixture set exercises every span kind
     kinds = {k for (_, k, *_rest) in got}
     assert kinds == {"section", "orientation", "field"}
+
+
+def test_dedup_sentence_spans_c4_rule(spark):
+    """C4 §2.2: a 3-sentence span occurring twice keeps its first
+    occurrence; the later copy loses the span's component sentences but
+    the document survives.  Overlap handling: consecutive duplicate
+    spans union their coverage, they don't double-count."""
+    from pvsyst_pdf_parser_spark.training.paragraphs import (
+        dedup_sentence_spans_report,
+    )
+
+    # 5-token "sentences"; docs 1 and 2 share sentences A B C D as a
+    # prefix (spans ABC, BCD dup) — doc 2 keeps only its tail E2 F2.
+    A = "a1 a2 a3 a4 a5"
+    B = "b1 b2 b3 b4 b5"
+    C = "c1 c2 c3 c4 c5"
+    D = "d1 d2 d3 d4 d5"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{A} {B} {C} {D} e1 e2 e3 e4 e5"),
+            (2, f"{A} {B} {C} {D} f1 f2 f3 f4 f5 g1 g2 g3 g4 g5"),
+            (3, "h1 h2 h3 h4 h5 i1 i2 i3 i4 i5"),  # < 3 sents: no spans
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_sentence_spans_report(docs, sent_tokens=5).collect()
+    }
+    assert out[1]["n_removed"] == 0  # first occurrence keeps everything
+    assert out[1]["clean_text"].startswith(A)
+    # doc 2: dup spans (A B C) and (B C D) cover sentences 0..3
+    assert out[2]["n_removed"] == 4
+    assert out[2]["clean_text"] == "f1 f2 f3 f4 f5 g1 g2 g3 g4 g5"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["n_sents"] == 2
+
+
+def test_intradoc_line_dedup_first_occurrence_in_doc_only(spark):
+    """Within-doc repeats drop (keep first); the SAME line in another
+    doc is untouched — this is intra-doc boilerplate removal, not
+    corpus-wide dedup."""
+    from pvsyst_pdf_parser_spark.training.paragraphs import (
+        intradoc_line_dedup_report,
+    )
+
+    L = "x1 x2 x3 x4 x5"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{L} y1 y2 y3 y4 y5 {L}"),  # repeat inside doc 1
+            (2, f"{L} z1 z2 z3 z4 z5"),      # same line, other doc: kept
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in intradoc_line_dedup_report(docs, sent_tokens=5).collect()
+    }
+    assert out[1]["n_removed"] == 1
+    assert out[1]["clean_text"] == f"{L} y1 y2 y3 y4 y5"
+    assert out[2]["n_removed"] == 0
+    assert out[2]["clean_text"] == f"{L} z1 z2 z3 z4 z5"
