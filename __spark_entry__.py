@@ -1670,11 +1670,13 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM s)
 SELECT query_id, cand_id, cos_sim, rank::int AS rank FROM r WHERE rank <= 3
 """,
-        "text_token_count": """
+        "text_token_count": f"""
 SELECT source, count(*) AS n_docs,
        sum(len(string_split(text, ' ')))::bigint AS total_tokens,
        round(avg(len(string_split(text, ' '))), 3) AS avg_tokens,
-       sum(ceil(length(text) / 4)::bigint)::bigint AS total_bpe_est
+       sum(ceil(length(text) / 4)::bigint)::bigint AS total_bpe_est,
+       sum(len(regexp_extract_all(text,
+         '{X.PRETOKEN_PAT}')))::bigint AS total_pretok
 FROM documents GROUP BY source
 """,
         "text_lang_id": """

@@ -39,18 +39,36 @@ def _count_occurrences(col, needle: str):
     ).cast("bigint")
 
 
+# GPT-2-style pre-tokenizer (Radford 2019 released regex), restricted
+# to the portable Java-regex ∩ RE2 subset (no lookahead, ASCII classes
+# — the public pattern's `\s+(?!\S)` tail is RE2-inexpressible; for
+# single-space web text the simplified alternation yields identical
+# splits).  Each match ≈ one BPE pre-token; real BPE only subdivides
+# within these units, so the count upper-bounds at merges=0 and tracks
+# any GPT-2-family tokenizer within its merge ratio.
+PRETOKEN_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
 def token_count_stats(docs: DataFrame) -> DataFrame:
-    """Whitespace tokens + a BPE-ish unit estimate (chars/4) per source."""
+    """Whitespace tokens, a chars/4 BPE estimate, and the GPT-2
+    pre-tokenizer unit count per source."""
     tokens = F.size(F.split(F.col("text"), r" ", -1))
     bpe_est = F.ceil(F.length("text") / 4).cast("bigint")
+    pretok = F.size(F.regexp_extract_all("text", F.lit(PRETOKEN_PAT), 0))
     return (
-        docs.select("source", tokens.alias("n_tokens"), bpe_est.alias("n_bpe"))
+        docs.select(
+            "source",
+            tokens.alias("n_tokens"),
+            bpe_est.alias("n_bpe"),
+            pretok.alias("n_pretok"),
+        )
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
             F.round(F.avg("n_tokens"), 3).alias("avg_tokens"),
             F.sum("n_bpe").alias("total_bpe_est"),
+            F.sum("n_pretok").cast("bigint").alias("total_pretok"),
         )
     )
 

@@ -911,3 +911,37 @@ def test_intradoc_line_dedup_first_occurrence_in_doc_only(spark):
     assert out[1]["clean_text"] == f"{L} y1 y2 y3 y4 y5"
     assert out[2]["n_removed"] == 0
     assert out[2]["clean_text"] == f"{L} z1 z2 z3 z4 z5"
+
+
+def test_pretokenizer_total_and_counts(spark):
+    """PRETOKEN_PAT is a total tokenization (concatenating the matches
+    reconstructs the text exactly) and the Spark count matches a Python
+    re simulation on mixed-content strings."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        PRETOKEN_PAT,
+        token_count_stats,
+    )
+
+    texts = [
+        "Hello world, 42 apples!",
+        "  leading spaces and  double  gaps",
+        "unicode-free: a1b2c3 ... ---",
+        "x",
+        "9",
+        "?!",
+    ]
+    for t in texts:
+        toks = re.findall(PRETOKEN_PAT, t)
+        assert "".join(toks) == t  # total: every char consumed once
+    expected = {f"s{i}": len(re.findall(PRETOKEN_PAT, t))
+                for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(f"s{i}", t) for i, t in enumerate(texts)], "source string, text string"
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    got = {r["source"]: r["total_pretok"]
+           for r in token_count_stats(df).collect()}
+    assert got == expected
