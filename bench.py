@@ -44,6 +44,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 HEADLINE = [
+    "pvsyst_field_spans",
+    "dedup_embedding_keepers",
+    "dedup_sentence_spans",
+    "intradoc_line_dedup",
     "q1_pricing_summary",
     "broadcast_join_revenue",
     "window_lead_gaps",
