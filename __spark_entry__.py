@@ -39,6 +39,7 @@ from pvsyst_pdf_parser_spark.training import simsearch as S  # noqa: E402
 from pvsyst_pdf_parser_spark.training import textstats as X  # noqa: E402
 from pvsyst_pdf_parser_spark.training import urlnorm as U  # noqa: E402
 from pvsyst_pdf_parser_spark.training import webclean as W  # noqa: E402
+from pvsyst_pdf_parser_spark.text import layout as LY  # noqa: E402
 from pvsyst_pdf_parser_spark.training.hashing import (  # noqa: E402
     MERSENNE_P,
     perm_params,
@@ -235,6 +236,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _docs(s, d), 3, P.LINE_DEMO_BOILER + " " + P.LINE_DEMO_BOILER
             )
         ),
+        # round-5 geometric layout engine (north-rule clause: word-bbox
+        # line clustering, column detection, y-grouped / x-aligned table
+        # reconstruction — never yet verified, run early): pure
+        # window+groupBy relational plans over deterministically
+        # synthesized word boxes; oracles replay the identical spec
+        "layout_reconstruct": lambda s, d: LY.layout_reconstruct_report(
+            _docs(s, d)
+        ),
+        "layout_columns": lambda s, d: LY.layout_column_report(_docs(s, d)),
+        "layout_grid": lambda s, d: LY.layout_grid_report(_docs(s, d)),
         "pii_scrub": lambda s, d: W.pii_scrub_stats(_docs(s, d)),
         "domain_stats": lambda s, d: W.domain_stats(_docs(s, d)),
         "training_order": lambda s, d: SA.training_order(_docs(s, d)),
@@ -850,6 +861,133 @@ SELECT doc_id, count(*)::bigint AS n_sents,
        coalesce(string_agg(CASE WHEN rn = 1 THEN sent END, ' '
                            ORDER BY sidx), '') AS clean_text
 FROM flag GROUP BY doc_id
+"""
+
+
+def _layout_placed_cte() -> str:
+    """Shared DuckDB CTE replaying layout.synth_word_boxes: the same
+    fixed-width slot grid (8 slots x 16 chars, 24-unit gutter before
+    slot 4) over documents.text, word idx renumbered after dropping
+    empty split tokens exactly as the Spark side does."""
+    from pvsyst_pdf_parser_spark.text import layout as L
+
+    half = L.WORDS_PER_LINE // 2
+    return f"""
+parts AS (
+  SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+rawtok AS (
+  SELECT doc_id, p[i] AS tok, i
+  FROM parts, unnest(generate_series(1, len(p))) AS t(i)
+  WHERE p[i] <> ''),
+toks AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS idx,
+         left(tok, {L.MAX_WLEN}) AS word
+  FROM rawtok),
+placed AS (
+  SELECT doc_id, idx, word,
+         (idx // {L.WORDS_PER_LINE})::int AS line_id,
+         ((idx % {L.WORDS_PER_LINE}) * {L.SLOT_W}
+          + CASE WHEN idx % {L.WORDS_PER_LINE} >= {half}
+                 THEN {L.GUTTER} ELSE 0 END) AS x0,
+         ((idx % {L.WORDS_PER_LINE}) * {L.SLOT_W}
+          + CASE WHEN idx % {L.WORDS_PER_LINE} >= {half}
+                 THEN {L.GUTTER} ELSE 0 END
+          + len(word)) AS x1
+  FROM toks)"""
+
+
+def _layout_reconstruct_sql() -> str:
+    """DuckDB replay of layout.layout_reconstruct_report: same boxes,
+    same spacing arithmetic (gap = x0 - prev_x1 spaces, min 1; indent =
+    x0; one newline per consecutive 12-unit line step), same md5."""
+    return f"""
+WITH {_layout_placed_cte()},
+wtok AS (
+  SELECT doc_id, line_id, x0,
+         CASE WHEN lag(x1) OVER w IS NULL
+              THEN repeat(' ', greatest(0, x0)::int)
+              ELSE repeat(' ', greatest(1, x0 - lag(x1) OVER w)::int)
+         END || word AS tok
+  FROM placed WINDOW w AS (PARTITION BY doc_id, line_id ORDER BY x0)),
+lns AS (
+  SELECT doc_id, line_id, count(*) AS nw,
+         string_agg(tok, '' ORDER BY x0) AS line_str
+  FROM wtok GROUP BY doc_id, line_id)
+SELECT doc_id, count(*)::bigint AS n_lines, sum(nw)::bigint AS n_words,
+       md5(string_agg(line_str, chr(10) ORDER BY line_id)) AS text_md5
+FROM lns GROUP BY doc_id
+"""
+
+
+def _layout_columns_sql() -> str:
+    """DuckDB replay of layout.layout_column_report: the same running
+    max(x1) interval-union scan, widest interior gap wins (ties by
+    gx0), side counts against the band edges."""
+    from pvsyst_pdf_parser_spark.text import layout as L
+
+    return f"""
+WITH {_layout_placed_cte()},
+xs AS (SELECT doc_id, x0, max(x1) AS x1 FROM placed GROUP BY doc_id, x0),
+g AS (
+  SELECT doc_id,
+         max(x1) OVER (PARTITION BY doc_id ORDER BY x0
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS gx0,
+         x0 AS gx1
+  FROM xs),
+gaps AS (SELECT * FROM g WHERE gx0 IS NOT NULL AND gx1 > gx0),
+best AS (
+  SELECT doc_id, gx0, gx1
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY (gx1 - gx0) DESC, gx0, gx1)
+               AS rn
+        FROM gaps)
+  WHERE rn = 1),
+sides AS (
+  SELECT p.doc_id, max(b.gx0) AS gx0, max(b.gx1) AS gx1,
+         sum(CASE WHEN p.x1 <= b.gx0 THEN 1 ELSE 0 END)::bigint AS n_left,
+         sum(CASE WHEN p.x0 >= b.gx1 THEN 1 ELSE 0 END)::bigint AS n_right
+  FROM placed p LEFT JOIN best b ON p.doc_id = b.doc_id
+  GROUP BY p.doc_id)
+SELECT doc_id,
+       coalesce(gx0, 0)::int AS band_x0,
+       coalesce(gx1, 0)::int AS band_x1,
+       coalesce(gx1 - gx0, 0)::int AS band_w,
+       n_left, n_right,
+       (coalesce(gx1 - gx0, 0) >= {L.MIN_BAND_W}) AS is_two_col
+FROM sides
+"""
+
+
+def _layout_grid_sql(x_tol: float = 2.0) -> str:
+    """DuckDB replay of layout.layout_grid_report: x-starts clustered
+    with the same gap-segmentation idiom, cells keyed (line, col),
+    order-pinned md5 over line_id:col_id:cell strings."""
+    return f"""
+WITH {_layout_placed_cte()},
+xs AS (SELECT DISTINCT doc_id, x0 FROM placed),
+brk AS (
+  SELECT doc_id, x0,
+         CASE WHEN x0 - lag(x0) OVER (PARTITION BY doc_id ORDER BY x0)
+                   > {x_tol} THEN 1 ELSE 0 END AS is_brk
+  FROM xs),
+cols AS (
+  SELECT doc_id, x0,
+         (sum(is_brk) OVER (PARTITION BY doc_id ORDER BY x0
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))::int AS col_id
+  FROM brk),
+cells AS (
+  SELECT p.doc_id, p.line_id, c.col_id, p.x0,
+         p.line_id::varchar || ':' || c.col_id::varchar || ':' || p.word
+           AS cell_str
+  FROM placed p JOIN cols c ON p.doc_id = c.doc_id AND p.x0 = c.x0)
+SELECT doc_id, count(DISTINCT line_id)::bigint AS n_rows,
+       count(DISTINCT col_id)::bigint AS n_cols,
+       md5(string_agg(cell_str, '|'
+                      ORDER BY line_id, col_id, x0, cell_str)) AS grid_md5
+FROM cells GROUP BY doc_id
 """
 
 
@@ -1741,6 +1879,9 @@ FROM documents GROUP BY 1
         "dedup_paragraphs": _dedup_paragraphs_sql(),
         "dedup_sentence_spans": _dedup_sentence_spans_sql(),
         "intradoc_line_dedup": _intradoc_line_dedup_sql(),
+        "layout_reconstruct": _layout_reconstruct_sql(),
+        "layout_columns": _layout_columns_sql(),
+        "layout_grid": _layout_grid_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "domain_stats": _domain_stats_sql(),
         "training_order": _training_order_sql(),

@@ -48,6 +48,8 @@ HEADLINE = [
     "dedup_embedding_keepers",
     "dedup_sentence_spans",
     "intradoc_line_dedup",
+    "layout_reconstruct",
+    "layout_grid",
     "q1_pricing_summary",
     "broadcast_join_revenue",
     "window_lead_gaps",
