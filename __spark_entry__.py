@@ -246,6 +246,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "layout_columns": lambda s, d: LY.layout_column_report(_docs(s, d)),
         "layout_grid": lambda s, d: LY.layout_grid_report(_docs(s, d)),
+        # ExactSubstr dedup (Lee 2022): duplicated k-token windows cut
+        # corpus-wide, first occurrence keeps; boilerplate planted
+        # deterministically so real cross-doc duplicates exist
+        "dedup_exact_substring": lambda s, d: D.exact_substring_dedup_report(
+            P.inject_prefix(_docs(s, d), 4, D.EXSUB_BOILER)
+        ),
+        # GPT-style concat-and-chunk packing: per-(source, chunk) fill +
+        # boundary-carry stats over the deterministic hash order
+        "sequence_pack": lambda s, d: SA.sequence_pack_stats(_docs(s, d)),
+        # tokenizer-prep vocab coverage: top-V vocabulary + per-source
+        # OOV (exact integer ppm so both engines agree bit-for-bit)
+        "vocab_coverage": lambda s, d: X.vocab_coverage_stats(_docs(s, d)),
+        # in-link anchor-text aggregation over the synthetic link graph
+        "anchor_text": lambda s, d: CR.anchor_text_stats(_docs(s, d)),
+        # pruned bigram LM quality scores (one order past unigram)
+        "text_bigram_logprob": lambda s, d: X.bigram_logprob_scores(
+            _docs(s, d)
+        ),
         "pii_scrub": lambda s, d: W.pii_scrub_stats(_docs(s, d)),
         "domain_stats": lambda s, d: W.domain_stats(_docs(s, d)),
         "training_order": lambda s, d: SA.training_order(_docs(s, d)),
@@ -861,6 +879,172 @@ SELECT doc_id, count(*)::bigint AS n_sents,
        coalesce(string_agg(CASE WHEN rn = 1 THEN sent END, ' '
                            ORDER BY sidx), '') AS clean_text
 FROM flag GROUP BY doc_id
+"""
+
+
+def _dedup_exact_substring_sql(k: int | None = None) -> str:
+    """DuckDB replay of dedup.exact_substring_dedup_report: same
+    boilerplate injection, same k-gram window hashing, same
+    first-occurrence-keeps rank over (doc_id, widx), same interval
+    coverage of removed tokens."""
+    from pvsyst_pdf_parser_spark.training.dedup import EXSUB_BOILER, EXSUB_K
+
+    k = k or EXSUB_K
+    return f"""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN '{EXSUB_BOILER} ' || text
+              ELSE text END AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM dirty),
+base AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+wins AS (
+  SELECT doc_id, i AS widx,
+         md5(array_to_string(t[(i+1):(i+{k})], ' ')) AS wkey
+  FROM base, unnest(generate_series(0, len(t) - {k})) AS u(i)
+  WHERE len(t) >= {k}),
+flag AS (
+  SELECT doc_id, widx,
+         count(*) OVER (PARTITION BY wkey) AS cnt,
+         row_number() OVER (PARTITION BY wkey
+                            ORDER BY doc_id, widx) AS rn
+  FROM wins),
+dup AS (SELECT doc_id, widx FROM flag WHERE cnt >= 2 AND rn > 1),
+toku AS (
+  SELECT doc_id, u.i - 1 AS tidx, t[u.i] AS tok
+  FROM base, unnest(generate_series(1, len(t))) AS u(i)),
+cov AS (
+  SELECT kk.doc_id, kk.tidx, kk.tok, count(d.widx) > 0 AS rm
+  FROM toku kk
+  LEFT JOIN dup d ON d.doc_id = kk.doc_id
+                 AND kk.tidx BETWEEN d.widx AND d.widx + {k - 1}
+  GROUP BY kk.doc_id, kk.tidx, kk.tok)
+SELECT doc_id, count(*)::bigint AS n_tokens,
+       sum(rm::int)::bigint AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' '
+                           ORDER BY tidx), '') AS clean_text
+FROM cov GROUP BY doc_id
+"""
+
+
+def _bigram_logprob_sql(top_m: int = 4096, alpha: float = 0.5) -> str:
+    """DuckDB replay of textstats.bigram_logprob_scores: same pruned
+    top-m bigram model, same add-alpha smoothing, same 4-decimal
+    round."""
+    a = repr(float(alpha))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+toku AS (SELECT doc_id, u.tok FROM base, unnest(t) AS u(tok)),
+uni AS (SELECT tok, count(*) AS c1 FROM toku GROUP BY tok),
+vv AS (SELECT count(*)::double AS v FROM uni),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM base, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+bi AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+  ORDER BY c12 DESC, w1, w2 LIMIT {top_m}),
+scored AS (
+  SELECT p.doc_id,
+         -ln((coalesce(b.c12, 0) + {a}) / (u.c1 + {a} * vv.v)) AS nll
+  FROM pairs p
+  JOIN uni u ON u.tok = p.w1
+  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2, vv)
+SELECT doc_id, count(*)::bigint AS n_bigrams,
+       round(avg(nll), 4) AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+def _anchor_text_sql(anchor_tokens: int = 3) -> str:
+    """DuckDB replay of crawl.anchor_text_stats: same edge arithmetic
+    as the pagerank oracle, same first-k-token anchors, same majority
+    tie-break."""
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * a + b) % n::bigint AS dst
+    FROM documents, nn, (VALUES (7, 1), (13, 3), (31, 5)) t(a, b)) e
+  WHERE src % 10 != 0 AND src != dst),
+anch AS (
+  SELECT e.dst,
+         array_to_string(
+           (list_filter(string_split(d.text, ' '),
+                        x -> x <> ''))[1:{anchor_tokens}], ' ') AS anchor
+  FROM edges e JOIN documents d ON d.doc_id = e.src),
+per AS (SELECT dst, anchor, count(*) AS cnt FROM anch GROUP BY dst, anchor),
+rk AS (
+  SELECT dst, anchor, cnt,
+         row_number() OVER (PARTITION BY dst
+                            ORDER BY cnt DESC, anchor) AS rn
+  FROM per)
+SELECT dst, sum(cnt)::bigint AS n_inlinks, count(*)::bigint AS n_anchors,
+       max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor
+FROM rk GROUP BY dst
+"""
+
+
+def _sequence_pack_sql(ctx_len: int = 64) -> str:
+    """DuckDB replay of sampling.sequence_pack_stats: same hash order,
+    same exclusive prefix sum, same chunk-span arithmetic."""
+    hk = _H56.format(expr="doc_id::varchar")
+    return f"""
+WITH base AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+         {hk} AS hk
+  FROM documents),
+nz AS (SELECT * FROM base WHERE n_tokens > 0),
+st AS (
+  SELECT source, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY hk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+           AS start
+  FROM nz),
+spans AS (
+  SELECT source, start, n_tokens, c.chunk_id
+  FROM st,
+       unnest(generate_series(start // {ctx_len},
+                              (start + n_tokens - 1) // {ctx_len}))
+         AS c(chunk_id))
+SELECT source, chunk_id,
+       count(*)::bigint AS n_docs,
+       sum(least(start + n_tokens, (chunk_id + 1) * {ctx_len})
+           - greatest(start, chunk_id * {ctx_len}))::bigint AS n_tokens,
+       sum((start < chunk_id * {ctx_len})::int)::bigint AS n_carried
+FROM spans GROUP BY source, chunk_id
+"""
+
+
+def _vocab_coverage_sql(vocab_size: int = 256) -> str:
+    """DuckDB replay of textstats.vocab_coverage_stats: same top-V
+    vocabulary (count desc, token asc), same exact-integer oov_ppm."""
+    return f"""
+WITH toks AS (
+  SELECT source, u.tok
+  FROM (SELECT source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+       unnest(t) AS u(tok)),
+vocab AS (
+  SELECT tok
+  FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+  ORDER BY cnt DESC, tok LIMIT {vocab_size}),
+agg AS (
+  SELECT t.source, count(*)::bigint AS n_tokens,
+         sum((v.tok IS NULL)::int)::bigint AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+  GROUP BY t.source)
+SELECT source, n_tokens, n_oov,
+       (1000000 * n_oov) // n_tokens AS oov_ppm
+FROM agg
 """
 
 
@@ -1882,6 +2066,11 @@ FROM documents GROUP BY 1
         "layout_reconstruct": _layout_reconstruct_sql(),
         "layout_columns": _layout_columns_sql(),
         "layout_grid": _layout_grid_sql(),
+        "dedup_exact_substring": _dedup_exact_substring_sql(),
+        "sequence_pack": _sequence_pack_sql(),
+        "vocab_coverage": _vocab_coverage_sql(),
+        "anchor_text": _anchor_text_sql(),
+        "text_bigram_logprob": _bigram_logprob_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "domain_stats": _domain_stats_sql(),
         "training_order": _training_order_sql(),

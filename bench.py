@@ -50,6 +50,11 @@ HEADLINE = [
     "intradoc_line_dedup",
     "layout_reconstruct",
     "layout_grid",
+    "dedup_exact_substring",
+    "sequence_pack",
+    "vocab_coverage",
+    "anchor_text",
+    "text_bigram_logprob",
     "q1_pricing_summary",
     "broadcast_join_revenue",
     "window_lead_gaps",

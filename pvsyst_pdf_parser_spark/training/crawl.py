@@ -282,3 +282,52 @@ def bloom_incremental_dedup(docs: DataFrame) -> DataFrame:
             ).cast("int").alias("false_positive"),
         )
     )
+
+
+def anchor_text_stats(docs: DataFrame, anchor_tokens: int = 3) -> DataFrame:
+    """Anchor-text aggregation — the classic web-corpus signal of what
+    OTHER pages say about a page (in-link anchor text, used for search
+    indexing and WebText-style quality weighting): per destination
+    page, count in-links, count distinct anchor strings, and pick the
+    majority anchor (count desc, anchor asc — deterministic).
+
+    Anchors synthesize deterministically as the first ``anchor_tokens``
+    tokens of the linking page's text over the same
+    :func:`synthetic_link_edges` graph link_pagerank uses, so the
+    DuckDB oracle replays every byte.
+
+    Plan: edges are a row-local explode; ONE edges⋈docs join on the
+    src doc key, one (dst, anchor) partial agg, one per-dst window for
+    the majority pick — no per-dst collect_list, so a celebrity page
+    with 10^9 in-links stays a big-but-partial-aggregated group, never
+    a driver-side list."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()  # bounded job; the oracle's COUNT(*) twin
+    anchor = F.array_join(
+        F.slice(
+            F.filter(F.split("text", " ", -1), lambda x: x != ""),
+            1,
+            anchor_tokens,
+        ),
+        " ",
+    )
+    edges = synthetic_link_edges(docs, n_docs)
+    anchors = edges.join(
+        docs.select(F.col("doc_id").alias("src"), anchor.alias("anchor")),
+        "src",
+    )
+    per = anchors.groupBy("dst", "anchor").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("dst").orderBy(F.col("cnt").desc(), "anchor")
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .groupBy("dst")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_inlinks"),
+            F.count("*").cast("bigint").alias("n_anchors"),
+            F.max(F.when(F.col("rn") == 1, F.col("anchor"))).alias(
+                "top_anchor"
+            ),
+        )
+        .orderBy("dst")
+    )

@@ -729,3 +729,94 @@ def dedup_keepers(docs: DataFrame, threshold: float = 0.02,
             (F.col("pick") == 1).cast("int").alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------- ExactSubstr
+
+EXSUB_K = 8
+EXSUB_BOILER = (
+    "all rights reserved this page is licensed under the creative "
+    "commons attribution share alike terms"
+)  # 16 tokens >= EXSUB_K: every injected doc shares 9 duplicated windows
+
+
+def exact_substring_dedup_report(docs: DataFrame, k: int = EXSUB_K) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", §4.1): remove every token covered by
+    a k-token window whose verbatim text occurs MORE THAN ONCE anywhere
+    in the corpus — within the same document included.  This variant
+    keeps the first occurrence (by (doc_id, widx), mirroring the repo's
+    other first-keeps dedup ops) and cuts all later copies.
+
+    Relational formulation (the paper's suffix array re-expressed as a
+    window-hash shuffle, the standard distributed equivalent):
+
+    1. k-gram windows are built ROW-LOCALLY with array HOFs
+       (transform over sequence + slice + md5) — zero shuffle, no UDF;
+    2. ONE corpus-wide exchange on the window hash ranks occurrences
+       (count >= 2 and rank > 1 --> the window is a duplicate copy);
+    3. duplicate window starts fold back per doc (one doc-key agg) and
+       token coverage is a ROW-LOCAL interval test (exists over the
+       start array) — no k-times explosion of the corpus.
+
+    At 100 TB the only corpus-wide shuffle is step 2 — the same
+    profile as exact dedup on a finer key; hot windows ("lorem ipsum")
+    self-bound because only rank/count, never pairs, are computed.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text), one row per doc
+    with at least one token.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split("text", " ", -1), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    # guard: sequence(0, size-k) DESCENDS when size < k (ANSI throws
+    # downstream) — same crash class as doc_shingles/repetition_stats
+    win_keys = F.when(
+        F.size("toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - k),
+            lambda i: F.md5(F.array_join(F.slice("toks", i + 1, F.lit(k)), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = base.select(
+        "doc_id", F.posexplode(win_keys).alias("widx", "wkey")
+    )
+    wk = Window.partitionBy("wkey")
+    wko = Window.partitionBy("wkey").orderBy("doc_id", "widx")
+    dup = (
+        wins.select(
+            "doc_id",
+            "widx",
+            F.count("*").over(wk).alias("cnt"),
+            F.row_number().over(wko).alias("rn"),
+        )
+        .filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("widx")).alias("dups"))
+    )
+    joined = base.join(dup, "doc_id", "left").withColumn(
+        "dups", F.coalesce("dups", F.array().cast("array<int>"))
+    )
+    covered = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 1),
+        lambda t: F.exists(
+            "dups", lambda s: (s <= t) & (t <= s + (k - 1))
+        ),
+    )
+    kept = F.filter(
+        F.zip_with(
+            "toks", covered.alias("rm"), lambda tok, rm: F.when(~rm, tok)
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.filter(covered, lambda x: x)).cast("bigint").alias(
+            "n_removed"
+        ),
+        F.array_join(kept, " ").alias("clean_text"),
+    ).orderBy("doc_id")

@@ -156,3 +156,64 @@ def training_order(docs: DataFrame) -> DataFrame:
             F.col("round").cast("bigint").alias("round"),
         )
     )
+
+
+def sequence_pack_stats(docs: DataFrame, ctx_len: int = 64) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (the C4/GPT training
+    prep step: concatenate documents, split into fixed ``ctx_len``-token
+    training sequences).  Documents concatenate per source in the
+    deterministic (md5 hash, key) order — the same reproducible
+    pseudo-random order :func:`token_budget_sample_stats` uses — and
+    the report is per (source, chunk): how many documents contribute,
+    how many tokens land in the chunk, and how many contributors
+    carried over a chunk boundary (the fragmentation signal packing
+    exists to manage).
+
+    Plan: ONE per-source window (exclusive prefix sum of token counts)
+    + a row-local chunk-span explode (a doc touches
+    ceil(n_tokens/ctx_len)+1 chunks at most) + one (source, chunk) agg.
+    No global single-task scan: the prefix sum partitions by source —
+    for a single giant source, pre-shard by hash first (same caveat as
+    token_budget_sample_stats)."""
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.col("text"), " ", -1))
+    base = docs.select(
+        "source", "doc_id", n_tokens.alias("n_tokens"),
+        md5_56(F.col("doc_id").cast("string")).alias("hk"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    # div(): exact integer division — floor(double/) drifts past 2^53
+    # cumulative tokens, i.e. exactly the corpus sizes packing targets
+    spans = base.withColumn("start", start).select(
+        "source", "start", "n_tokens",
+        F.explode(
+            F.sequence(
+                F.expr(f"div(start, {ctx_len})"),
+                F.expr(f"div(start + n_tokens - 1, {ctx_len})"),
+            )
+        ).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("start"), F.col("chunk_id") * ctx_len)
+    hi = F.least(
+        F.col("start") + F.col("n_tokens"),
+        (F.col("chunk_id") + 1) * F.lit(ctx_len),
+    )
+    return (
+        spans.withColumn("tok_in_chunk", hi - lo)
+        .withColumn(
+            "carried",
+            (F.col("start") < F.col("chunk_id") * ctx_len).cast("int"),
+        )
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("tok_in_chunk").cast("bigint").alias("n_tokens"),
+            F.sum("carried").cast("bigint").alias("n_carried"),
+        )
+    )

@@ -412,3 +412,108 @@ def doc_fingerprints(docs: DataFrame, sample_mod: int = 25) -> DataFrame:
     return docs.filter(F.col("doc_id") % sample_mod == 0).select(
         "doc_id", md5_56(norm).alias("fingerprint")
     )
+
+
+def vocab_coverage_stats(docs: DataFrame, vocab_size: int = 256) -> DataFrame:
+    """Tokenizer-prep vocabulary coverage: build the top-``vocab_size``
+    token vocabulary (count desc, token asc — a deterministic
+    tie-break) and measure the out-of-vocabulary rate per source — the
+    coverage report that sizes a tokenizer's vocab against a corpus.
+
+    Plan: explode → token-count agg (map-side combine) → top-V via
+    orderBy().limit() (TakeOrdered: distributed partial top-k per
+    partition, NO single-task rank window over the token universe) →
+    the bounded vocab re-enters as a BROADCAST join against the
+    exploded corpus → per-source agg.  The corpus side shuffles once
+    for the count and once for the source report; oov_ppm is exact
+    integer arithmetic so both engines agree bit-for-bit."""
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " ", -1), lambda x: x != "")
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    agg = toks.join(F.broadcast(vocab), "tok", "left").groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    )
+    return agg.select(
+        "source", "n_tokens", "n_oov",
+        F.expr("div(1000000 * n_oov, n_tokens)").alias("oov_ppm"),
+    ).orderBy("source")
+
+
+def bigram_logprob_scores(
+    docs: DataFrame, top_m: int = 4096, alpha: float = 0.5
+) -> DataFrame:
+    """Per-document mean bigram negative log-likelihood under a PRUNED
+    corpus bigram model with add-alpha smoothing — one order up from
+    :func:`unigram_logprob_scores` toward the KenLM scoring of CCNet
+    (Wenzek 2020): repetitive/templated text scores LOW, token-salad
+    scores HIGH even when its unigrams are common.
+
+        nll(w1 w2) = -ln((c(w1,w2) + a) / (c(w1) + a*V))
+
+    with c(w1,w2) = 0 for bigrams outside the top-``top_m`` model —
+    the pruning every production n-gram LM applies, and what keeps the
+    model BROADCASTABLE: the unigram table is vocab-sized (millions)
+    and the bigram table is capped at top_m, so the trillion-pair
+    corpus side joins both as broadcasts and never shuffles except
+    its own doc-keyed fold.  Bigram pairs are built ROW-LOCALLY
+    (sequence + element_at), no self-join.  Top-m selection is
+    orderBy().limit() — distributed TakeOrdered, deterministic
+    (count desc, w1, w2) tie-break."""
+    toks_arr = F.filter(
+        F.split(F.lower("text"), " ", -1), lambda x: x != ""
+    )
+    base = docs.select("doc_id", toks_arr.alias("t"))
+    toku = base.select("doc_id", F.explode("t").alias("tok"))
+    uni = toku.groupBy("tok").agg(F.count("*").alias("c1"))
+    vocab_v = uni.agg(F.count("*").alias("v"))
+    uni = uni.crossJoin(F.broadcast(vocab_v))
+    pairs = base.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(top_m)
+    )
+    scored = (
+        pairs.join(F.broadcast(uni), pairs["w1"] == uni["tok"])
+        .join(F.broadcast(bi), ["w1", "w2"], "left")
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + alpha)
+                / (F.col("c1") + alpha * F.col("v"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -945,3 +945,177 @@ def test_pretokenizer_total_and_counts(spark):
     got = {r["source"]: r["total_pretok"]
            for r in token_count_stats(df).collect()}
     assert got == expected
+
+
+def test_exact_substring_dedup_cross_doc_and_within_doc(spark):
+    """ExactSubstr (Lee 2022): a duplicated k-token window is cut from
+    every occurrence after the first — across documents AND within one
+    document; docs shorter than k are untouched; coverage is the union
+    of overlapping duplicated windows, not a double-count."""
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        exact_substring_dedup_report,
+    )
+
+    run = "a1 a2 a3 a4 a5 a6 a7 a8"  # exactly k=8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, f"{run} t1 t2"),             # first occurrence: keeps all
+            (1, f"x1 x2 {run} y1"),           # later copy: run removed
+            (2, "p1 p2 p3"),                  # < k: no windows, untouched
+            (3, f"{run} {run}"),              # copies of doc 0's run
+            (4, "m1 m2 m3 m4 m5 m6 m7 m8 m1 m2 m3 m4 m5 m6 m7 m8"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup_report(docs, k=8).collect()
+    }
+    assert out[0]["n_removed"] == 0
+    assert out[0]["clean_text"] == f"{run} t1 t2"
+    assert out[1]["n_removed"] == 8
+    assert out[1]["clean_text"] == "x1 x2 y1"
+    assert out[2]["n_removed"] == 0
+    assert out[2]["clean_text"] == "p1 p2 p3"
+    # doc 3: BOTH its copies of the run rank after doc 0's first
+    # occurrence in the global (doc_id, widx) order, so both are cut —
+    # the doc empties out entirely
+    assert out[3]["n_removed"] == 16
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_tokens"] == 16
+    # doc 4's repeated run is unique to it: within-doc first copy
+    # keeps, the second goes
+    assert out[4]["n_removed"] == 8
+    assert out[4]["clean_text"] == "m1 m2 m3 m4 m5 m6 m7 m8"
+
+
+def test_sequence_pack_matches_python_replay(spark):
+    """Concat-and-chunk packing: per-(source, chunk) docs/tokens/carry
+    equal a pure-Python replay of the same hash order and arithmetic;
+    every chunk but the per-source last is exactly full."""
+    import hashlib
+
+    from pvsyst_pdf_parser_spark.training.sampling import (
+        sequence_pack_stats,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(3 + (i * 7) % 6)),
+         f"s{i % 2}")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    got = {
+        (r["source"], r["chunk_id"]): (
+            r["n_docs"], r["n_tokens"], r["n_carried"]
+        )
+        for r in sequence_pack_stats(docs, ctx_len=8).collect()
+    }
+
+    def hk(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:14], 16)
+
+    exp = {}
+    for src in {"s0", "s1"}:
+        start = 0
+        for i, text, _ in sorted(
+            (r for r in rows if r[2] == src), key=lambda r: (hk(r[0]), r[0])
+        ):
+            n = len(text.split(" "))
+            for c in range(start // 8, (start + n - 1) // 8 + 1):
+                d, t, cr = exp.get((src, c), (0, 0, 0))
+                tok = min(start + n, (c + 1) * 8) - max(start, c * 8)
+                exp[(src, c)] = (d + 1, t + tok, cr + (start < c * 8))
+            start += n
+    assert got == exp
+    # all chunks full except each source's last
+    last = {s: max(c for (ss, c) in got if ss == s) for s in {"s0", "s1"}}
+    for (s, c), (_, toks, _) in got.items():
+        if c != last[s]:
+            assert toks == 8
+
+
+def test_vocab_coverage_top_v_and_oov(spark):
+    """Top-V vocab selection is (count desc, token asc) deterministic;
+    OOV ppm is exact integer arithmetic."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        vocab_coverage_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a b b c", "s0"),   # counts: a=3, b=2(+1 below), c=1
+            (1, "b z q", "s1"),          # b total 3 ties a: both in V=2
+        ],
+        "doc_id int, text string, source string",
+    )
+    out = {r["source"]: r for r in vocab_coverage_stats(docs, vocab_size=2).collect()}
+    # vocab = {a(3), b(3)}: tie on count, both beat c/z/q
+    assert (out["s0"]["n_tokens"], out["s0"]["n_oov"]) == (6, 1)  # c
+    assert (out["s1"]["n_tokens"], out["s1"]["n_oov"]) == (3, 2)  # z q
+    assert out["s0"]["oov_ppm"] == 1000000 // 6
+    assert out["s1"]["oov_ppm"] == 2000000 // 3
+    # tie-break at the V boundary: with V=1 only 'a' (a < b) survives
+    out1 = {r["source"]: r for r in vocab_coverage_stats(docs, vocab_size=1).collect()}
+    assert out1["s0"]["n_oov"] == 3  # b b c
+    assert out1["s1"]["n_oov"] == 3  # b z q
+
+
+def test_anchor_text_majority_and_counts(spark):
+    """Anchor aggregation: n_inlinks counts edges, n_anchors counts
+    distinct anchor strings, top_anchor is the (count desc, anchor asc)
+    majority — verified against a Python replay of the synthetic
+    graph."""
+    from pvsyst_pdf_parser_spark.training.crawl import anchor_text_stats
+
+    n = 12
+    rows = [
+        (i, f"anchor{i % 3} tail{i} extra{i} more words", "s0")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    got = {
+        r["dst"]: (r["n_inlinks"], r["n_anchors"], r["top_anchor"])
+        for r in anchor_text_stats(docs).collect()
+    }
+
+    edges = set()
+    for src in range(n):
+        if src % 10 == 0:
+            continue
+        for a, b in ((7, 1), (13, 3), (31, 5)):
+            dst = (src * a + b) % n
+            if dst != src:
+                edges.add((src, dst))
+    exp = {}
+    for src, dst in edges:
+        anchor = " ".join(rows[src][1].split(" ")[:3])
+        exp.setdefault(dst, []).append(anchor)
+    for dst, anchors in exp.items():
+        counts = {}
+        for a in anchors:
+            counts[a] = counts.get(a, 0) + 1
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert got[dst] == (len(anchors), len(counts), top), dst
+    assert set(got) == set(exp)
+
+
+def test_bigram_logprob_ranks_salad_above_template(spark):
+    """Token-salad (unseen bigrams) must score a higher mean NLL than
+    templated text whose bigrams dominate the model; n_bigrams =
+    token count - 1."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        bigram_logprob_scores,
+    )
+
+    template = " ".join(["the cat sat on the mat"] * 6)
+    salad = "zq xv qj wk vn mz pq rz tx yb"
+    docs = spark.createDataFrame(
+        [(0, template, "s0"), (1, template, "s0"), (2, salad, "s0")],
+        "doc_id int, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob_scores(docs).collect()}
+    assert out[0]["n_bigrams"] == 6 * 6 - 1
+    assert out[2]["n_bigrams"] == 9
+    assert out[2]["avg_nll"] > out[0]["avg_nll"]
+    assert out[0]["avg_nll"] == out[1]["avg_nll"]  # deterministic

@@ -204,3 +204,20 @@ def test_bloom_gate_is_inset_probe_no_probe_side_shuffle(spark):
     assert "SortMergeJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("Exchange") <= 2  # prior-side agg + broadcast only
+
+
+def test_exact_substring_windows_are_rowlocal_one_corpus_shuffle(spark):
+    """ExactSubstr's k-gram windows must be built row-locally (array
+    HOFs, no Python eval) and the corpus-wide cost must be the ONE
+    window-hash exchange + the doc-key fold-back — never a cartesian
+    or a per-window explosion join."""
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        exact_substring_dedup_report,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(exact_substring_dedup_report(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # wkey window + dup doc-agg + join-side exchanges + final sort
+    assert p.count("Exchange") <= 6, p
