@@ -28,6 +28,7 @@ if _REPO not in sys.path:
 
 from pvsyst_pdf_parser_spark import demo_queries as Q  # noqa: E402
 from pvsyst_pdf_parser_spark.training import corpus as C  # noqa: E402
+from pvsyst_pdf_parser_spark.training import bpe as B  # noqa: E402
 from pvsyst_pdf_parser_spark.training import crawl as CR  # noqa: E402
 from pvsyst_pdf_parser_spark.training import decontam as DC  # noqa: E402
 from pvsyst_pdf_parser_spark.training import dedup as D  # noqa: E402
@@ -264,6 +265,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": lambda s, d: X.bigram_logprob_scores(
             _docs(s, d)
         ),
+        # BPE merge training over the bounded word-frequency table
+        # (corpus touched once; each step = bounded pair agg + argmax +
+        # broadcast greedy fold)
+        "bpe_merges": lambda s, d: B.bpe_train_merges(_docs(s, d)),
+        # char-level Shannon entropy + distinct chars (compressibility)
+        "text_char_entropy": lambda s, d: X.char_entropy_stats(_docs(s, d)),
+        # type-token ratio in exact integer ppm (lexical diversity)
+        "text_ttr": lambda s, d: X.type_token_ratio_stats(_docs(s, d)),
         "pii_scrub": lambda s, d: W.pii_scrub_stats(_docs(s, d)),
         "domain_stats": lambda s, d: W.domain_stats(_docs(s, d)),
         "training_order": lambda s, d: SA.training_order(_docs(s, d)),
@@ -1045,6 +1054,85 @@ agg AS (
 SELECT source, n_tokens, n_oov,
        (1000000 * n_oov) // n_tokens AS oov_ppm
 FROM agg
+"""
+
+
+def _bpe_merges_sql(n_merges: int = 6, max_word_len: int | None = None) -> str:
+    """DuckDB replay of bpe.bpe_train_merges: same word table, same
+    (count desc, a, b) argmax, same greedy left-to-right fold — each
+    merge step unrolled as a (pair-count, top-1, re-fold) CTE triple,
+    the pagerank-oracle pattern.  list_reduce's accumulator must be
+    element-typed, which is exactly why the Spark side folds into a
+    '|'-separated string too."""
+    from pvsyst_pdf_parser_spark.training.bpe import BPE_MAX_WORD_LEN
+
+    mw = max_word_len or BPE_MAX_WORD_LEN
+    ctes = [
+        f"""w AS (
+  SELECT word, count(*)::bigint AS cnt
+  FROM (SELECT u.tok AS word
+        FROM (SELECT list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS t
+              FROM documents), unnest(t) AS u(tok))
+  WHERE regexp_full_match(word, '[a-z]+') AND length(word) <= {mw}
+  GROUP BY word),
+s0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS syms FROM w)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        ctes.append(f"""p{i} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, sum(cnt)::bigint AS pair_count
+  FROM {prev}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  WHERE len(syms) >= 2 GROUP BY 1, 2),
+t{i} AS (SELECT a, b, pair_count FROM p{i}
+         ORDER BY pair_count DESC, a, b LIMIT 1),
+s{i} AS (
+  SELECT word, cnt,
+         string_split(
+           CASE WHEN len(syms) >= 2 THEN
+             list_reduce(syms, (acc, x) -> CASE
+               WHEN regexp_extract(acc, '([^|]*)$', 1) = t{i}.a
+                    AND x = t{i}.b
+               THEN acc || x ELSE acc || '|' || x END)
+           ELSE syms[1] END, '|') AS syms
+  FROM {prev}, t{i})""")
+    selects = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, a, b, pair_count FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY step"
+
+
+def _char_entropy_sql() -> str:
+    """DuckDB replay of textstats.char_entropy_stats: same per-(doc,
+    char) counts, same H = ln(n) - (Σ c·ln c)/n algebra, same round."""
+    return """
+WITH chars AS (
+  SELECT doc_id, u.ch
+  FROM (SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents),
+       unnest(cs) AS u(ch)),
+per AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch)
+SELECT doc_id, sum(c)::bigint AS n_chars,
+       count(*)::bigint AS distinct_chars,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+FROM per GROUP BY doc_id
+"""
+
+
+def _ttr_sql() -> str:
+    """DuckDB replay of textstats.type_token_ratio_stats: same
+    two-level agg, same exact-integer ppm."""
+    return """
+WITH toks AS (
+  SELECT doc_id, u.tok
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+       unnest(t) AS u(tok)),
+per AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+SELECT doc_id, sum(c)::bigint AS n_tokens, count(*)::bigint AS n_types,
+       (1000000 * count(*)) // sum(c) AS ttr_ppm
+FROM per GROUP BY doc_id
 """
 
 
@@ -2071,6 +2159,9 @@ FROM documents GROUP BY 1
         "vocab_coverage": _vocab_coverage_sql(),
         "anchor_text": _anchor_text_sql(),
         "text_bigram_logprob": _bigram_logprob_sql(),
+        "bpe_merges": _bpe_merges_sql(),
+        "text_char_entropy": _char_entropy_sql(),
+        "text_ttr": _ttr_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "domain_stats": _domain_stats_sql(),
         "training_order": _training_order_sql(),

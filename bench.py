@@ -55,6 +55,9 @@ HEADLINE = [
     "vocab_coverage",
     "anchor_text",
     "text_bigram_logprob",
+    "bpe_merges",
+    "text_char_entropy",
+    "text_ttr",
     "q1_pricing_summary",
     "broadcast_join_revenue",
     "window_lead_gaps",

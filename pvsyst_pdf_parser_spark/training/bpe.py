@@ -1,0 +1,135 @@
+"""BPE merge training over a word-frequency table (Sennrich 2016,
+"Neural Machine Translation of Rare Words with Subword Units").
+
+The scale-correct shape every production BPE trainer uses: the corpus
+is touched ONCE (a word-count aggregation with map-side combine);
+every training iteration then runs over the BOUNDED word table
+(distinct lowercase words — millions of rows for a 100 TB corpus, not
+trillions).  Per merge step:
+
+1. weighted adjacent-pair counts — a row-local position explode of the
+   word table + one bounded groupBy;
+2. the argmax pair — ``orderBy().limit(1)`` (distributed TakeOrdered),
+   deterministic (count desc, a asc, b asc) tie-break;
+3. the merge applied to every word's symbol sequence — the 1-row pair
+   re-enters via a BROADCAST cross join and a string-accumulator
+   ``aggregate`` fold replays BPE's greedy left-to-right pairing
+   row-locally (``aa aa a`` for a 5-run under an (a,a) merge, exactly
+   like the reference trainers).
+
+No driver-side collect anywhere; each round is two bounded jobs, and a
+``localCheckpoint`` per round keeps the fold expressions from nesting
+across iterations.  Fixed ``n_merges`` keeps the DuckDB oracle
+expressible as unrolled CTEs (same pattern as the pagerank oracle);
+production runs would iterate to a target vocab size instead.
+
+Symbols fold into a '|'-separated string (words are restricted to
+``[a-z]+`` by the pre-tokenizer contract — see
+textstats.PRETOKEN_PAT — so the separator can never collide), which is
+what makes the fold portable: DuckDB's ``list_reduce`` accumulator
+must be element-typed, so both engines reduce over strings and split
+back on '|'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# words longer than this are dropped from the trainer (pathological
+# unbroken strings would dominate the pair explode; real trainers
+# apply the same cap)
+BPE_MAX_WORD_LEN = 32
+
+
+def _word_table(docs: DataFrame, max_word_len: int) -> DataFrame:
+    """(word, cnt) over lowercase [a-z]+ tokens — the ONE corpus-wide
+    shuffle of the whole training run."""
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
+        ).alias("word")
+    )
+    return (
+        toks.filter(F.col("word").rlike("^[a-z]+$"))
+        .filter(F.length("word") <= max_word_len)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts from the symbol column — a
+    row-local explode of the bounded word table."""
+    pairs = words.filter(F.size("syms") >= 2).select(
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("a"),
+                    F.element_at("syms", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.a", "p.b").agg(
+        F.sum("cnt").cast("bigint").alias("pair_count")
+    )
+
+
+def _apply_merge(words: DataFrame, top: DataFrame) -> DataFrame:
+    """Merge the 1-row (a, b) pair into every word's symbol sequence:
+    broadcast cross join + greedy left-to-right string fold."""
+    joined = words.crossJoin(F.broadcast(top.select("a", "b")))
+    folded = F.when(
+        F.size("syms") >= 2,
+        F.aggregate(
+            F.slice("syms", 2, F.size("syms") - 1),
+            F.element_at("syms", 1),
+            lambda acc, x: F.when(
+                (F.regexp_extract(acc, r"([^|]*)$", 1) == F.col("a"))
+                & (x == F.col("b")),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit("|"), x)),
+        ),
+    ).otherwise(F.element_at("syms", 1))
+    return joined.select(
+        "word", "cnt", F.split(folded, r"\|", -1).alias("syms")
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 6,
+    max_word_len: int = BPE_MAX_WORD_LEN,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus.
+
+    Output: one row per merge step — (step, a, b, pair_count), the
+    merge table a tokenizer ships.  ``pair_count`` is the weighted
+    adjacent-pair frequency at the moment the pair won, so the rows
+    are a regression-stable fingerprint of the whole training fold.
+    """
+    words = _word_table(docs, max_word_len).select(
+        "word",
+        "cnt",
+        F.regexp_extract_all("word", F.lit("."), 0).alias("syms"),
+    )
+    words = words.localCheckpoint()
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("pair_count").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint()  # bounded 1-row frame; pins the argmax
+        )
+        merges.append(top.select(F.lit(step).alias("step"), "a", "b", "pair_count"))
+        words = _apply_merge(words, top).localCheckpoint()
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("step")

