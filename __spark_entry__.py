@@ -273,6 +273,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_char_entropy": lambda s, d: X.char_entropy_stats(_docs(s, d)),
         # type-token ratio in exact integer ppm (lexical diversity)
         "text_ttr": lambda s, d: X.type_token_ratio_stats(_docs(s, d)),
+        # winnowing (MOSS) local fingerprints, whole set md5-verified
+        "winnowing_fingerprints": lambda s, d: X.winnowing_fingerprints(
+            _docs(s, d)
+        ),
+        # incremental crawl diff: added/removed/changed/unchanged pages
+        "snapshot_delta": lambda s, d: CR.snapshot_delta_report(_docs(s, d)),
+        # near-dup cluster-size histogram (dedup-run health report)
+        "dedup_cluster_sizes": lambda s, d: D.dedup_cluster_size_histogram(
+            _docs(s, d)
+        ),
+        # per-source power-of-two token-length histogram
+        "token_length_histogram": lambda s, d: X.token_length_histogram(
+            _docs(s, d)
+        ),
+        # RFC 9309 robots-exclusion verdicts (longest match, allow ties)
+        "robots_filter": lambda s, d: CR.robots_filter_report(_docs(s, d)),
+        # MATERIALIZED sequence packing: every training chunk's token
+        # text md5-verified across engines
+        "sequence_pack_chunks": lambda s, d: SA.sequence_pack_chunks(
+            _docs(s, d)
+        ),
+        # product-quantization codebook balance + distortion report
+        "pq_codebook": lambda s, d: S.pq_codebook_stats(_emb(s, d)),
         "pii_scrub": lambda s, d: W.pii_scrub_stats(_docs(s, d)),
         "domain_stats": lambda s, d: W.domain_stats(_docs(s, d)),
         "training_order": lambda s, d: SA.training_order(_docs(s, d)),
@@ -1133,6 +1156,244 @@ per AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
 SELECT doc_id, sum(c)::bigint AS n_tokens, count(*)::bigint AS n_types,
        (1000000 * count(*)) // sum(c) AS ttr_ppm
 FROM per GROUP BY doc_id
+"""
+
+
+def _winnowing_sql(k: int | None = None, w: int | None = None) -> str:
+    """DuckDB replay of textstats.winnowing_fingerprints: same k-gram
+    hashes, same rightmost-min-per-window selection (ORDER BY h ASC,
+    p DESC), same position-ordered fingerprint digest."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    k = k or WINNOW_K
+    w = w or WINNOW_W
+    h = _H56.format(expr=f"array_to_string(toks[(i + 1):(i + {k})], ' ')")
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, i AS p, {h} AS h
+  FROM base, unnest(generate_series(0, len(toks) - {k})) AS u(i)
+  WHERE len(toks) >= {k}),
+ng AS (SELECT doc_id, count(*)::bigint AS n_grams FROM g GROUP BY doc_id),
+wins AS (
+  SELECT gg.doc_id, s.s, gg.p, gg.h,
+         row_number() OVER (PARTITION BY gg.doc_id, s.s
+                            ORDER BY gg.h ASC, gg.p DESC) AS rn
+  FROM ng,
+       unnest(generate_series(0, greatest(ng.n_grams - {w}, 0))) AS s(s),
+       g gg
+  WHERE gg.doc_id = ng.doc_id AND gg.p BETWEEN s.s AND s.s + {w} - 1),
+sel AS (SELECT DISTINCT doc_id, p, h FROM wins WHERE rn = 1)
+SELECT ng.doc_id, ng.n_grams,
+       count(*)::bigint AS n_selected,
+       md5(string_agg(sel.h::varchar, ',' ORDER BY sel.p)) AS fp_hash
+FROM ng JOIN sel ON sel.doc_id = ng.doc_id
+GROUP BY ng.doc_id, ng.n_grams
+"""
+
+
+def _snapshot_delta_sql() -> str:
+    """DuckDB replay of crawl.snapshot_delta_report: same page/side
+    split, same content-hash rule, same full-outer verdict."""
+    return """
+WITH base AS (
+  SELECT doc_id // 2 AS page, doc_id % 2 AS side,
+         CASE WHEN (doc_id // 2) % 3 = 0 THEN md5((doc_id // 2)::varchar)
+              ELSE md5(text) END AS content
+  FROM documents),
+old AS (SELECT page, content AS old_content FROM base
+        WHERE side = 0 AND page % 5 <> 0),
+new AS (SELECT page, content AS new_content FROM base
+        WHERE side = 1 AND page % 7 <> 3),
+j AS (
+  SELECT page,
+         CASE WHEN old_content IS NULL THEN 'added'
+              WHEN new_content IS NULL THEN 'removed'
+              WHEN old_content = new_content THEN 'unchanged'
+              ELSE 'changed' END AS verdict
+  FROM old FULL OUTER JOIN new USING (page))
+SELECT verdict, count(*)::bigint AS n_pages,
+       min(page)::bigint AS min_page, max(page)::bigint AS max_page
+FROM j GROUP BY verdict
+"""
+
+
+def _cluster_sizes_sql() -> str:
+    """DuckDB replay of dedup.dedup_cluster_size_histogram: the
+    dedup_clusters recursive-CTE fixpoint folded into a size
+    histogram."""
+    return f"""
+WITH RECURSIVE {_shingle_cte(5)},
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM p JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
+  WHERE round(n_common / (za.n + zb.n - n_common), 4) >= 0.02),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.src),
+clusters AS (SELECT src AS doc_id, min(label) AS cluster_rep
+             FROM reach GROUP BY src),
+sz AS (SELECT cluster_rep, count(*) AS cluster_size
+       FROM clusters GROUP BY cluster_rep)
+SELECT cluster_size::bigint AS cluster_size,
+       count(*)::bigint AS n_clusters,
+       (count(*) * cluster_size)::bigint AS n_docs
+FROM sz GROUP BY cluster_size
+"""
+
+
+def _token_length_histogram_sql() -> str:
+    """DuckDB replay of textstats.token_length_histogram: same
+    bit-length bucket (exact integer, no float log2)."""
+    return """
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::bigint
+           AS n_tokens
+  FROM documents)
+SELECT source, length(bin(n_tokens))::bigint AS bucket,
+       count(*)::bigint AS n_docs, sum(n_tokens)::bigint AS n_tokens
+FROM t GROUP BY source, length(bin(n_tokens))
+"""
+
+
+def _sequence_pack_chunks_sql(ctx_len: int = 64) -> str:
+    """DuckDB replay of sampling.sequence_pack_chunks: same hash order
+    and span arithmetic as the stats oracle, plus per-chunk token-text
+    reassembly (string_agg in start order) hashed with md5."""
+    hk = _H56.format(expr="doc_id::varchar")
+    return f"""
+WITH base AS (
+  SELECT source, doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         {hk} AS hk
+  FROM documents),
+nz AS (SELECT *, len(toks)::bigint AS n_tokens FROM base WHERE len(toks) > 0),
+st AS (
+  SELECT source, toks, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY hk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+           AS start
+  FROM nz),
+spans AS (
+  SELECT source, start, n_tokens, toks, c.chunk_id
+  FROM st,
+       unnest(generate_series(start // {ctx_len},
+                              (start + n_tokens - 1) // {ctx_len}))
+         AS c(chunk_id)),
+segs AS (
+  SELECT source, chunk_id, start,
+         array_to_string(
+           toks[(greatest(start, chunk_id * {ctx_len}) - start + 1)
+                : (least(start + n_tokens, (chunk_id + 1) * {ctx_len})
+                   - start)], ' ') AS seg,
+         least(start + n_tokens, (chunk_id + 1) * {ctx_len})
+           - greatest(start, chunk_id * {ctx_len}) AS seg_tokens
+  FROM spans)
+SELECT source, chunk_id, count(*)::bigint AS n_docs,
+       sum(seg_tokens)::bigint AS n_tokens,
+       md5(string_agg(seg, ' ' ORDER BY start)) AS chunk_hash
+FROM segs GROUP BY source, chunk_id
+"""
+
+
+def _robots_filter_sql() -> str:
+    """DuckDB replay of crawl.robots_filter_report: same synthetic url
+    + rule arithmetic, same longest-match / allow-tie / default-allow
+    window."""
+    return """
+WITH u AS (
+  SELECT doc_id,
+         'site' || (doc_id % 13) || '.example.com' AS host,
+         '/page/' || (doc_id % 9) || '/'
+           || CASE WHEN doc_id % 2 = 0 THEN 'open' ELSE 'item' END
+           || '/' || doc_id AS path
+  FROM documents),
+h AS (SELECT DISTINCT (doc_id % 13)::int AS hh FROM documents),
+rules AS (
+  SELECT 'site' || hh || '.example.com' AS rhost,
+         'disallow' AS rule_type, '/page/' || (hh % 3) AS prefix FROM h
+  UNION ALL
+  SELECT 'site' || hh || '.example.com', 'disallow',
+         '/page/' || (hh % 3 + 3) FROM h
+  UNION ALL
+  SELECT 'site' || hh || '.example.com', 'allow',
+         '/page/' || (hh % 3) || '/open' FROM h),
+j AS (
+  SELECT u.doc_id, u.host, u.path, r.rule_type, r.prefix
+  FROM u LEFT JOIN rules r
+    ON r.rhost = u.host AND starts_with(u.path, r.prefix)),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY length(prefix) DESC NULLS LAST,
+             rule_type ASC NULLS LAST, prefix ASC NULLS LAST) AS rn
+  FROM j)
+SELECT doc_id, host, path, rule_type, prefix AS rule_prefix,
+       (rule_type IS NULL OR rule_type = 'allow')::int AS allowed
+FROM rk WHERE rn = 1
+"""
+
+
+def _pq_codebook_sql() -> str:
+    """DuckDB replay of simsearch.pq_codebook_stats: the M×K codebook
+    enters as DOUBLE[] literals (repr round-trips floats exactly), the
+    argmin is the same (score desc, code asc) window, distortion uses
+    the same ‖x‖² − 2·score algebra."""
+    from pvsyst_pdf_parser_spark.training.simsearch import (
+        PQ_K,
+        PQ_M,
+        _seq_half_norm,
+        pq_centroid_values,
+    )
+
+    sub_dim = 64 // PQ_M
+    rows = []
+    for s in range(PQ_M):
+        for c in range(PQ_K):
+            cent = pq_centroid_values(s, c, sub_dim)
+            lit = "[" + ", ".join(repr(v) for v in cent) + "]::DOUBLE[]"
+            hn = repr(_seq_half_norm(cent))
+            rows.append(f"({s}, {c}, {lit}, {hn})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH cb(subspace, code, cent, hn) AS (VALUES
+    {values}),
+sc AS (
+  SELECT e.vec_id, cb.subspace, cb.code,
+         list_dot_product(
+           e.embedding[cb.subspace * {sub_dim} + 1
+                       : cb.subspace * {sub_dim} + {sub_dim}]::DOUBLE[],
+           cb.cent) - cb.hn AS score,
+         list_dot_product(
+           e.embedding[cb.subspace * {sub_dim} + 1
+                       : cb.subspace * {sub_dim} + {sub_dim}]::DOUBLE[],
+           e.embedding[cb.subspace * {sub_dim} + 1
+                       : cb.subspace * {sub_dim} + {sub_dim}]::DOUBLE[])
+           AS xnorm
+  FROM embeddings e, cb),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                               ORDER BY score DESC, code) AS rn
+  FROM sc)
+SELECT subspace, code, count(*)::bigint AS n_vectors,
+       round(avg(xnorm - 2 * score), 4) AS avg_distortion
+FROM rk WHERE rn = 1
+GROUP BY subspace, code
 """
 
 
@@ -2162,6 +2423,13 @@ FROM documents GROUP BY 1
         "bpe_merges": _bpe_merges_sql(),
         "text_char_entropy": _char_entropy_sql(),
         "text_ttr": _ttr_sql(),
+        "snapshot_delta": _snapshot_delta_sql(),
+        "winnowing_fingerprints": _winnowing_sql(),
+        "dedup_cluster_sizes": _cluster_sizes_sql(),
+        "token_length_histogram": _token_length_histogram_sql(),
+        "robots_filter": _robots_filter_sql(),
+        "pq_codebook": _pq_codebook_sql(),
+        "sequence_pack_chunks": _sequence_pack_chunks_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "domain_stats": _domain_stats_sql(),
         "training_order": _training_order_sql(),

@@ -58,6 +58,12 @@ HEADLINE = [
     "bpe_merges",
     "text_char_entropy",
     "text_ttr",
+    "winnowing_fingerprints",
+    "snapshot_delta",
+    "sequence_pack_chunks",
+    "token_length_histogram",
+    "robots_filter",
+    "pq_codebook",
     "q1_pricing_summary",
     "broadcast_join_revenue",
     "window_lead_gaps",

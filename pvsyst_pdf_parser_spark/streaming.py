@@ -328,3 +328,55 @@ def stream_assemble_docs(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def clean_documents_stream(docs, event_time_col: str = "warc_ts",
+                           watermark: str = "1 hour"):
+    """Streaming face of the corpus-cleaning funnel: the SAME language
+    + quality gate arithmetic as the batch funnel
+    (textstats.cleaning_gate_exprs — stateless projections, so they
+    attach to a stream unchanged) followed by first-copy exact dedup
+    on the content fingerprint via ``dropDuplicatesWithinWatermark``
+    (bounded state — see :func:`dedup_documents_stream` for why plain
+    dropDuplicates is wrong here).
+
+    A crawler ingest loop runs THIS; the batch funnel over the
+    accumulated sink is the full-history backstop with byte-identical
+    gate decisions."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        cleaning_gate_exprs,
+    )
+
+    pass_lang, pass_quality = cleaning_gate_exprs()
+    gated = docs.filter((pass_lang == 1) & (pass_quality == 1))
+    return gated.withWatermark(
+        event_time_col, watermark
+    ).dropDuplicatesWithinWatermark(["fingerprint"])
+
+
+def stream_clean_docs(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    watermark: str = "1 hour",
+):
+    """File-source stream of document events → gates + watermarked
+    dedup → parquet sink.  maxFilesPerTrigger=1 forces duplicates into
+    later micro-batches, exercising cross-batch dedup state behind the
+    stateless gates."""
+    docs = (
+        spark.readStream.schema(DOC_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    return (
+        clean_documents_stream(docs, watermark=watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

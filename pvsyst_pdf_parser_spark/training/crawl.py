@@ -331,3 +331,143 @@ def anchor_text_stats(docs: DataFrame, anchor_tokens: int = 3) -> DataFrame:
         )
         .orderBy("dst")
     )
+
+
+def snapshot_delta_report(docs: DataFrame) -> DataFrame:
+    """Cross-snapshot corpus DIFF — the incremental-ingest decision
+    report: comparing crawl N to crawl N+1, how many pages were added,
+    removed, changed, or unchanged, so the pipeline re-processes only
+    the delta instead of the full 10^12-page corpus.
+
+    Snapshots synthesize deterministically from the documents table so
+    the DuckDB oracle replays every byte: page key = div(doc_id, 2),
+    even doc_ids are the OLD crawl's capture, odd the NEW; pages with
+    page % 5 = 0 are missing from the old crawl (-> 'added'), pages
+    with page % 7 = 3 missing from the new (-> 'removed'), and pages
+    with page % 3 = 0 carry a page-keyed content hash on both sides
+    (-> 'unchanged') while the rest hash their own text (-> 'changed').
+
+    Plan: two shuffle-free projections + ONE full outer join on the
+    page key + one 4-row verdict agg — at 10^12 pages the join is the
+    only corpus-wide exchange, the same cost as exact dedup, and
+    bucketing both snapshot tables on the page key makes it
+    exchange-free."""
+    page = F.expr("div(doc_id, 2)")
+    content = F.when(
+        page % 3 == 0, F.md5(page.cast("string"))
+    ).otherwise(F.md5("text"))
+    base = docs.select(
+        page.alias("page"),
+        (F.col("doc_id") % 2).alias("side"),
+        content.alias("content"),
+    )
+    old = base.filter((F.col("side") == 0) & (F.col("page") % 5 != 0)).select(
+        "page", F.col("content").alias("old_content")
+    )
+    new = base.filter((F.col("side") == 1) & (F.col("page") % 7 != 3)).select(
+        "page", F.col("content").alias("new_content")
+    )
+    verdict = (
+        F.when(F.col("old_content").isNull(), F.lit("added"))
+        .when(F.col("new_content").isNull(), F.lit("removed"))
+        .when(F.col("old_content") == F.col("new_content"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        old.join(new, "page", "full_outer")
+        .select("page", verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.min("page").cast("bigint").alias("min_page"),
+            F.max("page").cast("bigint").alias("max_page"),
+        )
+        .orderBy("verdict")
+    )
+
+
+def synthetic_robots_rules(docs: DataFrame) -> DataFrame:
+    """Deterministic per-host robots rules (RFC 9309 shapes): each of
+    the 13 synthetic hosts disallows two /page/N prefixes and carves a
+    LONGER Allow back out under one of them — so longest-match has to
+    do real work.  Bounded output (3 rows/host), derived relationally
+    from the corpus so any SF replays it."""
+    h = F.col("hh")
+    hosts = docs.select(
+        (F.col("doc_id") % 13).cast("int").alias("hh")
+    ).distinct()
+    rule = F.explode(
+        F.array(
+            F.struct(
+                F.lit("disallow").alias("rule_type"),
+                F.format_string("/page/%d", h % 3).alias("prefix"),
+            ),
+            F.struct(
+                F.lit("disallow").alias("rule_type"),
+                F.format_string("/page/%d", h % 3 + 3).alias("prefix"),
+            ),
+            F.struct(
+                F.lit("allow").alias("rule_type"),
+                F.format_string("/page/%d/open", h % 3).alias("prefix"),
+            ),
+        )
+    )
+    return hosts.select(
+        F.format_string("site%d.example.com", h).alias("rhost"),
+        rule.alias("r"),
+    ).select("rhost", "r.rule_type", "r.prefix")
+
+
+def robots_filter_report(docs: DataFrame) -> DataFrame:
+    """Robots-exclusion verdict per url — the crawl-side gate every
+    corpus ingest runs (RFC 9309 'Robots Exclusion Protocol'): the
+    MOST SPECIFIC (longest) matching rule wins, Allow beats Disallow
+    on a length tie, no match means allowed.
+
+    Scale shape: the rule table is bounded (hosts × a handful of
+    prefixes) and BROADCASTS; the url side joins on host equality plus
+    a row-local startswith — one hash join probe per url, no url-side
+    shuffle before the verdict window, which partitions on doc_id (the
+    url key) and is the only exchange.  Verdict columns stay NULL for
+    default-allowed urls so the report distinguishes 'allowed by rule'
+    from 'allowed by default'."""
+    from pyspark.sql import Window
+
+    d = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.format_string("site%d.example.com", d % 13).alias("host"),
+        F.format_string(
+            "/page/%d/%s/%d",
+            d % 9,
+            F.when(d % 2 == 0, F.lit("open")).otherwise(F.lit("item")),
+            d,
+        ).alias("path"),
+    )
+    rules = synthetic_robots_rules(docs)
+    j = urls.join(
+        F.broadcast(rules),
+        (F.col("host") == F.col("rhost"))
+        & F.col("path").startswith(F.col("prefix")),
+        "left",
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("prefix").desc_nulls_last(),
+        F.col("rule_type").asc_nulls_last(),
+        F.col("prefix").asc_nulls_last(),
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            "rule_type",
+            F.col("prefix").alias("rule_prefix"),
+            (
+                F.col("rule_type").isNull() | (F.col("rule_type") == "allow")
+            ).cast("int").alias("allowed"),
+        )
+        .orderBy("doc_id")
+    )

@@ -820,3 +820,38 @@ def exact_substring_dedup_report(docs: DataFrame, k: int = EXSUB_K) -> DataFrame
         ),
         F.array_join(kept, " ").alias("clean_text"),
     ).orderBy("doc_id")
+
+
+def dedup_cluster_size_histogram(docs: DataFrame,
+                                 threshold: float = 0.02,
+                                 sample_mod: int = 5) -> DataFrame:
+    """Cluster-size histogram over the near-dup components — the
+    dedup-run health report (a sudden giant cluster means a template
+    page or a broken shingle config, the first thing an operator checks
+    before trusting the keeper pass): per cluster size, how many
+    clusters and how many documents.
+
+    Composition proof for the cluster DAG: reuses
+    :func:`dedup_cluster_reps` unchanged and folds it twice —
+    (cluster_rep → size) then (size → counts).  Both aggs are
+    map-side-combinable; output is at most O(max cluster size) rows."""
+    reps = dedup_cluster_reps(docs, threshold=threshold,
+                              sample_mod=sample_mod)
+    sizes = reps.groupBy("cluster_rep").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            (F.count("*") * F.col("cluster_size")).cast("bigint").alias(
+                "n_docs"
+            ),
+        )
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+        )
+        .orderBy("cluster_size")
+    )

@@ -217,3 +217,78 @@ def sequence_pack_stats(docs: DataFrame, ctx_len: int = 64) -> DataFrame:
             F.sum("carried").cast("bigint").alias("n_carried"),
         )
     )
+
+
+def sequence_pack_chunks(docs: DataFrame, ctx_len: int = 64) -> DataFrame:
+    """MATERIALIZED sequence packing — the actual fixed-length training
+    rows, not just the stats: concatenate documents per source in the
+    deterministic (md5, key) order, cut at every ``ctx_len`` tokens,
+    and emit one row per chunk with the md5 of its reconstructed token
+    text, so the packed sequences themselves are byte-verified across
+    engines (the oracle rebuilds every chunk and must hash identically).
+
+    Plan: the same ONE per-source prefix-sum window + row-local span
+    explode as :func:`sequence_pack_stats`; each doc contributes its
+    token sub-slice ROW-LOCALLY (array slice, no token explode), and
+    the chunk agg reassembles segments in start order inside the
+    aggregate (sort_array over (start, segment) structs — bounded by
+    docs-per-chunk, not corpus size).  One corpus-wide exchange on the
+    chunk key; at 10^12 tokens this is the export job's exact shape,
+    with the parquet/Iceberg writer hanging off the same frame."""
+    toks_arr = F.filter(F.split(F.col("text"), " ", -1), lambda x: x != "")
+    base = docs.select(
+        "source", "doc_id", toks_arr.alias("toks"),
+        md5_56(F.col("doc_id").cast("string")).alias("hk"),
+    ).withColumn("n_tokens", F.size("toks")).filter(F.col("n_tokens") > 0)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    spans = base.withColumn("start", start).select(
+        "source", "start", "n_tokens", "toks",
+        F.explode(
+            F.sequence(
+                F.expr(f"div(start, {ctx_len})"),
+                F.expr(f"div(start + n_tokens - 1, {ctx_len})"),
+            )
+        ).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("start"), F.col("chunk_id") * ctx_len)
+    hi = F.least(
+        F.col("start") + F.col("n_tokens"),
+        (F.col("chunk_id") + 1) * F.lit(ctx_len),
+    )
+    seg = F.array_join(
+        F.slice(
+            "toks",
+            (lo - F.col("start") + 1).cast("int"),
+            (hi - lo).cast("int"),
+        ),
+        " ",
+    )
+    segs = spans.select(
+        "source", "chunk_id", "start", seg.alias("seg"),
+        (hi - lo).alias("seg_tokens"),
+    )
+    assembled = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("start"), F.col("seg")))
+            ),
+            lambda x: x["seg"],
+        ),
+        " ",
+    )
+    return (
+        segs.groupBy("source", "chunk_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("seg_tokens").cast("bigint").alias("n_tokens"),
+            F.md5(assembled).alias("chunk_hash"),
+        )
+        .orderBy("source", "chunk_id")
+    )

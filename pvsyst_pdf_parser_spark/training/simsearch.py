@@ -856,3 +856,110 @@ def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 3, dim: int = 64) -> D
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
     )
+
+
+# ------------------------------------------------------------------ PQ
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): split the vector into M subspaces, encode
+# each against a per-subspace codebook of K centroids.  The compressed
+# code (M small ints per vector) is what makes billion-scale ANN
+# memory-feasible; here the codebooks are the same deterministic
+# hash-anchor family the IVF cells use (offset so they differ), so the
+# DuckDB oracle replays the exact literals — trained codebooks would
+# enter the plan the same way.
+
+PQ_M = 8           # subspaces (64-dim vectors → 8 dims each)
+PQ_K = 16          # centroids per subspace
+_PQ_OFFSET = 307   # hash-family offset: PQ codebooks ≠ IVF cells
+
+
+def pq_centroid_values(sub: int, code: int, sub_dim: int = 8) -> list:
+    """Deterministic codebook entry (sub, code) — same two-round
+    integer hash family as centroid_values with a PQ-specific offset."""
+    out = []
+    for i in range(1, sub_dim + 1):
+        h1 = (
+            (sub * 8 + i) * 2654435761 + (code + _PQ_OFFSET) * 40503
+        ) % 2147483648
+        h2 = (h1 * 2654435761) % 2147483648
+        out.append(((h2 >> 7) % 2000) / 1000.0 - 1.0)
+    return out
+
+
+def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+              dim: int = 64) -> DataFrame:
+    """(vec_id, subspace, code, distortion): nearest codebook entry per
+    subspace by L2 (argmax of dot − ‖c‖²/2, ties to the lower code —
+    the IVF assign contract), plus the squared quantization error.
+
+    One numpy matmul per (Arrow batch × subspace) — a pure map stage at
+    any corpus size; the codebooks are M×K literals broadcast with the
+    closure.  ‖x_sub‖² is summed SEQUENTIALLY per row so the distortion
+    arithmetic is replayable (numpy's pairwise sum differs in the last
+    ulp from SQL's left-to-right chain; results round to 4 decimals
+    downstream anyway)."""
+    import numpy as np
+
+    sub_dim = dim // m
+    C = np.array(
+        [[pq_centroid_values(s, c, sub_dim) for c in range(k)]
+         for s in range(m)]
+    )  # m × k × sub_dim
+    half = np.array(
+        [[_seq_half_norm(C[s, c]) for c in range(k)] for s in range(m)]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(pdf["embedding"].values).astype("float64")
+            out_vid, out_sub, out_code, out_dist = [], [], [], []
+            for s in range(m):
+                Es = E[:, s * sub_dim:(s + 1) * sub_dim]
+                score = Es @ C[s].T - half[s]          # n × k
+                codes = np.argmax(score, axis=1)        # first max = low code
+                best = score[np.arange(n), codes]
+                # sequential per-row ‖x_sub‖² (determinism contract)
+                xnorm = np.empty(n)
+                for r in range(n):
+                    acc = 0.0
+                    for v in Es[r]:
+                        acc += float(v) * float(v)
+                    xnorm[r] = acc
+                out_vid.append(pdf["vec_id"].values)
+                out_sub.append(np.full(n, s, dtype="int32"))
+                out_code.append(codes.astype("int32"))
+                out_dist.append(xnorm - 2.0 * best)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_vid),
+                    "subspace": np.concatenate(out_sub),
+                    "code": np.concatenate(out_code),
+                    "distortion": np.concatenate(out_dist),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, subspace int, code int, distortion double"
+    )
+
+
+def pq_codebook_stats(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+                      dim: int = 64) -> DataFrame:
+    """Codebook-balance + distortion report: per (subspace, code), how
+    many vectors quantize to it and their mean squared error — the
+    health check that catches dead codes / collapsed codebooks before
+    a PQ index ships.  One map stage + one bounded (≤ M×K rows) agg."""
+    return (
+        pq_encode(emb, m, k, dim)
+        .groupBy("subspace", "code")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.avg("distortion"), 4).alias("avg_distortion"),
+        )
+        .orderBy("subspace", "code")
+    )

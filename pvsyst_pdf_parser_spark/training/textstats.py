@@ -269,45 +269,58 @@ def quality_gate_expr(text=None):
     return q_flags >= 4
 
 
+def cleaning_gate_exprs():
+    """The STATELESS cleaning gates as two column expressions over a
+    ``text`` column — ``(pass_lang, pass_quality)``, both int 0/1.
+    Pure projections (no window/shuffle/state), which is what lets the
+    identical gate arithmetic serve batch (:func:`funnel_flags`) and
+    Structured Streaming (streaming.clean_documents_stream) alike.
+
+    1. language gate: the multi-language stopword guess is not 'und'
+    2. quality gate: ≥ 4 of the 5 Gopher/C4 rules pass
+    """
+    text = F.col("text")
+    spaced = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    n_tokens = F.size(F.split(text, r" ", -1))
+    hits = [
+        sum(_count_occurrences(spaced, m) for m in markers)
+        for _, markers in LANG_MARKERS
+    ]
+    best = F.greatest(*hits)
+    pass_lang = (
+        (best * LANG_MIN_RATIO_DEN >= n_tokens) & (best > 0)
+    ).cast("int")
+    return pass_lang, quality_gate_expr(text).cast("int")
+
+
+def gate_flags(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, text, n_tokens, pass_lang, pass_quality) — the
+    stateless gates of :func:`cleaning_gate_exprs` as one projection."""
+    pass_lang, pass_quality = cleaning_gate_exprs()
+    return docs.select(
+        "doc_id", "source", "text",
+        F.size(F.split(F.col("text"), r" ", -1)).alias("n_tokens"),
+        pass_lang.alias("pass_lang"),
+        pass_quality.alias("pass_quality"),
+    )
+
+
 def funnel_flags(docs: DataFrame) -> DataFrame:
     """Per-document cleaning-gate flags in ONE projection + ONE window:
     (doc_id, source, text, n_tokens, pass_lang, pass_quality,
     first_copy) — the shared root of :func:`cleaning_funnel_stats`
     (the per-source report) and corpus.corpus_build_report (the
     end-to-end build), so composed pipelines pay for the flag pass
-    once.
+    once.  Gates 1-2 come from :func:`gate_flags`; this adds
 
-    1. language gate: the multi-language stopword guess is not 'und'
-    2. quality gate: ≥ 4 of the 5 Gopher/C4 rules pass
     3. exact-dup gate: first occurrence of the text (min doc_id keeps)
     """
     from pyspark.sql import Window
 
-    text = F.col("text")
-    spaced = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    toks = F.split(text, r" ", -1)
-    n_tokens = F.size(toks)
-    n_chars = F.length(text)
-
-    # language gate (same formula as lang_id_multi)
-    hit_cols = [
-        sum(_count_occurrences(spaced, m) for m in markers).alias(f"h_{code}")
-        for code, markers in LANG_MARKERS
-    ]
-    base = docs.select(
-        "doc_id", "source", "text", n_tokens.alias("n_tokens"),
-        *hit_cols,
-        quality_gate_expr(text).cast("int").alias("q_pass"),
-    )
-    best = F.greatest(*[F.col(f"h_{c}") for c, _ in LANG_MARKERS])
-    pass_lang = (
-        (best * LANG_MIN_RATIO_DEN >= F.col("n_tokens")) & (best > 0)
-    ).cast("int")
-    pass_quality = F.col("q_pass")
     w = Window.partitionBy("text").orderBy("doc_id")
-    return base.withColumn("pass_lang", pass_lang).withColumn(
-        "pass_quality", pass_quality
-    ).withColumn("first_copy", (F.row_number().over(w) == 1).cast("int")).select(
+    return gate_flags(docs).withColumn(
+        "first_copy", (F.row_number().over(w) == 1).cast("int")
+    ).select(
         "doc_id", "source", "text", "n_tokens",
         "pass_lang", "pass_quality", "first_copy",
     )
@@ -575,4 +588,115 @@ def type_token_ratio_stats(docs: DataFrame) -> DataFrame:
         "n_tokens",
         "n_types",
         F.expr("div(1000000 * n_types, n_tokens)").alias("ttr_ppm"),
+    ).orderBy("doc_id")
+
+
+def token_length_histogram(docs: DataFrame) -> DataFrame:
+    """Per-source token-length histogram in power-of-two buckets — the
+    length profile that sizes sequence packing, truncation limits, and
+    long-doc sampling policy.
+
+    The bucket is the BIT LENGTH of the token count
+    (``length(bin(n))``: 1→1, 2-3→2, 4-7→3, …) — exact integer
+    arithmetic in both engines, unlike floor(log2(n)) whose float
+    rounding can flip a doc at an exact power of two.  One agg, no
+    joins."""
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), " ", -1), lambda x: x != "")
+    )
+    return (
+        docs.select(
+            "source",
+            n_tokens.alias("n_tokens"),
+            F.length(F.bin(n_tokens)).cast("bigint").alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+WINNOW_K = 4   # tokens per k-gram
+WINNOW_W = 5   # winnowing window (guarantee: any match ≥ w+k-1 tokens
+               # shares a fingerprint; expected density 2/(w+1))
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = WINNOW_K,
+                           w: int = WINNOW_W) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every k-token gram, slide a w-gram
+    window, keep the RIGHTMOST minimal hash per window — a local
+    fingerprinting scheme that, unlike MinHash's global sketch,
+    guarantees any shared run of ≥ w+k-1 tokens yields a shared
+    fingerprint (the copy-detection contract).
+
+    Everything is ROW-LOCAL array HOFs — gram hashing (transform +
+    slice + md5), the per-window rightmost-argmin (an ``aggregate``
+    fold carrying (best_hash, best_pos, cursor)), and the distinct-
+    position fold — zero shuffle at any corpus size; O(n·w) work per
+    doc, the classic implementation.  The oracle replays the same
+    selection relationally (w-offset unnest + rightmost-min window).
+
+    Output: (doc_id, n_grams, n_selected, fp_hash) where fp_hash is
+    the md5 of the selected hashes joined in position order — the
+    whole fingerprint set byte-verified across engines."""
+    toks = F.filter(F.split("text", " ", -1), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - k),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice("toks", i + 1, F.lit(k)), " ")),
+                1, 14,
+            ),
+            16, 10,
+        ).cast("bigint"),
+    )
+    g = base.select("doc_id", grams.alias("h"))
+    n_grams = F.size("h")
+    init = F.struct(
+        F.lit(None).cast("bigint").alias("bh"),
+        F.lit(-1).cast("bigint").alias("bp"),
+        F.lit(0).cast("bigint").alias("cp"),
+    )
+    # selected position for the window starting at s: rightmost argmin
+    # of h[s .. s+w-1] (<= keeps the later position on ties)
+    sel = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_grams - w, F.lit(0))),
+        lambda s: F.aggregate(
+            F.slice("h", s + 1, F.lit(w)),
+            init,
+            lambda acc, x: F.struct(
+                F.when(
+                    acc["bh"].isNull() | (x <= acc["bh"]), x
+                ).otherwise(acc["bh"]).alias("bh"),
+                F.when(
+                    acc["bh"].isNull() | (x <= acc["bh"]), s + acc["cp"]
+                ).otherwise(acc["bp"]).alias("bp"),
+                (acc["cp"] + 1).alias("cp"),
+            ),
+        )["bp"],
+    )
+    picked = F.array_sort(F.array_distinct(sel))
+    fp = F.md5(
+        F.array_join(
+            F.transform(
+                picked,
+                lambda p: F.element_at("h", (p + 1).cast("int")).cast(
+                    "string"
+                ),
+            ),
+            ",",
+        )
+    )
+    return g.select(
+        "doc_id",
+        n_grams.cast("bigint").alias("n_grams"),
+        F.size(picked).cast("bigint").alias("n_selected"),
+        fp.alias("fp_hash"),
     ).orderBy("doc_id")

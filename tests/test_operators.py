@@ -1205,3 +1205,261 @@ def test_type_token_ratio_exact_ppm(spark):
     assert (out[1]["n_tokens"], out[1]["n_types"], out[1]["ttr_ppm"]) == (
         3, 3, 1000000,
     )
+
+
+def test_snapshot_delta_all_four_verdicts(spark):
+    """The crawl diff classifies every page into exactly one of
+    added/removed/changed/unchanged, matching a Python replay of the
+    synthesis arithmetic."""
+    import hashlib
+
+    from pvsyst_pdf_parser_spark.training.crawl import snapshot_delta_report
+
+    rows = [(i, f"text body {i} variant") for i in range(84)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["verdict"]: (r["n_pages"], r["min_page"], r["max_page"])
+        for r in snapshot_delta_report(docs).collect()
+    }
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    texts = dict(rows)
+    exp = {}
+    for page in range(42):
+        def content(doc_id):
+            return md5(str(page)) if page % 3 == 0 else md5(texts[doc_id])
+        has_old = page % 5 != 0
+        has_new = page % 7 != 3
+        if not has_old and not has_new:
+            continue
+        if not has_old:
+            v = "added"
+        elif not has_new:
+            v = "removed"
+        elif content(2 * page) == content(2 * page + 1):
+            v = "unchanged"
+        else:
+            v = "changed"
+        n, lo, hi = exp.get(v, (0, page, page))
+        exp[v] = (n + 1, min(lo, page), max(hi, page))
+    assert set(exp) == {"added", "removed", "changed", "unchanged"}
+    assert got == exp
+
+
+def test_dedup_cluster_size_histogram_consistency(spark):
+    """The histogram folds dedup_cluster_reps exactly: per-size cluster
+    counts and doc totals agree with the underlying cluster table."""
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        dedup_cluster_reps,
+        dedup_cluster_size_histogram,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    reps = dedup_cluster_reps(docs).collect()
+    sizes = {}
+    for r in reps:
+        sizes[r["cluster_rep"]] = sizes.get(r["cluster_rep"], 0) + 1
+    exp = {}
+    for s in sizes.values():
+        n, d = exp.get(s, (0, 0))
+        exp[s] = (n + 1, d + s)
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in dedup_cluster_size_histogram(docs).collect()
+    }
+    assert got == exp and len(got) >= 1
+
+
+def test_token_length_histogram_bit_buckets(spark):
+    """Buckets are exact bit lengths (1→1, 2-3→2, 4-7→3, 8→4); counts
+    and token sums fold per (source, bucket)."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        token_length_histogram,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "s0"),                # 1 token  -> bucket 1
+            (1, "a b c", "s0"),            # 3 tokens -> bucket 2
+            (2, "a b c d", "s0"),          # 4 tokens -> bucket 3
+            (3, " ".join(["x"] * 8), "s1"),  # 8 tokens -> bucket 4
+        ],
+        "doc_id int, text string, source string",
+    )
+    got = {
+        (r["source"], r["bucket"]): (r["n_docs"], r["n_tokens"])
+        for r in token_length_histogram(docs).collect()
+    }
+    assert got == {
+        ("s0", 1): (1, 1),
+        ("s0", 2): (1, 3),
+        ("s0", 3): (1, 4),
+        ("s1", 4): (1, 8),
+    }
+
+
+def test_robots_filter_longest_match_and_tie(spark):
+    """RFC 9309 semantics: longest matching prefix wins, Allow beats
+    Disallow on ties, no match = allowed by default — against a Python
+    replay of the synthetic rules."""
+    from pvsyst_pdf_parser_spark.training.crawl import robots_filter_report
+
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(n)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in robots_filter_report(docs).collect()}
+    assert len(got) == n
+
+    for i in range(n):
+        h = i % 13
+        path = f"/page/{i % 9}/{'open' if i % 2 == 0 else 'item'}/{i}"
+        rules = [
+            ("disallow", f"/page/{h % 3}"),
+            ("disallow", f"/page/{h % 3 + 3}"),
+            ("allow", f"/page/{h % 3}/open"),
+        ]
+        matches = [(t, p) for t, p in rules if path.startswith(p)]
+        if matches:
+            t, p = sorted(matches, key=lambda m: (-len(m[1]), m[0], m[1]))[0]
+            assert (got[i]["rule_type"], got[i]["rule_prefix"]) == (t, p), i
+            assert got[i]["allowed"] == int(t == "allow"), i
+        else:
+            assert got[i]["rule_type"] is None and got[i]["allowed"] == 1, i
+    # all three verdict shapes occur
+    kinds = {(r["rule_type"], r["allowed"]) for r in got.values()}
+    assert ("disallow", 0) in kinds and ("allow", 1) in kinds
+    assert (None, 1) in kinds
+
+
+def test_pq_encode_matches_numpy_replay(spark):
+    """PQ codes equal a brute-force per-subspace argmin L2 replay and
+    the distortion equals the actual squared error."""
+    import numpy as np
+
+    from pvsyst_pdf_parser_spark.training.simsearch import (
+        PQ_K,
+        PQ_M,
+        pq_centroid_values,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(40)
+    rows = {(r["vec_id"], r["subspace"]): r for r in pq_encode(emb).collect()}
+    sub_dim = 64 // PQ_M
+    C = np.array(
+        [[pq_centroid_values(s, c, sub_dim) for c in range(PQ_K)]
+         for s in range(PQ_M)]
+    )
+    for r in emb.collect():
+        x = np.array(r["embedding"], dtype="float64")
+        for s in range(PQ_M):
+            xs = x[s * sub_dim:(s + 1) * sub_dim]
+            d2 = ((C[s] - xs) ** 2).sum(axis=1)
+            best = int(np.argmin(d2))
+            got = rows[(r["vec_id"], s)]
+            assert got["code"] == best, (r["vec_id"], s)
+            assert abs(got["distortion"] - d2[best]) < 1e-9
+
+
+def test_sequence_pack_chunks_reconstructs_exact_text(spark):
+    """Materialized packing: every chunk's reassembled token text
+    hashes identically to a pure-Python replay of the concat-and-chunk
+    order, and full chunks carry exactly ctx_len tokens."""
+    import hashlib
+
+    from pvsyst_pdf_parser_spark.training.sampling import (
+        sequence_pack_chunks,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(3 + (i * 7) % 6)), f"s{i % 2}")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    got = {
+        (r["source"], r["chunk_id"]): (r["n_docs"], r["n_tokens"], r["chunk_hash"])
+        for r in sequence_pack_chunks(docs, ctx_len=8).collect()
+    }
+
+    def hk(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:14], 16)
+
+    exp = {}
+    for src in {"s0", "s1"}:
+        stream = []
+        for i, text, _ in sorted(
+            (r for r in rows if r[2] == src), key=lambda r: (hk(r[0]), r[0])
+        ):
+            stream.extend(text.split(" "))
+        n_chunks = (len(stream) + 7) // 8
+        for c in range(n_chunks):
+            chunk = stream[c * 8:(c + 1) * 8]
+            # contributing docs replay: count docs whose token range
+            # overlaps [c*8, (c+1)*8)
+            start = 0
+            n_docs = 0
+            for i, text, _ in sorted(
+                (r for r in rows if r[2] == src), key=lambda r: (hk(r[0]), r[0])
+            ):
+                n = len(text.split(" "))
+                if start < (c + 1) * 8 and start + n > c * 8:
+                    n_docs += 1
+                start += n
+            exp[(src, c)] = (
+                n_docs,
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    assert got == exp
+
+
+def test_winnowing_fingerprints_match_python_replay(spark):
+    """Winnowing (MOSS): the selected fingerprint set equals a pure-
+    Python replay of rightmost-min-per-window selection, including the
+    short-doc single-window edge and the expected ~2/(w+1) density."""
+    import hashlib
+
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    rows = [
+        (0, " ".join(f"tok{(i * 17) % 23}" for i in range(40))),
+        (1, "a b c d e"),                      # 2 grams < w: one window
+        (2, " ".join(["dup tok run"] * 6)),    # heavy repetition/ties
+        (3, "x y z"),                          # < k tokens: no row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in winnowing_fingerprints(docs).collect()}
+    assert 3 not in got
+
+    def h56(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    for doc_id, text in rows[:3]:
+        toks = text.split(" ")
+        grams = [
+            h56(" ".join(toks[i:i + WINNOW_K]))
+            for i in range(len(toks) - WINNOW_K + 1)
+        ]
+        picked = set()
+        for s in range(max(len(grams) - WINNOW_W, 0) + 1):
+            win = grams[s:s + WINNOW_W]
+            m = min(win)
+            # rightmost tie
+            p = s + max(j for j, v in enumerate(win) if v == m)
+            picked.add(p)
+        order = sorted(picked)
+        fp = hashlib.md5(
+            ",".join(str(grams[p]) for p in order).encode()
+        ).hexdigest()
+        assert got[doc_id]["n_grams"] == len(grams), doc_id
+        assert got[doc_id]["n_selected"] == len(order), doc_id
+        assert got[doc_id]["fp_hash"] == fp, doc_id

@@ -246,3 +246,46 @@ def test_bpe_merge_round_is_broadcast_fold_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_robots_rules_broadcast_url_side_single_window_exchange(spark):
+    """The robots rule table must BROADCAST (bounded hosts × prefixes)
+    and the url side must reach the verdict window without its own
+    pre-join shuffle; everything stays JVM-side."""
+    from pvsyst_pdf_parser_spark.training.crawl import robots_filter_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(robots_filter_report(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Broadcast" in p          # hash or nested-loop, rules side
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_winnowing_is_pure_projection_no_join_no_python(spark):
+    """Winnowing is row-local end to end: no joins, no Python eval;
+    the only exchange is the final presentation sort."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(winnowing_fingerprints(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    assert p.count("Exchange") <= 1, p  # rangepartitioning for the sort
+
+
+def test_sequence_pack_chunks_bounded_exchanges_no_python(spark):
+    """Materialized packing: one source-key window exchange + one
+    chunk-key agg exchange + the final sort — and no Python eval (the
+    reassembly is sort_array/transform inside the agg)."""
+    from pvsyst_pdf_parser_spark.training.sampling import (
+        sequence_pack_chunks,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(sequence_pack_chunks(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    assert p.count("Exchange") <= 3, p

@@ -308,3 +308,74 @@ def test_stream_neardup_candidates_across_batches(spark, tmp_path):
     assert rows["http://a-mirror"]["status"] == "near_dup_candidate"
     assert rows["http://a-mirror"]["dup_of"] == "http://a"
     assert "http://short" not in rows  # no shingles -> filtered upstream
+
+
+def test_stream_clean_gates_and_dedup_across_batches(spark, tmp_path):
+    """The streaming cleaning funnel: stateless language+quality gates
+    drop junk in-stream, and the surviving docs dedup on fingerprint
+    across micro-batches — gate decisions byte-identical to the batch
+    funnel (textstats.gate_flags) on the same rows."""
+    from datetime import datetime, timedelta, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pvsyst_pdf_parser_spark.streaming import stream_clean_docs
+    from pvsyst_pdf_parser_spark.training.textstats import gate_flags
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    t0 = datetime(2026, 1, 1, 12, 0, tzinfo=timezone.utc)
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "to the green hills in the cool morning of a bright new day "
+        "while the wind and the rain of the north move to the sea in "
+        "silence and the birds of the valley sing to the sun in joy"
+    )
+    good2 = good.replace("fox", "hare").replace("dog", "cat")
+    junk = "zz zz zz zz"
+
+    def write_docs(name, rows):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(cols[0], pa.string()),
+                    "warc_ts": pa.array(cols[1], pa.timestamp("us", tz="UTC")),
+                    "fingerprint": pa.array(cols[2], pa.int64()),
+                    "text": pa.array(cols[3], pa.string()),
+                }
+            ),
+            str(docs_dir / f"{name}.parquet"),
+        )
+
+    write_docs("b0", [("http://good", t0, 1, good),
+                      ("http://junk", t0, 2, junk)])
+    write_docs("b1", [("http://good-mirror", t0 + timedelta(minutes=5), 1, good),
+                      ("http://good2", t0 + timedelta(minutes=5), 3, good2)])
+
+    # batch-side cross-check: the same gate arithmetic admits good/good2
+    # and rejects junk
+    flags = {
+        r["doc_id"]: (r["pass_lang"], r["pass_quality"])
+        for r in gate_flags(
+            spark.createDataFrame(
+                [(1, good, "s"), (2, junk, "s"), (3, good2, "s")],
+                "doc_id int, text string, source string",
+            )
+        ).collect()
+    }
+    assert flags[1] == (1, 1) and flags[3] == (1, 1)
+    assert 0 in flags[2]
+
+    out_dir = str(tmp_path / "out")
+    q = stream_clean_docs(
+        spark, str(docs_dir), out_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got = sorted((r["fingerprint"], r["url"])
+                 for r in spark.read.parquet(out_dir).collect())
+    assert got == [(1, "http://good"), (3, "http://good2")]
