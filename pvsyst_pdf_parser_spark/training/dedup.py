@@ -675,7 +675,13 @@ def connected_components_auto(
     — so deciding never scans a trillion-edge set; at 100 TB the probe
     reads just enough partitions to know the graph is big.  A small
     graph that still fails propagation (a long chain, diameter > its
-    max_iter) falls back to star contraction instead of raising."""
+    max_iter) falls back to star contraction instead of raising.
+
+    The pair frame is persisted (tracked) before the probe: candidate
+    generation upstream (banded LSH rescore, capped shingle self-join)
+    is the expensive stage, and without the persist it would run once
+    for the probe and again inside the chosen algorithm."""
+    pairs = persist_tracked(pairs)
     n = pairs.limit(small_edges + 1).count()
     if n <= small_edges:
         try:
