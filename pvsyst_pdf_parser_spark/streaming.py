@@ -380,3 +380,67 @@ def stream_clean_docs(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_ingest_stats_stream(docs, window_dur: str = "10 minutes",
+                                 watermark: str = "10 minutes",
+                                 event_time_col: str = "warc_ts"):
+    """Watermarked tumbling-window ingest dashboard — the canonical
+    Structured Streaming windowed aggregation over the crawl event
+    stream: per event-time window, how many documents and tokens
+    arrived.  The watermark bounds state (a window's aggregate is
+    dropped once the watermark passes its end) AND defines the
+    late-data contract: an event older than the watermark is dropped,
+    never retro-mutating an already-finalized window — exactly the
+    semantics a downstream consumer of append-mode output requires.
+
+    At production scale this is one shuffle per micro-batch on the
+    window key with partial aggregation map-side — the same profile as
+    the batch per-source agg."""
+    from pyspark.sql import functions as F
+
+    n_tokens = F.size(F.split("text", " ", -1))
+    return (
+        docs.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(event_time_col, window_dur).alias("w"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tokens).alias("n_tokens"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+
+def stream_ingest_stats(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    window_dur: str = "10 minutes",
+    watermark: str = "10 minutes",
+):
+    """File-source stream → watermarked windowed agg → parquet sink in
+    APPEND mode (a window row is written once, when the watermark
+    finalizes it)."""
+    docs = (
+        spark.readStream.schema(DOC_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    return (
+        windowed_ingest_stats_stream(
+            docs, window_dur=window_dur, watermark=watermark
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -379,3 +379,73 @@ def test_stream_clean_gates_and_dedup_across_batches(spark, tmp_path):
     got = sorted((r["fingerprint"], r["url"])
                  for r in spark.read.parquet(out_dir).collect())
     assert got == [(1, "http://good"), (3, "http://good2")]
+
+
+def test_windowed_ingest_stats_finalize_and_late_drop(spark, tmp_path):
+    """Append-mode windowed agg: a window is emitted exactly once when
+    the watermark passes its end; an event arriving LATER than the
+    watermark is dropped (the finalized window never mutates); a window
+    the watermark never passes is not emitted."""
+    from datetime import datetime, timedelta, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pvsyst_pdf_parser_spark.streaming import stream_ingest_stats
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    t0 = datetime(2026, 1, 1, 12, 0, tzinfo=timezone.utc)
+
+    def write_docs(name, rows):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(cols[0], pa.string()),
+                    "warc_ts": pa.array(cols[1], pa.timestamp("us", tz="UTC")),
+                    "fingerprint": pa.array(cols[2], pa.int64()),
+                    "text": pa.array(cols[3], pa.string()),
+                }
+            ),
+            str(docs_dir / f"{name}.parquet"),
+        )
+
+    # batch 0: two docs in the [12:00, 12:10) window
+    write_docs("b0", [
+        ("http://a", t0, 1, "one two three"),
+        ("http://b", t0 + timedelta(minutes=5), 2, "four five"),
+    ])
+    # batch 1: 12:21 pushes the watermark to 12:11 — STRICTLY past the
+    # window end (a watermark exactly ON the end leaves it open).
+    # Watermark timing is doubly lagged: the value commits at batch
+    # END, and eviction in a batch uses the batch-START value — so the
+    # 12:00 window is evicted during batch 2, and only a row arriving
+    # in batch 3 (state already gone) exercises the late-drop path.
+    write_docs("b1", [("http://c", t0 + timedelta(minutes=21), 3, "six")])
+    # batch 2: unrelated 12:20-window traffic; its processing evicts
+    # and emits the finalized 12:00 window (watermark 12:11 > 12:10)
+    write_docs("b2", [("http://d", t0 + timedelta(minutes=25), 5, "eleven")])
+    # batch 3: a LATE event for the already-emitted 12:00 window (its
+    # window end 12:10 < watermark -> dropped, never retro-mutating
+    # the finalized row) plus more open-window traffic
+    write_docs("b3", [
+        ("http://late", t0 + timedelta(minutes=3), 4, "seven eight nine ten"),
+        ("http://e", t0 + timedelta(minutes=26), 6, "twelve"),
+    ])
+
+    out_dir = str(tmp_path / "out")
+    q = stream_ingest_stats(
+        spark, str(docs_dir), out_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["window_start"].minute: (r["n_docs"], r["n_tokens"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # only the 12:00 window finalized; the late doc did NOT mutate it
+    # (3+2 tokens, 2 docs — not 3 docs / 9 tokens); the 12:20 window
+    # stays open (watermark never passed 12:30) so it is absent
+    assert got == {0: (2, 5)}
