@@ -37,6 +37,7 @@ from pvsyst_pdf_parser_spark.training import qualitymodel as QM  # noqa: E402
 from pvsyst_pdf_parser_spark.training import multimodal as M  # noqa: E402
 from pvsyst_pdf_parser_spark.training import sampling as SA  # noqa: E402
 from pvsyst_pdf_parser_spark.training import simsearch as S  # noqa: E402
+from pvsyst_pdf_parser_spark.training import sketches as SK  # noqa: E402
 from pvsyst_pdf_parser_spark.training import textstats as X  # noqa: E402
 from pvsyst_pdf_parser_spark.training import urlnorm as U  # noqa: E402
 from pvsyst_pdf_parser_spark.training import webclean as W  # noqa: E402
@@ -275,6 +276,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ttr": lambda s, d: X.type_token_ratio_stats(_docs(s, d)),
         # winnowing (MOSS) local fingerprints, whole set md5-verified
         "winnowing_fingerprints": lambda s, d: X.winnowing_fingerprints(
+            _docs(s, d)
+        ),
+        # HyperLogLog distinct-token estimate vs exact (calibration)
+        "hll_distinct": lambda s, d: SK.hll_distinct_report(_docs(s, d)),
+        # Count-Min heavy-hitter estimates vs true counts
+        "cms_heavy_hitters": lambda s, d: SK.cms_heavy_hitters_report(
             _docs(s, d)
         ),
         # incremental crawl diff: added/removed/changed/unchanged pages
@@ -1194,6 +1201,95 @@ SELECT ng.doc_id, ng.n_grams,
        md5(string_agg(sel.h::varchar, ',' ORDER BY sel.p)) AS fp_hash
 FROM ng JOIN sel ON sel.doc_id = ng.doc_id
 GROUP BY ng.doc_id, ng.n_grams
+"""
+
+
+def _hll_distinct_sql() -> str:
+    """DuckDB replay of sketches.hll_distinct_report: same top-p-bit
+    bucketing, same bit-length rank, same alpha and linear-counting
+    branch."""
+    from pvsyst_pdf_parser_spark.training.sketches import (
+        HLL_ALPHA_256,
+        HLL_P,
+    )
+
+    m = 1 << HLL_P
+    rest_bits = 56 - HLL_P
+    amm = repr(HLL_ALPHA_256 * m * m)
+    h = _H56.format(expr="tok")
+    return f"""
+WITH toks AS (
+  SELECT source, u.tok
+  FROM (SELECT source,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+       unnest(t) AS u(tok)),
+hh AS (SELECT source, {h} AS h FROM toks),
+r AS (SELECT source, h // {1 << rest_bits} AS bucket,
+             h % {1 << rest_bits} AS rest
+      FROM hh),
+rk AS (
+  SELECT source, bucket,
+         CASE WHEN rest > 0 THEN {rest_bits} - length(bin(rest)) + 1
+              ELSE {rest_bits + 1} END AS rank
+  FROM r),
+regs AS (SELECT source, bucket, max(rank) AS mx
+         FROM rk GROUP BY source, bucket),
+folded AS (
+  SELECT source, count(*) AS n_present,
+         sum(power(2.0, -mx)) AS s_present
+  FROM regs GROUP BY source),
+est AS (
+  SELECT source, ({m} - n_present) AS v,
+         {amm} / (s_present + ({m} - n_present)) AS raw
+  FROM folded),
+fin AS (
+  SELECT source, v,
+         CASE WHEN raw <= {2.5 * m} AND v > 0
+              THEN {float(m)} * ln({float(m)} / v)
+              ELSE raw END AS e
+  FROM est),
+exact AS (SELECT source, count(DISTINCT tok)::bigint AS exact_distinct
+          FROM toks GROUP BY source)
+SELECT f.source, v::bigint AS n_empty_registers,
+       round(e, 2) AS hll_estimate, exact_distinct,
+       round((e - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM fin f JOIN exact USING (source)
+"""
+
+
+def _cms_heavy_hitters_sql() -> str:
+    """DuckDB replay of sketches.cms_heavy_hitters_report: same d
+    hash rows (md5('i:' || tok)), same min-over-rows estimate."""
+    from pvsyst_pdf_parser_spark.training.sketches import (
+        CMS_D,
+        CMS_TOP,
+        CMS_W,
+    )
+
+    h = _H56.format(expr="i.i::varchar || ':' || tok")
+    vals = ", ".join(f"({i})" for i in range(CMS_D))
+    return f"""
+WITH toks AS (
+  SELECT u.tok
+  FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+       unnest(t) AS u(tok)),
+counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+cells AS (
+  SELECT i.i AS hrow, {h} % {CMS_W} AS cell, cnt
+  FROM counts, (VALUES {vals}) i(i)),
+cms AS (SELECT hrow, cell, sum(cnt) AS c FROM cells GROUP BY hrow, cell),
+top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT {CMS_TOP}),
+probes AS (
+  SELECT t.tok, t.cnt, i.i AS hrow, {h} % {CMS_W} AS cell
+  FROM top t, (VALUES {vals}) i(i)),
+est AS (
+  SELECT tok, cnt, min(c)::bigint AS cms_estimate
+  FROM probes JOIN cms USING (hrow, cell) GROUP BY tok, cnt)
+SELECT tok, cnt::bigint AS true_count, cms_estimate,
+       (cms_estimate - cnt)::bigint AS overcount
+FROM est
 """
 
 
@@ -2425,6 +2521,8 @@ FROM documents GROUP BY 1
         "text_ttr": _ttr_sql(),
         "snapshot_delta": _snapshot_delta_sql(),
         "winnowing_fingerprints": _winnowing_sql(),
+        "hll_distinct": _hll_distinct_sql(),
+        "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "dedup_cluster_sizes": _cluster_sizes_sql(),
         "token_length_histogram": _token_length_histogram_sql(),
         "robots_filter": _robots_filter_sql(),

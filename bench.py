@@ -59,6 +59,8 @@ HEADLINE = [
     "text_char_entropy",
     "text_ttr",
     "winnowing_fingerprints",
+    "hll_distinct",
+    "cms_heavy_hitters",
     "snapshot_delta",
     "sequence_pack_chunks",
     "token_length_histogram",

@@ -1463,3 +1463,67 @@ def test_winnowing_fingerprints_match_python_replay(spark):
         assert got[doc_id]["n_grams"] == len(grams), doc_id
         assert got[doc_id]["n_selected"] == len(order), doc_id
         assert got[doc_id]["fp_hash"] == fp, doc_id
+
+
+def test_hll_estimate_accuracy_and_register_arithmetic(spark):
+    """HLL: the estimate lands within the expected error envelope of
+    the exact distinct count (1.04/sqrt(m) ≈ 6.5% standard error at
+    m=256; assert 4 sigma), the small-range linear-counting branch
+    fires for tiny sources, and empties + estimate are deterministic."""
+    from pvsyst_pdf_parser_spark.training.sketches import hll_distinct_report
+
+    rows = [
+        (i, " ".join(f"word{(i * 131 + j) % 5000}" for j in range(40)), "big")
+        for i in range(500)
+    ] + [(10_000 + i, "alpha beta gamma", "tiny") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in hll_distinct_report(docs).collect()}
+    big = out["big"]
+    assert abs(big["rel_err"]) < 4 * 1.04 / (256 ** 0.5)
+    assert big["exact_distinct"] > 1000
+    tiny = out["tiny"]
+    assert tiny["exact_distinct"] == 3
+    # linear counting: 253 empties, est = 256 ln(256/253) ≈ 3.02
+    assert tiny["n_empty_registers"] == 253
+    assert abs(tiny["hll_estimate"] - 3.02) < 0.02
+    # determinism
+    out2 = {r["source"]: r for r in hll_distinct_report(docs).collect()}
+    assert out2["big"]["hll_estimate"] == big["hll_estimate"]
+
+
+def test_cms_estimates_one_sided_and_exact_replay(spark):
+    """Count-Min: every estimate ≥ the true count (one-sided error),
+    and matches a pure-Python replay of the d×w counter arithmetic."""
+    import hashlib
+
+    from pvsyst_pdf_parser_spark.training.sketches import (
+        CMS_D,
+        CMS_W,
+        cms_heavy_hitters_report,
+    )
+
+    rows = [
+        (i, " ".join(f"t{(i + j) % 60}" for j in range(30)), "s")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["tok"]: r for r in cms_heavy_hitters_report(docs).collect()}
+    assert len(got) == 10
+
+    def h56(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    true = {}
+    for _, text, _ in rows:
+        for t in text.split(" "):
+            true[t] = true.get(t, 0) + 1
+    cms = {}
+    for t, c in true.items():
+        for i in range(CMS_D):
+            key = (i, h56(f"{i}:{t}") % CMS_W)
+            cms[key] = cms.get(key, 0) + c
+    for tok, r in got.items():
+        assert r["true_count"] == true[tok]
+        exp = min(cms[(i, h56(f"{i}:{tok}") % CMS_W)] for i in range(CMS_D))
+        assert r["cms_estimate"] == exp
+        assert r["overcount"] >= 0
