@@ -31,6 +31,7 @@ from pvsyst_pdf_parser_spark.training import corpus as C  # noqa: E402
 from pvsyst_pdf_parser_spark.training import bpe as B  # noqa: E402
 from pvsyst_pdf_parser_spark.training import crawl as CR  # noqa: E402
 from pvsyst_pdf_parser_spark.training import decontam as DC  # noqa: E402
+from pvsyst_pdf_parser_spark.training import encoding as EN  # noqa: E402
 from pvsyst_pdf_parser_spark.training import dedup as D  # noqa: E402
 from pvsyst_pdf_parser_spark.training import paragraphs as P  # noqa: E402
 from pvsyst_pdf_parser_spark.training import qualitymodel as QM  # noqa: E402
@@ -39,6 +40,7 @@ from pvsyst_pdf_parser_spark.training import sampling as SA  # noqa: E402
 from pvsyst_pdf_parser_spark.training import simsearch as S  # noqa: E402
 from pvsyst_pdf_parser_spark.training import sketches as SK  # noqa: E402
 from pvsyst_pdf_parser_spark.training import textstats as X  # noqa: E402
+from pvsyst_pdf_parser_spark.training import tfidf as TI  # noqa: E402
 from pvsyst_pdf_parser_spark.training import urlnorm as U  # noqa: E402
 from pvsyst_pdf_parser_spark.training import webclean as W  # noqa: E402
 from pvsyst_pdf_parser_spark.text import layout as LY  # noqa: E402
@@ -210,6 +212,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mix composed over ONE documents scan (plan-gated in
         # tests/test_plans.py) — the full cleaning-run decision
         "corpus_build": lambda s, d: C.corpus_build_report(_docs(s, d)),
+        # round-5b operators (never yet verified — run early):
+        # cp1252-mojibake repair (ftfy-class encoding fixup — literal
+        # replace chain, zero shuffle; damage planted deterministically)
+        "mojibake_repair": lambda s, d: EN.mojibake_repair_stats(_docs(s, d)),
+        # C4/RefinedWeb per-host frequency cap (hash-ordered rank so the
+        # survivor set is input-order-free)
+        "domain_cap": lambda s, d: W.domain_cap_report(_docs(s, d)),
+        # Mercator-style crawl-frontier sharding: host->slot projection
+        # + per-host fetch sequence (politeness without coordination)
+        "frontier_slots": lambda s, d: CR.frontier_slots_report(_docs(s, d)),
+        # top-k TF-IDF terms per doc: one token shuffle, broadcast df
+        "tfidf_top_terms": lambda s, d: TI.tfidf_top_terms(_docs(s, d)),
+        # capped posting lists for the top-df terms (inverted index)
+        "inverted_postings": lambda s, d: TI.inverted_postings(_docs(s, d)),
+        # jusText-lite context-sensitive boilerplate classification
+        "boilerplate_paragraphs": lambda s, d: P.boilerplate_paragraph_report(
+            _docs(s, d)
+        ),
         # round-5 crawl-lifecycle operators (never yet verified — run
         # early): cross-snapshot keep-latest over canonical urls,
         # fixed-iteration PageRank with dangling mass, Bloom-gated
@@ -1620,6 +1640,190 @@ FROM cells GROUP BY doc_id
 """
 
 
+# -- round-5b oracle builders -----------------------------------------
+
+_SYNTH_HOST = (
+    "regexp_replace(regexp_replace("
+    "lower(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),"
+    "':(80|443)$', ''), '^www\\.', '')"
+)
+
+_SYNTH_RAW_URL = """CASE WHEN doc_id % 2 = 0
+    THEN printf('HTTPS://WWW.Mirror%d.Example.COM:443/Docs/%d/?utm_source=feed&id=%d&utm_campaign=x#frag',
+                doc_id % 7, doc_id, doc_id)
+    ELSE printf('http://mirror%d.example.com:80/Docs/%d?fbclid=abc%d&page=2',
+                doc_id % 7, doc_id, doc_id)
+    END"""
+
+
+def _mojibake_repair_sql() -> str:
+    """DuckDB replay of encoding.mojibake_repair_stats: the SAME
+    generated damage literals and the SAME generated repair table
+    (encoding.MOJIBAKE_TABLE is the single source of truth for both
+    engines — nothing here is hand-typed)."""
+    from pvsyst_pdf_parser_spark.training.encoding import (
+        ARTIFACT_PAT,
+        MOJIBAKE_TABLE,
+        _DMG2,
+        _DMG3,
+        _DMG5,
+    )
+
+    clean = "t"
+    for artifact, repaired in MOJIBAKE_TABLE:
+        clean = f"replace({clean}, '{artifact}', '{repaired}')"
+    return f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text
+      || CASE WHEN doc_id % 2 = 0 THEN '{_DMG2}' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0 THEN '{_DMG3}' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN '{_DMG5}' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{ARTIFACT_PAT}'))::bigint AS n_artifacts,
+       length(t)::bigint AS chars_dirty,
+       length({clean})::bigint AS chars_clean,
+       {clean} AS clean_text
+FROM dirty
+"""
+
+
+def _domain_cap_sql(cap: int = 5) -> str:
+    """DuckDB replay of webclean.domain_cap_report: same synthesized
+    host, same md5-portable rank key, same cap."""
+    hk = _H56.format(expr="doc_id::varchar")
+    return f"""
+WITH r AS (SELECT doc_id, {_SYNTH_RAW_URL} AS raw_url FROM documents),
+h AS (SELECT doc_id, {_SYNTH_HOST} AS host, {hk} AS rank_key FROM r),
+k AS (SELECT doc_id, host,
+        row_number() OVER (PARTITION BY host ORDER BY rank_key, doc_id)
+          AS host_rank
+      FROM h)
+SELECT doc_id, host, host_rank::bigint AS host_rank,
+       (host_rank <= {cap})::int AS kept
+FROM k
+"""
+
+
+def _frontier_slots_sql(n_slots: int = 8) -> str:
+    """DuckDB replay of crawl.frontier_slots_report: host->slot hash
+    projection + per-host fetch sequence + host page count."""
+    hk = _H56.format(expr="doc_id::varchar")
+    hh = _H56.format(expr="host")
+    return f"""
+WITH r AS (SELECT doc_id, {_SYNTH_RAW_URL} AS raw_url FROM documents),
+h AS (SELECT doc_id, {_SYNTH_HOST} AS host, {hk} AS rank_key FROM r)
+SELECT doc_id, host,
+       ({hh} % {n_slots})::bigint AS slot,
+       row_number() OVER (PARTITION BY host ORDER BY rank_key, doc_id)::bigint
+         AS fetch_seq,
+       count(*) OVER (PARTITION BY host)::bigint AS n_host_pages
+FROM h
+"""
+
+
+def _tfidf_top_terms_sql(k: int = 3) -> str:
+    """DuckDB replay of tfidf.tfidf_top_terms: same tokenization, same
+    smoothed idf, scores rounded to 6 dp BEFORE ranking (rank ties
+    then break on term, stable across engines)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+    FROM documents)
+  WHERE t <> ''),
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * (ln((n + 1)::double / (df + 1)) + 1), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS term_rank
+  FROM scored)
+SELECT doc_id, term, tf, df, score, term_rank::bigint AS term_rank
+FROM ranked WHERE term_rank <= {k}
+"""
+
+
+def _inverted_postings_sql(top_n: int = 20, cap: int = 10) -> str:
+    """DuckDB replay of tfidf.inverted_postings: top-df term selection
+    (df desc, term asc), per-term doc list capped by doc_id order,
+    comma-joined ascending."""
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+    FROM documents)
+  WHERE t <> ''),
+df AS (SELECT term, count(*)::bigint AS df FROM tok GROUP BY 1),
+top AS (
+  SELECT term, df,
+         row_number() OVER (ORDER BY df DESC, term ASC) AS trk
+  FROM df),
+capped AS (
+  SELECT t.term, s.df, t.doc_id,
+         row_number() OVER (PARTITION BY t.term ORDER BY t.doc_id) AS drk
+  FROM tok t JOIN (SELECT term, df FROM top WHERE trk <= {top_n}) s
+    USING (term))
+SELECT term, df,
+       string_agg(doc_id::varchar, ',' ORDER BY doc_id) AS postings
+FROM capped WHERE drk <= {cap}
+GROUP BY term, df
+"""
+
+
+def _boilerplate_paragraphs_sql(k: int = 10) -> str:
+    """DuckDB replay of paragraphs.boilerplate_paragraph_report: same
+    k-token paragraph grid, same stopword density thresholds, same
+    lag/lead context resolution."""
+    from pvsyst_pdf_parser_spark.training.paragraphs import (
+        GOOD_RATIO,
+        NEAR_RATIO,
+        SHORT_WORDS,
+        STOPWORDS,
+    )
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+paras AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[(i*{k}+1):((i+1)*{k})], ' ') AS para
+  FROM toks,
+       unnest(generate_series(0,
+         cast(ceil(len(toks) / {k}.0) AS int) - 1)) AS t(i)),
+m AS (
+  SELECT doc_id, pos,
+         len(string_split(para, ' '))::bigint AS n_words,
+         round(len(list_filter(string_split(para, ' '),
+                               x -> list_contains([{stop}], x)))
+               / len(string_split(para, ' ')), 6) AS stop_ratio
+  FROM paras),
+lab AS (
+  SELECT doc_id, pos, n_words, stop_ratio,
+         CASE WHEN n_words < {SHORT_WORDS} THEN 'short'
+              WHEN stop_ratio >= {GOOD_RATIO} THEN 'good'
+              WHEN stop_ratio >= {NEAR_RATIO} THEN 'near'
+              ELSE 'bad' END AS raw_label
+  FROM m),
+ctx AS (
+  SELECT *,
+         lag(raw_label) OVER (PARTITION BY doc_id ORDER BY pos) AS prv,
+         lead(raw_label) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM lab)
+SELECT doc_id, pos, n_words, stop_ratio, raw_label,
+       CASE WHEN raw_label IN ('good', 'bad') THEN raw_label
+            WHEN (prv = 'good' OR nxt = 'good') THEN 'good'
+            ELSE 'bad' END AS label
+FROM ctx
+"""
+
+
 def _pii_scrub_sql() -> str:
     """DuckDB replay of webclean.pii_scrub_stats: the SAME injected
     PII arithmetic and the SAME portable patterns (module constants are
@@ -2501,6 +2705,12 @@ FROM documents GROUP BY 1
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "cleaning_funnel": _cleaning_funnel_sql(),
         "corpus_build": _corpus_build_sql(),
+        "mojibake_repair": _mojibake_repair_sql(),
+        "domain_cap": _domain_cap_sql(),
+        "frontier_slots": _frontier_slots_sql(),
+        "tfidf_top_terms": _tfidf_top_terms_sql(),
+        "inverted_postings": _inverted_postings_sql(),
+        "boilerplate_paragraphs": _boilerplate_paragraphs_sql(),
         "snapshot_latest": _snapshot_latest_sql(),
         "link_pagerank": _pagerank_sql(),
         "bloom_incremental_dedup": _bloom_dedup_sql(),

@@ -471,3 +471,48 @@ def robots_filter_report(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# frontier politeness partitioning
+# ---------------------------------------------------------------------------
+
+
+def frontier_slots_report(docs: DataFrame, n_slots: int = 8) -> DataFrame:
+    """Crawl-frontier sharding with per-host serialization — the
+    partitioning every polite distributed crawler uses (Mercator,
+    Heydon & Najork 1999; Nutch's host-keyed fetch lists): ALL urls of
+    a host map to ONE fetch slot, so crawl-delay enforcement needs no
+    cross-worker coordination, and within the slot each host's pages
+    carry a deterministic fetch sequence.
+
+    Per doc: (doc_id, host, slot, fetch_seq, n_host_pages).
+
+    Shape at 10^12 urls: slot assignment is a pure projection
+    (hash(host) % n_slots); fetch_seq is ONE window keyed by host.
+    n_host_pages rides the same window (count over the full host
+    frame).  Slot *balance* is the operational risk — a giant host
+    saturates its slot — which is why the report carries
+    n_host_pages: the frontier scheduler splits any host above its
+    politeness budget into time-sliced epochs rather than re-keying
+    (re-keying would break the per-host serialization invariant)."""
+    from .urlnorm import synthetic_raw_url
+    from .webclean import host_of
+
+    host = F.regexp_replace(
+        host_of(synthetic_raw_url(F.col("doc_id"))), r"^www\.", ""
+    )
+    base = docs.select(
+        "doc_id",
+        host.alias("host"),
+        md5_56(F.col("doc_id").cast("string")).alias("rank_key"),
+    )
+    w = Window.partitionBy("host").orderBy("rank_key", "doc_id")
+    wc = Window.partitionBy("host")
+    return base.select(
+        "doc_id",
+        "host",
+        (md5_56(F.col("host")) % n_slots).cast("bigint").alias("slot"),
+        F.row_number().over(w).cast("bigint").alias("fetch_seq"),
+        F.count("*").over(wc).cast("bigint").alias("n_host_pages"),
+    )

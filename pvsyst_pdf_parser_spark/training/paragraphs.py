@@ -240,3 +240,73 @@ def paragraph_dedup_stats(docs: DataFrame, para_tokens: int = 10) -> DataFrame:
             .alias("n_docs_touched"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# jusText-style boilerplate classification
+# ---------------------------------------------------------------------------
+
+# tiny function-word list (jusText's signal is the *density* of such
+# words; the real tool ships per-language lists — a data file swap)
+STOPWORDS = (
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+)
+
+# jusText-ish thresholds over the synthetic 10-token paragraphs
+SHORT_WORDS = 4          # fewer words -> too short to judge alone
+GOOD_RATIO = 0.25        # stopword density of real prose
+NEAR_RATIO = 0.10        # gray zone, resolved by context
+
+
+def boilerplate_paragraph_report(
+    docs: DataFrame, para_tokens: int = 10
+) -> DataFrame:
+    """Context-sensitive paragraph quality classification — the jusText
+    algorithm (Pomikálek 2011), the public standard for main-content
+    extraction from web pages: classify each paragraph by stopword
+    density and length into good / near-good / bad / short, then let
+    NEIGHBOR context resolve the gray zone (a near-good or short
+    paragraph between good neighbors is prose; between bad neighbors
+    it is boilerplate).
+
+    Per paragraph: (doc_id, pos, n_words, stop_ratio, raw_label,
+    label).
+
+    Shape at 10^12 docs: paragraph explode + per-paragraph metrics are
+    map-side; the context pass is lag/lead over a window keyed by
+    doc_id — documents are small, so this window never skews, and the
+    whole operator adds ZERO corpus-wide shuffles (the doc_id key is
+    the partitioning the corpus already has)."""
+    paras = doc_paragraphs(docs, para_tokens=para_tokens)
+    words = F.split(F.col("para"), " ", -1)
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda t: t.isin(*STOPWORDS)))
+    ratio = F.round(n_stop / n_words, 6)
+    raw = (
+        F.when(n_words < SHORT_WORDS, "short")
+        .when(ratio >= GOOD_RATIO, "good")
+        .when(ratio >= NEAR_RATIO, "near")
+        .otherwise("bad")
+    )
+    m = paras.select(
+        "doc_id",
+        "pos",
+        n_words.cast("bigint").alias("n_words"),
+        ratio.alias("stop_ratio"),
+        raw.alias("raw_label"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("raw_label").over(w)
+    nxt = F.lead("raw_label").over(w)
+    resolved = (
+        F.when(F.col("raw_label").isin("good", "bad"), F.col("raw_label"))
+        # gray zone: good if EITHER neighbor is good (edge paragraphs
+        # have one neighbor; a lone gray paragraph stays boilerplate)
+        .when((prev == "good") | (nxt == "good"), "good")
+        .otherwise("bad")
+    )
+    return m.select(
+        "doc_id", "pos", "n_words", "stop_ratio", "raw_label",
+        resolved.alias("label"),
+    )

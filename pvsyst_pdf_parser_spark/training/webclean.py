@@ -23,7 +23,7 @@ url column.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from .urlnorm import _HOST_PAT, synthetic_raw_url
 
@@ -97,6 +97,45 @@ def host_of(url: Column) -> Column:
     canonicalization isn't recomputed for a host-keyed aggregate)."""
     return F.regexp_replace(
         F.lower(F.regexp_extract(url, _HOST_PAT, 1)), r":(80|443)$", ""
+    )
+
+
+def domain_cap_report(docs: DataFrame, cap: int = 5) -> DataFrame:
+    """Per-host frequency cap — keep at most ``cap`` pages per host
+    (the C4 / RefinedWeb guard against a single mirror or forum
+    dominating the corpus).  Which pages survive must not depend on
+    input order, so the rank inside each host is ordered by a
+    deterministic content-free hash of the doc id (md5-portable, same
+    both engine sides), ties broken by doc_id.
+
+    Per doc: (doc_id, host, host_rank, kept).
+
+    Shape at 10^12 docs: ONE window keyed by host.  Host cardinality
+    is ~10^8 with a long tail — the hot host (a crawler trap with 10^7
+    pages) makes this window skew-prone; the fix is the same rank
+    semantics via a two-phase count: pre-aggregate per (host,
+    salt=hash%k), then only hosts over the cap enter the window
+    (hosts under it keep everything — at web scale that is >99% of
+    hosts filtered out of the shuffle)."""
+    from .hashing import md5_56
+
+    host = F.regexp_replace(
+        host_of(synthetic_raw_url(F.col("doc_id"))), r"^www\.", ""
+    )
+    w = Window.partitionBy("host").orderBy("rank_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            host.alias("host"),
+            md5_56(F.col("doc_id").cast("string")).alias("rank_key"),
+        )
+        .withColumn("host_rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "doc_id",
+            "host",
+            "host_rank",
+            (F.col("host_rank") <= cap).cast("int").alias("kept"),
+        )
     )
 
 

@@ -1527,3 +1527,182 @@ def test_cms_estimates_one_sided_and_exact_replay(spark):
         exp = min(cms[(i, h56(f"{i}:{tok}") % CMS_W)] for i in range(CMS_D))
         assert r["cms_estimate"] == exp
         assert r["overcount"] >= 0
+
+
+def test_mojibake_repair_fixes_known_artifacts(spark):
+    """Repair inverts a real utf8->cp1252 round trip, and the artifact
+    count matches a Python regex replay."""
+    import re
+
+    from pvsyst_pdf_parser_spark.training.encoding import (
+        ARTIFACT_PAT,
+        MOJIBAKE_TABLE,
+        fix_mojibake,
+    )
+    import pyspark.sql.functions as F
+
+    # NOTE: no U+201D " anywhere — its UTF-8 contains 0x9D, unmapped in
+    # cp1252, so it is NOT losslessly repairable (module docstring)
+    originals = [
+        "don’t say “maybe … or café",
+        "naïve piñata touché",  # ï has no artifact entry -> stays broken
+        "plain ascii only",
+        "– dash and nbsp",
+    ]
+    damaged = [t.encode("utf-8").decode("cp1252", errors="replace")
+               for t in originals]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(damaged)], "i long, t string"
+    )
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            fix_mojibake(F.col("t")).alias("clean"),
+            F.regexp_count("t", F.lit(ARTIFACT_PAT)).alias("n"),
+        ).collect()
+    }
+
+    def py_repair(s):
+        for a, r in MOJIBAKE_TABLE:
+            s = s.replace(a, r)
+        return s
+
+    pat = re.compile(ARTIFACT_PAT)
+    for i, d in enumerate(damaged):
+        assert out[i]["clean"] == py_repair(d)
+        assert out[i]["n"] == len(pat.findall(d))
+    # row 0: every artifact in the table's coverage -> full inversion
+    # (nbsp maps to plain space by design)
+    assert out[0]["clean"] == originals[0].replace(" ", " ")
+    assert out[3]["clean"] == originals[3].replace(" ", " ")
+    # row 2 untouched
+    assert out[2]["clean"] == "plain ascii only"
+
+
+def test_domain_cap_keeps_at_most_cap_per_host(spark):
+    from pvsyst_pdf_parser_spark.training.webclean import domain_cap_report
+
+    docs = spark.createDataFrame(
+        [(i, "x", "s") for i in range(120)],
+        "doc_id long, text string, source string",
+    )
+    rows = domain_cap_report(docs, cap=5).collect()
+    assert len(rows) == 120
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        kept = [r for r in rs if r["kept"] == 1]
+        assert len(kept) == min(5, len(rs))
+        # ranks are a permutation 1..n and kept = lowest 5 ranks
+        ranks = sorted(r["host_rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert all(r["host_rank"] <= 5 for r in kept)
+
+
+def test_frontier_slots_host_serialization(spark):
+    """All pages of a host land in ONE slot; fetch_seq is a 1..n
+    permutation per host; slot is hash-stable."""
+    import hashlib
+
+    from pvsyst_pdf_parser_spark.training.crawl import frontier_slots_report
+
+    docs = spark.createDataFrame(
+        [(i, "x", "s") for i in range(90)],
+        "doc_id long, text string, source string",
+    )
+    rows = frontier_slots_report(docs, n_slots=8).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        slots = {r["slot"] for r in rs}
+        assert len(slots) == 1
+        exp_slot = int(hashlib.md5(host.encode()).hexdigest()[:14], 16) % 8
+        assert slots == {exp_slot}
+        assert sorted(r["fetch_seq"] for r in rs) == list(range(1, len(rs) + 1))
+        assert all(r["n_host_pages"] == len(rs) for r in rs)
+
+
+def test_tfidf_top_terms_matches_python_replay(spark):
+    import math
+
+    from pvsyst_pdf_parser_spark.training.tfidf import tfidf_top_terms
+
+    texts = [
+        "apple banana apple cherry",
+        "banana cherry cherry date",
+        "apple apple apple unique",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    got = tfidf_top_terms(docs, k=2).collect()
+    # python replay
+    tf = {}
+    for i, t in enumerate(texts):
+        for w in t.split():
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    df = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    n = len(texts)
+    scored = {}
+    for (i, w), c in tf.items():
+        s = round(c * (math.log((n + 1) / (df[w] + 1)) + 1), 6)
+        scored.setdefault(i, []).append((-s, w, c))
+    for i in scored:
+        scored[i].sort()
+    for r in got:
+        neg_s, w, c = scored[r["doc_id"]][r["term_rank"] - 1]
+        assert r["term"] == w and r["tf"] == c and r["df"] == df[w]
+        assert abs(r["score"] - (-neg_s)) < 1e-9
+    assert len(got) == 6
+
+
+def test_inverted_postings_cap_and_order(spark):
+    from pvsyst_pdf_parser_spark.training.tfidf import inverted_postings
+
+    docs = spark.createDataFrame(
+        [(i, "common " + f"rare{i}", "s") for i in range(25)],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["term"]: r for r in inverted_postings(
+        docs, top_n=3, cap=10).collect()}
+    assert rows["common"]["df"] == 25
+    # capped at 10, ascending doc_id
+    assert rows["common"]["postings"] == ",".join(str(i) for i in range(10))
+    # rare terms tie at df=1, term-asc picks rare0, rare1
+    assert set(rows) == {"common", "rare0", "rare1"}
+
+
+def test_boilerplate_paragraphs_justext_context(spark):
+    """A gray paragraph between good neighbors flips good; between bad
+    neighbors stays bad; short/edge semantics hold."""
+    from pvsyst_pdf_parser_spark.training.paragraphs import (
+        boilerplate_paragraph_report,
+    )
+
+    good = "the cat of the house and a dog in it"       # 10 words, 6 stops
+    gray = "cat dog bird fish mouse horse cow the pig goat"  # 1 stop = 0.1
+    bad = "cat dog bird fish mouse horse cow pig goat sheep"  # 0 stops
+    docs = spark.createDataFrame(
+        [
+            (0, f"{good} {gray} {good}", "s"),   # gray -> good (context)
+            (1, f"{bad} {gray} {bad}", "s"),     # gray -> bad
+            (2, f"{good} {bad} {good}", "s"),    # hard bad stays bad
+            (3, "tiny text", "s"),               # short, no good neighbor
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["doc_id"], r["pos"]): r
+            for r in boilerplate_paragraph_report(docs).collect()}
+    assert rows[(0, 1)]["raw_label"] == "near"
+    assert rows[(0, 1)]["label"] == "good"
+    assert rows[(1, 1)]["raw_label"] == "near"
+    assert rows[(1, 1)]["label"] == "bad"
+    assert rows[(2, 1)]["label"] == "bad"
+    assert rows[(3, 0)]["raw_label"] == "short"
+    assert rows[(3, 0)]["label"] == "bad"

@@ -289,3 +289,53 @@ def test_sequence_pack_chunks_bounded_exchanges_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Join" not in p
     assert p.count("Exchange") <= 3, p
+
+
+def test_mojibake_repair_is_pure_projection(spark):
+    """Encoding repair is a map-only plan: no exchange, no Python —
+    at 10^12 docs this stage must be free (same gate class as url
+    canonicalization and PII scrub)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pvsyst_pdf_parser_spark.training.encoding import (
+        mojibake_repair_stats,
+    )
+
+    p = _plan(mojibake_repair_stats(docs))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+    assert "*(1)" in p  # whole-stage codegen: the replace chain is JVM-side
+
+
+def test_frontier_slots_single_host_exchange(spark):
+    """Both windows (fetch_seq rank + host page count) must ride ONE
+    host-keyed exchange — the second window reuses the partitioning.
+    Slot assignment adds no exchange (pure hash projection)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pvsyst_pdf_parser_spark.training.crawl import frontier_slots_report
+
+    p = _plan(frontier_slots_report(docs))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_domain_cap_single_host_exchange(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pvsyst_pdf_parser_spark.training.webclean import domain_cap_report
+
+    p = _plan(domain_cap_report(docs))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_tfidf_df_table_is_broadcast(spark):
+    """The document-frequency table is vocabulary-bounded and must
+    re-enter as a broadcast join — the token frame (trillions of rows
+    at scale) shuffles exactly once, on its own aggregate key."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pvsyst_pdf_parser_spark.training.tfidf import tfidf_top_terms
+
+    p = _plan(tfidf_top_terms(docs))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
