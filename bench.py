@@ -109,6 +109,13 @@ HEADLINE = [
     "snapshot_latest",
     "link_pagerank",
     "bloom_incremental_dedup",
+    # round-5b operators
+    "mojibake_repair",
+    "domain_cap",
+    "frontier_slots",
+    "tfidf_top_terms",
+    "inverted_postings",
+    "boilerplate_paragraphs",
 ]
 
 

@@ -415,3 +415,48 @@ def run_health(spark: SparkSession, out_dir: str) -> DataFrame:
         )
         .orderBy("finished_at")
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located joins
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str = "doc_id",
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a hash-bucketed, bucket-sorted table on
+    ``key`` — the storage layout that makes every later equi-join or
+    aggregation on that key EXCHANGE-FREE (Spark reads each bucket as
+    a pre-partitioned, pre-sorted split; two tables with the same
+    bucketing join with zero shuffle on either side).
+
+    This is the 100 TB pattern for fact-to-fact joins that cannot
+    broadcast: pay the shuffle ONCE at write time, amortize it over
+    every downstream run (the same reasoning as the ResultSink's
+    bucket(url) layout; tests/test_plans gates the exchange-free
+    read-side join).  ``path`` makes the table external (data at the
+    given location; only metadata enters the session catalog)."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
+def colocated_join(
+    spark: SparkSession, left_name: str, right_name: str, key: str = "doc_id"
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key.
+    With identical bucketing on both sides, the physical plan is a
+    SortMergeJoin with NO Exchange on either input (and no per-task
+    sort when the buckets are also sortBy'd on the key)."""
+    return spark.table(left_name).join(spark.table(right_name), key)

@@ -67,6 +67,15 @@ def main() -> None:
             print(f"FAIL {name}: spark error {exc}")
             n_bad += 1
             continue
+        finally:
+            # drain operator-scoped persists so 90+ queries don't
+            # accumulate cached blocks across the whole run (bench.py
+            # does the same)
+            from pvsyst_pdf_parser_spark.training.cache import (
+                release_persisted,
+            )
+
+            release_persisted()
         sql = oracles.get(name)
         if sql is None:
             print(f"rows-only {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")

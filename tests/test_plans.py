@@ -339,3 +339,33 @@ def test_tfidf_df_table_is_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed+sorted on the same key must join with NO
+    Exchange and NO per-task Sort on either side — the pay-the-shuffle-
+    once-at-write-time layout fact-to-fact joins rely on at 100 TB."""
+    from pvsyst_pdf_parser_spark.scale import colocated_join, write_bucketed
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    left = docs.select("doc_id", "text")
+    right = docs.select("doc_id", "source", "n_chars")
+    write_bucketed(left, "bj_left", n_buckets=8,
+                   path=str(tmp_path / "bj_left"))
+    write_bucketed(right, "bj_right", n_buckets=8,
+                   path=str(tmp_path / "bj_right"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path: this gate is about the
+        # co-located SMJ that fact-to-fact joins must fall back on
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        p = _plan(colocated_join(spark, "bj_left", "bj_right"))
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p
+        assert "SelectedBucketsCount" in p or "Bucketed: true" in p, p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bj_left")
+        spark.sql("DROP TABLE IF EXISTS bj_right")
