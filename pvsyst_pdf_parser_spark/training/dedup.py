@@ -500,9 +500,13 @@ def connected_components(
     )
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, dedup: bool = True) -> DataFrame:
     """Kiveris large-star: every node attaches its LARGER neighbors to
-    the minimum of its neighborhood (incl. itself)."""
+    the minimum of its neighborhood (incl. itself).
+
+    ``dedup=False`` skips the trailing distinct — safe whenever the
+    consumer re-orients and dedups anyway (``_small_star`` does both as
+    its FIRST step), saving one full shuffle per contraction round."""
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -511,13 +515,13 @@ def _large_star(e: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("mn"))
         .select("u", F.least("mn", "u").alias("m"))
     )
-    return (
+    out = (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -597,7 +601,9 @@ def connected_components_stars(
     converged = False
     with _coalesced_rounds(pairs):
         for r in range(max_iter):
-            cur = _small_star(_large_star(cur)).localCheckpoint()
+            cur = _small_star(
+                _large_star(cur, dedup=False)
+            ).localCheckpoint()
             # Probe every round early (tiny dense near-dup graphs
             # converge in 1-2 rounds) then every 2nd round: the
             # star-forest fixpoint is stable under further contraction,
