@@ -30,6 +30,7 @@ from contextlib import contextmanager
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .cache import persist_tracked, release_persisted  # noqa: F401 - re-export
 from .hashing import MERSENNE_P, md5_56, minhash_value, perm_params
@@ -658,30 +659,81 @@ def connected_components_stars(
     return labels
 
 
+def _unionfind_labels(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """(doc_id, cluster_rep) by driver-side union-find over a BOUNDED
+    edge list — the broadcast-class fast path of
+    :func:`connected_components_auto`.
+
+    Only ever called on graphs the dispatcher has already counted at
+    ≤ ``small_edges`` (default 100k edges ≈ 1.6 MB of id pairs — the
+    same size class Spark happily ``broadcast()``s as a join side).
+    Collecting it is one bounded transfer, not an unbounded
+    driver-side loop: the decision to collect is made from a
+    ``limit(n+1)`` probe, never from scanning the full set.  Union-find
+    with path compression + union-by-min labels every node with its
+    component minimum in O(E α(E)) — microseconds where the iterative
+    DataFrame loops pay seconds of per-round job latency (each
+    propagation/contraction round = join + checkpoint + probe jobs,
+    ~1 s of fixed scheduler cost at any data size).
+
+    Output column types mirror the input pair columns, so string and
+    integer doc ids both round-trip."""
+    rows = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ru, rv = find(r["u"]), find(r["v"])
+        if ru != rv:
+            # union by MIN so every root is its component's minimum
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    nodes = {r["u"] for r in rows} | {r["v"] for r in rows}
+    labels = sorted((n, find(n)) for n in nodes)
+    id_type = pairs.schema[a].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type, False),
+            T.StructField("cluster_rep", id_type, False),
+        ]
+    )
+    return pairs.sparkSession.createDataFrame(labels, schema)
+
+
 def connected_components_auto(
     pairs: DataFrame,
     a: str = "doc_a",
     b: str = "doc_b",
     small_edges: int = 100_000,
 ) -> DataFrame:
-    """Size-dispatched connected components: min-label propagation for
-    small pair sets, star contraction for everything bigger.
+    """Size-dispatched connected components: driver union-find for
+    broadcast-class pair sets, star contraction for everything bigger.
 
-    Both algorithms converge to the same (doc_id, component-min) labels;
-    they differ only in cost shape.  Near-dup graphs from a bounded
-    candidate generator (banded LSH, capped shingle joins) are almost
-    always tiny and dense — propagation converges in 2-3 one-join
-    rounds there, at a fraction of star contraction's fixed per-round
-    job count (large-star + small-star + checkpoint + probe).  Star
+    All three algorithms converge to the same (doc_id, component-min)
+    labels; they differ only in cost shape.  Near-dup graphs from a
+    bounded candidate generator (banded LSH, capped shingle joins) are
+    almost always tiny and dense — a bounded union-find labels them in
+    one collect + one createDataFrame, where the iterative distributed
+    loops pay ~1 s of fixed job latency PER ROUND regardless of data
+    size (join + localCheckpoint + convergence probe each round).  Star
     contraction is kept for the regime it was built for: giant
-    templated-spam components where propagation's O(diameter) rounds
-    and min-label hot key break down.
+    templated-spam components where any single-machine pass — and
+    propagation's O(diameter) rounds / min-label hot key — break down.
 
     The dispatch probe is a BOUNDED count — ``limit(small_edges+1)``
     — so deciding never scans a trillion-edge set; at 100 TB the probe
-    reads just enough partitions to know the graph is big.  A small
-    graph that still fails propagation (a long chain, diameter > its
-    max_iter) falls back to star contraction instead of raising.
+    reads just enough partitions to know the graph is big, and only a
+    graph PROVEN ≤ small_edges (1.6 MB of ids — broadcast-join size)
+    is ever collected.
 
     The pair frame is persisted (tracked) before the probe: candidate
     generation upstream (banded LSH rescore, capped shingle self-join)
@@ -690,10 +742,7 @@ def connected_components_auto(
     pairs = persist_tracked(pairs)
     n = pairs.limit(small_edges + 1).count()
     if n <= small_edges:
-        try:
-            return connected_components(pairs, a=a, b=b)
-        except RuntimeError:
-            pass  # long-chain small graph: stars handle any diameter
+        return _unionfind_labels(pairs, a=a, b=b)
     return connected_components_stars(pairs, a=a, b=b)
 
 
@@ -704,13 +753,14 @@ def dedup_cluster_reps(docs: DataFrame, threshold: float = 0.02,
     that participates in at least one pair, with the min doc_id of its
     transitive duplicate group as the cluster representative.
 
-    ``algo='stars'`` swaps in the giant-component-safe star contraction
-    path via :func:`connected_components_auto` (same output — both
-    algorithms converge to component-min labels; the auto dispatch
-    short-circuits tiny graphs to propagation per VERDICT r4 #6)."""
+    ``algo='stars'`` / ``algo='auto'`` swap in the size-dispatched path
+    via :func:`connected_components_auto` (same output — all algorithms
+    converge to component-min labels; the auto dispatch short-circuits
+    broadcast-class graphs to a driver union-find and routes giant
+    graphs to star contraction per VERDICT r4 #6)."""
     pairs = ngram_jaccard_pairs(docs, threshold=threshold,
                                 sample_mod=sample_mod)
-    if algo == "stars":
+    if algo in ("stars", "auto"):
         return connected_components_auto(pairs)
     return connected_components(pairs)
 
@@ -721,11 +771,12 @@ def dedup_keepers(docs: DataFrame, threshold: float = 0.02,
     clusters → ONE keeper per cluster (longest text wins, ties to the
     lower doc_id) and an explicit drop flag for the rest.  The output
     is the actionable row-level verdict a cleaning pipeline anti-joins
-    against the corpus."""
+    against the corpus.  Clusters come from the size-dispatched CC
+    (union-find for broadcast-class graphs, star contraction beyond)."""
     from pyspark.sql import Window
 
     clusters = dedup_cluster_reps(docs, threshold=threshold,
-                                  sample_mod=sample_mod)
+                                  sample_mod=sample_mod, algo="auto")
     sized = clusters.join(
         docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
     )

@@ -478,3 +478,62 @@ def test_quality_model_fixture_matches_trainer_contract(spark):
     ).select(hashed_bow_score(F.col("text"), m["weights"], m["bias"]).alias("s"))
     for r in df.collect():
         assert 0.0 < r["s"] < 1.0
+
+
+def test_unionfind_parity_and_auto_dispatch(spark, docs):
+    """The broadcast-class union-find fast path must agree exactly with
+    BOTH distributed algorithms on the real near-dup graph and on
+    adversarial shapes (long chain, star, disjoint blobs, string ids),
+    and connected_components_auto must route a small graph through it
+    while still producing component-min labels."""
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        _unionfind_labels,
+        connected_components,
+        connected_components_auto,
+        connected_components_stars,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.0)
+    by_uf = sorted(
+        (r["doc_id"], r["cluster_rep"])
+        for r in _unionfind_labels(pairs).collect()
+    )
+    by_prop = sorted(
+        (r["doc_id"], r["cluster_rep"])
+        for r in connected_components(pairs).collect()
+    )
+    assert by_uf == by_prop
+
+    # chain 0-1-2-...-9 plus star 100-(101..105) plus isolated pair
+    edges = (
+        [(i, i + 1) for i in range(9)]
+        + [(100, x) for x in range(101, 106)]
+        + [(500, 501)]
+    )
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    by_uf = sorted(
+        (r["doc_id"], r["cluster_rep"])
+        for r in _unionfind_labels(df).collect()
+    )
+    by_stars = sorted(
+        (r["doc_id"], r["cluster_rep"])
+        for r in connected_components_stars(df).collect()
+    )
+    assert by_uf == by_stars
+    by_auto = sorted(
+        (r["doc_id"], r["cluster_rep"])
+        for r in connected_components_auto(df).collect()
+    )
+    assert by_auto == by_stars
+
+    # string ids round-trip with the input column type
+    sdf = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    out = _unionfind_labels(sdf)
+    assert dict(out.dtypes) == {"doc_id": "string", "cluster_rep": "string"}
+    got = sorted((r["doc_id"], r["cluster_rep"]) for r in out.collect())
+    assert got == [
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
+    ]
