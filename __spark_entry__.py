@@ -212,6 +212,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mix composed over ONE documents scan (plan-gated in
         # tests/test_plans.py) — the full cleaning-run decision
         "corpus_build": lambda s, d: C.corpus_build_report(_docs(s, d)),
+        # round-5c operators (never yet verified — run early):
+        # hard-negative mining for contrastive training: per query, the
+        # top-k most-similar candidates BELOW the near-dup threshold,
+        # candidates from the same multiband bucket join as ann topk
+        "ann_hard_negatives": lambda s, d: S.hard_negatives(_emb(s, d)),
+        # temperature-based multi-source mixing weights (w_i ∝ n_i^α) +
+        # expected token draw and repeat-epochs per source
+        "source_mixture": lambda s, d: SA.source_mixture_stats(_docs(s, d)),
         # round-5b operators (never yet verified — run early):
         # cp1252-mojibake repair (ftfy-class encoding fixup — literal
         # replace chain, zero shuffle; damage planted deterministically)
@@ -2080,6 +2088,49 @@ SELECT 'trained' AS variant, * FROM ({_ivf_recall_sql(centroids=_trained_centroi
 """
 
 
+def _hard_negatives_sql(
+    n_queries: int = 5, k: int = 5, dup_threshold: float = 0.4
+) -> str:
+    # same multiband candidate join as _multiband_topk_sql, with the
+    # near-dup exclusion (cos < threshold) applied BEFORE ranking —
+    # mirrors simsearch.hard_negatives exactly
+    return f"""
+WITH bb AS ({_multiband_bucket_sql()}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM bb q JOIN bb c USING (band_idx, bucket)
+  WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id),
+s AS (
+  SELECT cand.query_id, cand.cand_id,
+         {_cos_sql("qe.embedding", "ce.embedding")} AS cos_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.cand_id),
+f AS (SELECT * FROM s WHERE cos_sim < {dup_threshold}),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id) AS rank
+      FROM f)
+SELECT query_id, cand_id AS neg_id, cos_sim, rank::int AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+def _source_mixture_sql(alpha: float = 0.7, budget: int = 100_000) -> str:
+    return f"""
+WITH p AS (
+  SELECT source, sum(len(string_split(text, ' ')))::bigint AS n_tokens
+  FROM documents GROUP BY source),
+w AS (SELECT source, n_tokens,
+             pow(n_tokens::DOUBLE, {alpha}) AS wraw FROM p),
+t AS (SELECT sum(wraw) AS wsum FROM w)
+SELECT source, n_tokens,
+       round(wraw / wsum, 9) AS weight,
+       floor({float(budget)} * wraw / wsum)::bigint AS expected_tokens,
+       round({float(budget)} * wraw / wsum / n_tokens, 6) AS epochs
+FROM w CROSS JOIN t
+"""
+
+
 def _multiband_topk_sql(n_queries: int = 5, k: int = 3) -> str:
     return f"""
 WITH bb AS ({_multiband_bucket_sql()}),
@@ -2553,6 +2604,8 @@ FROM per GROUP BY doc_id
         "dedup_minhash_capped": _minhash_sql(max_df=10),
         "dedup_minhash_wide": _minhash_sql(n_perms=64, n_bands=32),
         "ann_multiband_topk": _multiband_topk_sql(),
+        "ann_hard_negatives": _hard_negatives_sql(),
+        "source_mixture": _source_mixture_sql(),
         "ann_ivf_cells": f"""
 WITH {_ivf_rank_cte()}
 SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id

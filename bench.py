@@ -116,6 +116,9 @@ HEADLINE = [
     "tfidf_top_terms",
     "inverted_postings",
     "boilerplate_paragraphs",
+    # round-5c operators
+    "ann_hard_negatives",
+    "source_mixture",
 ]
 
 

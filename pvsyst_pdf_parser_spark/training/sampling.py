@@ -88,6 +88,50 @@ def token_budget_sample_stats(
     )
 
 
+def source_mixture_stats(
+    docs: DataFrame, alpha: float = 0.7, budget_tokens: int = 100_000
+) -> DataFrame:
+    """Temperature-based source mixing — the multinomial-sampling
+    weight table a multi-source pretraining run draws from (the
+    α-smoothed mixture of mBERT/XLM-R and the Pile: w_i ∝ n_i^α,
+    α < 1 upweights small sources; Conneau & Lample 2019 §3.1).
+
+    Output per source: raw token count, mixture weight, the expected
+    token draw under ``budget_tokens``, and ``epochs`` = expected/raw —
+    the standard readout for how many times a small source repeats in
+    the mix (epochs > 1 flags sources the budget forces to repeat).
+
+    Plan: one partial-aggregated groupBy over (source) — a few hundred
+    groups regardless of corpus size — then a scalar total joined back
+    as a broadcast (crossJoin of one row).  Nothing here grows with the
+    corpus except the first agg's map side."""
+    n_tokens = F.size(F.split(F.col("text"), " ", -1))
+    per_src = docs.select("source", n_tokens.alias("n")).groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens")
+    )
+    weighted = per_src.select(
+        "source", "n_tokens",
+        F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)).alias("wraw"),
+    )
+    total = weighted.agg(F.sum("wraw").alias("wsum"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("wraw") / F.col("wsum"), 9).alias("weight"),
+            F.floor(F.lit(float(budget_tokens)) * F.col("wraw") / F.col("wsum"))
+            .cast("bigint")
+            .alias("expected_tokens"),
+            F.round(
+                F.lit(float(budget_tokens)) * F.col("wraw") / F.col("wsum")
+                / F.col("n_tokens"),
+                6,
+            ).alias("epochs"),
+        )
+    )
+
+
 def train_val_split_stats(docs: DataFrame, val_pct: int = 10) -> DataFrame:
     """(split, n_docs, n_chars_total): deterministic train/val split by
     key hash.  Per-key assignment means adding documents never moves an

@@ -232,6 +232,58 @@ def multiband_topk(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    dup_threshold: float = 0.4,
+    dim: int = 64,
+    n_bands: int = N_BANDS_ANN,
+    planes_per_band: int = PLANES_PER_BAND,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k MOST similar candidates whose cosine stays BELOW the near-dup
+    threshold — similar enough to be hard, not so similar they are
+    positives in disguise (a near-dup labeled "negative" poisons the
+    contrastive loss; see the false-negative filtering practice in
+    dense-retrieval training, e.g. Qu et al. 2021 RocketQA §3.2).
+
+    Plan shape is :func:`multiband_topk`'s — band-bucket equi-join
+    candidates (hard negatives are by definition similar, so they share
+    buckets with the query; the multiband index is the RIGHT recall
+    tool here, unlike for uniform-random negatives where any hash
+    sample works), dedup before the exact-cosine re-score, ONE window.
+    The dup filter runs after scoring, before ranking — so rank is
+    dense over the kept negatives."""
+    bb = multiband_bucket_ids(emb, dim, n_bands, planes_per_band)
+    qb = multiband_bucket_ids(
+        emb.filter(F.col("vec_id") < n_queries), dim, n_bands, planes_per_band
+    ).select(F.col("vec_id").alias("query_id"), "band_idx", "bucket")
+    cands = (
+        qb.join(bb.withColumnRenamed("vec_id", "cand_id"), ["band_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        cands.join(F.broadcast(queries), "query_id")
+        .join(emb.select(F.col("vec_id").alias("cand_id"), "embedding"), "cand_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("q_emb"), F.col("embedding")), 3))
+        .filter(F.col("cos_sim") < dup_threshold)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("neg_id"), "cos_sim", "rank")
+    )
+
+
 def ann_recall_report(
     emb: DataFrame,
     n_queries: int = 20,

@@ -537,3 +537,84 @@ def test_unionfind_parity_and_auto_dispatch(spark, docs):
     assert got == [
         ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
     ]
+
+
+def test_hard_negatives_threshold_rank_and_candidate_subset(spark, emb):
+    """Hard negatives: every returned pair is below the near-dup
+    threshold, ranks are dense per query, the result agrees with a
+    Python re-rank of the exact multiband candidate set (the operator
+    is a filtered re-rank, nothing more), and no near-dup leaks in."""
+    import math
+
+    from pvsyst_pdf_parser_spark.training.simsearch import (
+        hard_negatives,
+        multiband_bucket_ids,
+    )
+
+    thr, k, nq = 0.4, 5, 5
+    out = hard_negatives(emb, n_queries=nq, k=k, dup_threshold=thr).collect()
+    assert out
+    by_q: dict = {}
+    for r in out:
+        assert r["cos_sim"] < thr
+        assert r["query_id"] != r["neg_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"], r["neg_id"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= k
+        sims = [r[1] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+    # python re-rank over the EXACT candidate set the buckets produce
+    buckets = multiband_bucket_ids(emb).collect()
+    by_bucket: dict = {}
+    for r in buckets:
+        by_bucket.setdefault((r["band_idx"], r["bucket"]), []).append(r["vec_id"])
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for q in range(nq):
+        cands = set()
+        for key, ids in by_bucket.items():
+            if q in ids:
+                cands.update(i for i in ids if i != q)
+        scored = []
+        for c in cands:
+            a, b = vecs[q], vecs[c]
+            cos = round(
+                sum(x * y for x, y in zip(a, b))
+                / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b)),
+                3,
+            )
+            if cos < thr:
+                scored.append((-cos, c))
+        scored.sort()
+        want = [c for _, c in scored[:k]]
+        got = [r[2] for r in sorted(by_q.get(q, []))]
+        assert got == want, f"query {q}: {got} != {want}"
+
+
+def test_source_mixture_weights_sum_and_alpha_semantics(spark, docs):
+    """Mixture weights sum to 1, epochs = expected/n_tokens, and α=1
+    recovers token-proportional weights while α<1 upweights the
+    smallest source relative to proportional."""
+    from pvsyst_pdf_parser_spark.training.sampling import source_mixture_stats
+
+    budget = 100_000
+    rows = source_mixture_stats(docs, alpha=0.7, budget_tokens=budget).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert abs(r["epochs"] - budget * r["weight"] / r["n_tokens"]) < 1e-3
+        assert r["expected_tokens"] <= budget
+
+    prop = {
+        r["source"]: r["weight"]
+        for r in source_mixture_stats(docs, alpha=1.0).collect()
+    }
+    tok = {r["source"]: r["n_tokens"] for r in rows}
+    total = sum(tok.values())
+    for srcname, w in prop.items():
+        assert abs(w - tok[srcname] / total) < 1e-6
+    smallest = min(tok, key=tok.get)
+    alpha_w = {r["source"]: r["weight"] for r in rows}
+    assert alpha_w[smallest] > prop[smallest]  # α<1 upweights small sources
