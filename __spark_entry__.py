@@ -220,6 +220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temperature-based multi-source mixing weights (w_i ∝ n_i^α) +
         # expected token draw and repeat-epochs per source
         "source_mixture": lambda s, d: SA.source_mixture_stats(_docs(s, d)),
+        # fuzzy (MinHash-banded) benchmark decontamination: broadcast
+        # bench bands, cross-set candidate join, exact-Jaccard verify
+        "decontam_fuzzy": lambda s, d: DC.fuzzy_decontam_report(_docs(s, d)),
         # round-5b operators (never yet verified — run early):
         # cp1252-mojibake repair (ftfy-class encoding fixup — literal
         # replace chain, zero shuffle; damage planted deterministically)
@@ -2088,6 +2091,77 @@ SELECT 'trained' AS variant, * FROM ({_ivf_recall_sql(centroids=_trained_centroi
 """
 
 
+def _fuzzy_decontam_sql(
+    threshold: float = 0.05, bench_mod: int = 50,
+    n_perms: int = 8, n_bands: int = 4,
+) -> str:
+    # cross-set (corpus × benchmark) variant of _minhash_sql: same
+    # shingles, hash, signature and banding arithmetic; candidates come
+    # from a band join BETWEEN the two sets instead of a self-join
+    params = perm_params(n_perms)
+    rpb = n_perms // n_bands
+    h = _H56.format(expr="shingle")
+    mh_cols = ", ".join(
+        f"min(({a} * hm + {b}) % {MERSENNE_P}) AS mh{j}"
+        for j, (a, b) in enumerate(params)
+    )
+
+    def band_rows(sig: str, idc: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id AS {idc}, {b} AS band_idx, "
+            + " || '_' || ".join(
+                f"mh{b * rpb + r}::varchar" for r in range(rpb)
+            )
+            + f" AS band_sig FROM {sig}"
+            for b in range(n_bands)
+        )
+
+    sh_tpl = """
+  sh{t} AS (
+    SELECT DISTINCT doc_id,
+           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+    FROM {src}, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)),
+  h{t} AS (SELECT doc_id, ({h} % {p}) AS hm FROM sh{t}),
+  sig{t} AS (SELECT doc_id, {mh} FROM h{t} GROUP BY doc_id),
+  sz{t} AS (SELECT doc_id, count(*) AS n FROM sh{t} GROUP BY doc_id)"""
+    return f"""
+WITH d0 AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+  FROM documents),
+corp AS (SELECT * FROM d0 WHERE doc_id % {bench_mod} <> 0),
+ben AS (SELECT * FROM d0 WHERE doc_id % {bench_mod} = 0),
+{sh_tpl.format(t="c", src="corp", h=h, p=MERSENNE_P, mh=mh_cols)},
+{sh_tpl.format(t="b", src="ben", h=h, p=MERSENNE_P, mh=mh_cols)},
+bandc AS ({band_rows("sigc", "doc_id")}),
+bandb AS ({band_rows("sigb", "bench_id")}),
+cand AS (
+  SELECT DISTINCT c.doc_id, b.bench_id
+  FROM bandc c JOIN bandb b USING (band_idx, band_sig)),
+common AS (
+  SELECT cand.doc_id, cand.bench_id, count(*) AS n_common
+  FROM cand
+  JOIN shc ON shc.doc_id = cand.doc_id
+  JOIN shb ON shb.doc_id = cand.bench_id AND shb.shingle = shc.shingle
+  GROUP BY cand.doc_id, cand.bench_id),
+jac AS (
+  SELECT doc_id, bench_id,
+         round(n_common / (szc.n + szb2.n - n_common), 4) AS j
+  FROM common
+  JOIN szc USING (doc_id)
+  JOIN (SELECT doc_id AS bench_id, n FROM szb) szb2 USING (bench_id)
+  WHERE round(n_common / (szc.n + szb2.n - n_common), 4) >= {threshold}),
+per_doc AS (SELECT doc_id, max(j) AS max_jac FROM jac GROUP BY doc_id)
+SELECT source, count(*)::bigint AS n_docs,
+       sum(CASE WHEN max_jac IS NOT NULL THEN 1 ELSE 0 END)::bigint
+         AS n_flagged,
+       round(avg(CASE WHEN max_jac IS NOT NULL THEN 1 ELSE 0 END), 4)
+         AS flagged_rate,
+       round(coalesce(max(max_jac), 0), 4) AS max_jaccard
+FROM corp LEFT JOIN per_doc USING (doc_id)
+GROUP BY source
+"""
+
+
 def _hard_negatives_sql(
     n_queries: int = 5, k: int = 5, dup_threshold: float = 0.4
 ) -> str:
@@ -2606,6 +2680,7 @@ FROM per GROUP BY doc_id
         "ann_multiband_topk": _multiband_topk_sql(),
         "ann_hard_negatives": _hard_negatives_sql(),
         "source_mixture": _source_mixture_sql(),
+        "decontam_fuzzy": _fuzzy_decontam_sql(),
         "ann_ivf_cells": f"""
 WITH {_ivf_rank_cte()}
 SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id

@@ -119,6 +119,7 @@ HEADLINE = [
     # round-5c operators
     "ann_hard_negatives",
     "source_mixture",
+    "decontam_fuzzy",
 ]
 
 

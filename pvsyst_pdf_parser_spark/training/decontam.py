@@ -100,3 +100,106 @@ def decontaminate_report(
             F.max("n_overlap").alias("max_overlap"),
         )
     )
+
+
+def fuzzy_benchmark_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.05,
+    n: int = 3,
+    n_perms: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """NEAR-duplicate benchmark contamination: (doc_id, bench_id,
+    jaccard) for every corpus document whose shingle Jaccard to some
+    benchmark row reaches ``threshold`` — the fuzzy complement of
+    :func:`benchmark_overlap`'s exact n-gram rule (public practice:
+    Llama 2 A.6 "contamination" uses token-overlap ratios, not exact
+    match, precisely because eval rows get lightly reworded on the
+    web).
+
+    Shape at 10^12 docs: the benchmark's banded MinHash signatures are
+    a few thousand rows — BROADCAST — so candidate generation is a
+    broadcast hash join against the corpus bands (no corpus shuffle,
+    never a self-join).  Only candidate pairs (bounded by band
+    collision rate × tiny benchmark) pay the exact-Jaccard verify.
+    """
+    from .cache import persist_tracked
+    from .dedup import (
+        _signatures_from_shingles,
+        banded_signatures,
+        doc_shingles,
+    )
+
+    corpus_sh = persist_tracked(doc_shingles(docs, n=n))
+    bench_sh = persist_tracked(doc_shingles(benchmark, n=n))
+    cb = banded_signatures(
+        _signatures_from_shingles(corpus_sh, n_perms=n_perms),
+        n_perms=n_perms, n_bands=n_bands,
+    )
+    bb = banded_signatures(
+        _signatures_from_shingles(bench_sh, n_perms=n_perms),
+        n_perms=n_perms, n_bands=n_bands,
+    ).select(F.col("doc_id").alias("bench_id"), "band_idx", "band_sig")
+    cands = (
+        cb.join(F.broadcast(bb), ["band_idx", "band_sig"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    sizes_c = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("size_doc"))
+    sizes_b = bench_sh.groupBy("doc_id").agg(
+        F.count("*").alias("size_bench")
+    ).withColumnRenamed("doc_id", "bench_id")
+    common = (
+        cands.join(corpus_sh, "doc_id")
+        .join(
+            bench_sh.select(F.col("doc_id").alias("bench_id"), "shingle"),
+            ["bench_id", "shingle"],
+        )
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes_c, "doc_id")
+        .join(F.broadcast(sizes_b), "bench_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_doc") + F.col("size_bench") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "bench_id", "jaccard")
+    )
+
+
+def fuzzy_decontam_report(
+    docs: DataFrame, threshold: float = 0.05, bench_mod: int = 50
+) -> DataFrame:
+    """Demo/oracle face of :func:`fuzzy_benchmark_overlap`: every
+    ``doc_id % bench_mod == 0`` document plays benchmark, the rest are
+    scanned, and the per-source damage is reported as (source, n_docs,
+    n_flagged, flagged_rate, max_jaccard)."""
+    benchmark = docs.filter(F.col("doc_id") % bench_mod == 0).select(
+        "doc_id", "text"
+    )
+    scan = docs.filter(F.col("doc_id") % bench_mod != 0)
+    hits = fuzzy_benchmark_overlap(scan, benchmark, threshold=threshold)
+    per_doc = hits.groupBy("doc_id").agg(F.max("jaccard").alias("max_jac"))
+    return (
+        scan.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("max_jac").isNotNull()).cast("int"))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.round(F.avg((F.col("max_jac").isNotNull()).cast("int")), 4)
+            .alias("flagged_rate"),
+            F.round(F.coalesce(F.max("max_jac"), F.lit(0.0)), 4)
+            .alias("max_jaccard"),
+        )
+    )

@@ -162,10 +162,12 @@ def minhash_signatures(
     return _signatures_from_shingles(doc_shingles(docs), n_perms=n_perms)
 
 
-def _band_candidates(
+def banded_signatures(
     sig: DataFrame, n_perms: int = N_PERMS, n_bands: int = N_BANDS
 ) -> DataFrame:
-    """Banded signature self-join → distinct candidate pairs."""
+    """(doc_id, band_idx, band_sig): the LSH banding of a signature
+    frame — the joinable form shared by the self-join dedup path and
+    the cross-corpus (corpus × benchmark) decontam path."""
     if n_perms % n_bands:
         raise ValueError(f"n_bands {n_bands} must divide n_perms {n_perms}")
     rows_per_band = n_perms // n_bands
@@ -178,9 +180,16 @@ def _band_candidates(
             for b in range(n_bands)
         ]
     )
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.posexplode(bands).alias("band_idx", "band_sig")
     )
+
+
+def _band_candidates(
+    sig: DataFrame, n_perms: int = N_PERMS, n_bands: int = N_BANDS
+) -> DataFrame:
+    """Banded signature self-join → distinct candidate pairs."""
+    banded = banded_signatures(sig, n_perms=n_perms, n_bands=n_bands)
     return (
         banded.alias("a")
         .join(banded.alias("b"), ["band_idx", "band_sig"])

@@ -618,3 +618,35 @@ def test_source_mixture_weights_sum_and_alpha_semantics(spark, docs):
     smallest = min(tok, key=tok.get)
     alpha_w = {r["source"]: r["weight"] for r in rows}
     assert alpha_w[smallest] > prop[smallest]  # α<1 upweights small sources
+
+
+def test_fuzzy_decontam_flags_planted_neardup_and_agrees_with_exact_jaccard(
+    spark, docs
+):
+    """The fuzzy decontam path must flag at least one corpus doc that
+    is a true near-dup of a benchmark row, every reported pair must
+    have true shingle Jaccard >= threshold, and no pair may be a
+    (corpus, corpus) or (bench, bench) pairing."""
+    from pvsyst_pdf_parser_spark.training.decontam import (
+        fuzzy_benchmark_overlap,
+    )
+    from pvsyst_pdf_parser_spark.training.dedup import doc_shingles
+    import pyspark.sql.functions as F
+
+    bench_mod, thr = 10, 0.05
+    benchmark = docs.filter(F.col("doc_id") % bench_mod == 0)
+    scan = docs.filter(F.col("doc_id") % bench_mod != 0)
+    hits = fuzzy_benchmark_overlap(scan, benchmark, threshold=thr).collect()
+    assert hits, "fixture corpus plants near-dups across the bench split"
+
+    scan_ids = {r["doc_id"] for r in scan.select("doc_id").collect()}
+    bench_ids = {r["doc_id"] for r in benchmark.select("doc_id").collect()}
+    sh = {}
+    for r in doc_shingles(docs).collect():
+        sh.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for r in hits:
+        assert r["doc_id"] in scan_ids and r["bench_id"] in bench_ids
+        a, b = sh[r["doc_id"]], sh[r["bench_id"]]
+        true_j = round(len(a & b) / len(a | b), 4)
+        assert true_j == r["jaccard"]
+        assert true_j >= thr
