@@ -144,6 +144,19 @@ def test_decontam_benchmark_side_broadcasts(spark):
     assert "CartesianProduct" not in p
 
 
+def test_fuzzy_decontam_bench_bands_broadcast_no_cartesian(spark):
+    """Fuzzy decontam's candidate stage must be a BROADCAST join of the
+    tiny benchmark bands against the corpus bands — a corpus-side
+    shuffle or a cartesian here is the all-pairs failure mode the
+    banded design exists to exclude."""
+    from pvsyst_pdf_parser_spark.training.decontam import fuzzy_decontam_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(fuzzy_decontam_report(docs, bench_mod=10))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_pii_scrub_is_pure_projection(spark):
     from pvsyst_pdf_parser_spark.training.webclean import pii_scrub_stats
 
