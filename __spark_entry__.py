@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fuzzy (MinHash-banded) benchmark decontamination: broadcast
         # bench bands, cross-set candidate join, exact-Jaccard verify
         "decontam_fuzzy": lambda s, d: DC.fuzzy_decontam_report(_docs(s, d)),
+        # size-balanced output shards: serpentine LPT deal over the
+        # byte-rank — the writer-side balance step for training shards
+        "shard_assignment": lambda s, d: SA.shard_assignment_stats(_docs(s, d)),
         # round-5b operators (never yet verified — run early):
         # cp1252-mojibake repair (ftfy-class encoding fixup — literal
         # replace chain, zero shuffle; damage planted deterministically)
@@ -2681,6 +2684,20 @@ FROM per GROUP BY doc_id
         "ann_hard_negatives": _hard_negatives_sql(),
         "source_mixture": _source_mixture_sql(),
         "decontam_fuzzy": _fuzzy_decontam_sql(),
+        "shard_assignment": """
+WITH base AS (SELECT doc_id, length(text)::bigint AS n_bytes FROM documents),
+r AS (SELECT doc_id, n_bytes,
+             row_number() OVER (ORDER BY n_bytes DESC, doc_id) - 1 AS r0
+      FROM base),
+a AS (SELECT doc_id, n_bytes,
+             (CASE WHEN (r0 // 16) % 2 = 0 THEN r0 % 16
+                   ELSE 15 - (r0 % 16) END)::int AS shard
+      FROM r),
+p AS (SELECT shard, count(*) AS n_docs, sum(n_bytes)::bigint AS total_bytes
+      FROM a GROUP BY shard),
+b AS (SELECT round(max(total_bytes) / avg(total_bytes), 4) AS balance FROM p)
+SELECT shard, n_docs, total_bytes, balance FROM p CROSS JOIN b
+""",
         "ann_ivf_cells": f"""
 WITH {_ivf_rank_cte()}
 SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id

@@ -120,6 +120,7 @@ HEADLINE = [
     "ann_hard_negatives",
     "source_mixture",
     "decontam_fuzzy",
+    "shard_assignment",
 ]
 
 

@@ -336,3 +336,51 @@ def sequence_pack_chunks(docs: DataFrame, ctx_len: int = 64) -> DataFrame:
         )
         .orderBy("source", "chunk_id")
     )
+
+
+def shard_assignment_stats(docs: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Size-balanced output-shard assignment — the writer-side step
+    that splits a cleaned corpus into N training shards of roughly
+    equal BYTES (readers stream shards whole, so a fat shard is a
+    straggler at training time exactly like a fat partition is here).
+
+    Rule: rank documents by (bytes DESC, doc_id) and deal round-robin
+    boustrophedon (serpentine: 0..N-1 then N-1..0) — the classic
+    longest-processing-time heuristic's sortless cousin; serpentine
+    assignment cancels the systematic bias plain round-robin has when
+    sizes are sorted (shard 0 would get the largest doc of EVERY pass).
+    Deterministic, one window over a global sort of (bytes, id) pairs
+    only — the text itself never shuffles; the verdict joins back by
+    doc_id.
+
+    Report per shard: n_docs, total_bytes, and the max/mean byte ratio
+    ("balance"; 1.0 = perfect) replicated on every row for the gate.
+    At 10^12 docs swap the exact global rank for a sampled
+    range-partitioner cut (rank only orders the deal; approximate
+    ranks keep the same balance guarantee in expectation)."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_bytes")
+    )
+    w = Window.orderBy(F.col("n_bytes").desc(), "doc_id")
+    r0 = F.row_number().over(w) - 1  # 0-based LPT rank
+    pass_idx = F.floor(r0 / n_shards)
+    pos = r0 % n_shards
+    shard = F.when(
+        pass_idx % 2 == 0, pos
+    ).otherwise(n_shards - 1 - pos).cast("int")
+    per_shard = (
+        base.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        )
+    )
+    balance = per_shard.agg(
+        F.round(F.max("total_bytes") / F.avg("total_bytes"), 4).alias("balance")
+    )
+    return per_shard.crossJoin(F.broadcast(balance)).select(
+        "shard", "n_docs", "total_bytes", "balance"
+    )

@@ -650,3 +650,29 @@ def test_fuzzy_decontam_flags_planted_neardup_and_agrees_with_exact_jaccard(
         true_j = round(len(a & b) / len(a | b), 4)
         assert true_j == r["jaccard"]
         assert true_j >= thr
+
+
+def test_shard_assignment_balance_and_serpentine_determinism(spark, docs):
+    """Shard byte totals must be near-balanced on the long-tail corpus
+    (serpentine LPT: max/mean well under plain round-robin's bias), the
+    shard ids must cover 0..n-1, doc counts must differ by at most one,
+    and a re-run must produce identical rows."""
+    from pvsyst_pdf_parser_spark.training.sampling import shard_assignment_stats
+
+    n_shards = 8
+    rows = sorted(
+        (r["shard"], r["n_docs"], r["total_bytes"], r["balance"])
+        for r in shard_assignment_stats(docs, n_shards=n_shards).collect()
+    )
+    assert [r[0] for r in rows] == list(range(n_shards))
+    counts = [r[1] for r in rows]
+    assert max(counts) - min(counts) <= 1  # deal is exact on counts
+    balance = rows[0][3]
+    totals = [r[2] for r in rows]
+    assert abs(balance - max(totals) / (sum(totals) / n_shards)) < 1e-3
+    assert balance < 1.5  # bytes near-balanced despite long-tail sizes
+    rerun = sorted(
+        (r["shard"], r["n_docs"], r["total_bytes"], r["balance"])
+        for r in shard_assignment_stats(docs, n_shards=n_shards).collect()
+    )
+    assert rerun == rows
