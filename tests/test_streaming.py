@@ -397,6 +397,13 @@ def test_windowed_ingest_stats_finalize_and_late_drop(spark, tmp_path):
     docs_dir.mkdir()
     t0 = datetime(2026, 1, 1, 12, 0, tzinfo=timezone.utc)
 
+    # FileStreamSource orders pending files by MODIFICATION TIME (ms
+    # granularity) — four files written back-to-back can collide on one
+    # millisecond, and a tie lets the "late" file process before the
+    # watermark advances (observed as a flake under full-suite load).
+    # Pin strictly increasing mtimes so batch order == intended order.
+    mtime = [1_700_000_000]
+
     def write_docs(name, rows):
         cols = list(zip(*rows))
         pq.write_table(
@@ -410,6 +417,8 @@ def test_windowed_ingest_stats_finalize_and_late_drop(spark, tmp_path):
             ),
             str(docs_dir / f"{name}.parquet"),
         )
+        mtime[0] += 10
+        os.utime(docs_dir / f"{name}.parquet", (mtime[0], mtime[0]))
 
     # batch 0: two docs in the [12:00, 12:10) window
     write_docs("b0", [
