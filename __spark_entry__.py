@@ -226,6 +226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # size-balanced output shards: serpentine LPT deal over the
         # byte-rank — the writer-side balance step for training shards
         "shard_assignment": lambda s, d: SA.shard_assignment_stats(_docs(s, d)),
+        # quality-curriculum order: integer flag-count phases, md5-hash
+        # rank within phase (cleanest documents stream first)
+        "curriculum_order": lambda s, d: X.curriculum_order(_docs(s, d)),
         # round-5b operators (never yet verified — run early):
         # cp1252-mojibake repair (ftfy-class encoding fixup — literal
         # replace chain, zero shuffle; damage planted deterministically)
@@ -571,6 +574,47 @@ SELECT doc_id, n_tokens,
        round((flag_word_len + flag_stopwords + flag_symbols + flag_ttr
               + flag_length) / 5.0, 4) AS quality2_score
 FROM f
+"""
+
+
+def _curriculum_sql(n_phases: int = 3) -> str:
+    """DuckDB replay of textstats.curriculum_order: the quality_v2 flag
+    count (integer k) buckets documents into phases, md5-hash order
+    ranks within each phase."""
+    stop = " + ".join(_count_sql("t", m) for m in (" the ", " and ", " a "))
+    hk = _H56.format(expr="doc_id::varchar")
+    return f"""
+WITH s AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_types,
+         ' ' || lower(text) || ' ' AS t
+  FROM documents),
+h AS (
+  SELECT doc_id, n_tokens,
+         (n_chars - (n_tokens - 1)) / n_tokens AS mwl,
+         n_types / n_tokens AS ttr,
+         ({stop}) AS stop_hits,
+         ({_count_sql("text", "#")} + {_count_sql("text", "...")}) AS symbol_hits
+  FROM s),
+f AS (
+  SELECT doc_id,
+         ((mwl >= 3.0 AND mwl <= 10.0)::int
+          + (stop_hits >= 2)::int
+          + (symbol_hits * 10 <= n_tokens)::int
+          + (ttr >= 0.2)::int
+          + (n_tokens >= 50 AND n_tokens <= 100000)::int) AS k
+  FROM h),
+p AS (
+  SELECT doc_id, k::int AS n_flags,
+         (((5 - k) * {n_phases}) // 6)::int AS phase,
+         {hk} AS hk
+  FROM f)
+SELECT doc_id, phase,
+       (row_number() OVER (PARTITION BY phase ORDER BY hk, doc_id))::bigint
+         AS rank,
+       n_flags
+FROM p
 """
 
 
@@ -2698,6 +2742,7 @@ p AS (SELECT shard, count(*) AS n_docs, sum(n_bytes)::bigint AS total_bytes
 b AS (SELECT round(max(total_bytes) / avg(total_bytes), 4) AS balance FROM p)
 SELECT shard, n_docs, total_bytes, balance FROM p CROSS JOIN b
 """,
+        "curriculum_order": _curriculum_sql(),
         "ann_ivf_cells": f"""
 WITH {_ivf_rank_cte()}
 SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id

@@ -121,6 +121,7 @@ HEADLINE = [
     "source_mixture",
     "decontam_fuzzy",
     "shard_assignment",
+    "curriculum_order",
 ]
 
 

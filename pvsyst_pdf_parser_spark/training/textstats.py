@@ -700,3 +700,44 @@ def winnowing_fingerprints(docs: DataFrame, k: int = WINNOW_K,
         F.size(picked).cast("bigint").alias("n_selected"),
         fp.alias("fp_hash"),
     ).orderBy("doc_id")
+
+
+def curriculum_order(docs: DataFrame, n_phases: int = 3) -> DataFrame:
+    """Quality-curriculum training order: (doc_id, phase, rank,
+    n_flags) — phase 0 streams the cleanest documents first, later
+    phases mix in the rest (curriculum/annealed data schedules in
+    public practice: quality-ordered pretraining ablations in e.g.
+    DataComp-LM and FineWeb reports; reverse the key for
+    anti-curriculum).
+
+    Phase is INTEGER arithmetic on the Gopher/C4 flag count k of
+    :func:`quality_scores_v2` — ``phase = ((5 - k) * n_phases) // 6``
+    — never a float bucket boundary, so Spark and the SQL oracle can
+    not disagree on edge documents.  Within a phase, documents arrive
+    in the reproducible (md5, doc_id) order; rank restarts per phase,
+    so the global order key is (phase, rank).
+
+    Plan: the quality projection (pure map) + ONE window per phase
+    partition — the same single-shuffle shape as training_order; no
+    global row_number bottleneck."""
+    from pyspark.sql import Window
+
+    from .hashing import md5_56
+
+    q = quality_scores_v2(docs, sample_mod=1)
+    k = (
+        F.col("flag_word_len") + F.col("flag_stopwords")
+        + F.col("flag_symbols") + F.col("flag_ttr") + F.col("flag_length")
+    )
+    phase = F.floor((F.lit(5) - k) * n_phases / 6).cast("int")
+    base = q.select(
+        "doc_id",
+        k.cast("int").alias("n_flags"),
+        phase.alias("phase"),
+        md5_56(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    w = Window.partitionBy("phase").orderBy("hk", "doc_id")
+    return (
+        base.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "phase", "rank", "n_flags")
+    )

@@ -676,3 +676,45 @@ def test_shard_assignment_balance_and_serpentine_determinism(spark, docs):
         for r in shard_assignment_stats(docs, n_shards=n_shards).collect()
     )
     assert rerun == rows
+
+
+def test_curriculum_order_phases_and_determinism(spark, docs):
+    """Curriculum phases must be a pure function of the flag count
+    (phase = ((5-k)*n)//6), cover every document exactly once, rank
+    densely within each phase, and put strictly cleaner docs in earlier
+    phases; re-runs are identical."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        curriculum_order,
+        quality_scores_v2,
+    )
+
+    n_phases = 3
+    rows = curriculum_order(docs, n_phases=n_phases).collect()
+    assert len(rows) == docs.count()
+    flags = {
+        r["doc_id"]: r["flag_word_len"] + r["flag_stopwords"]
+        + r["flag_symbols"] + r["flag_ttr"] + r["flag_length"]
+        for r in quality_scores_v2(docs, sample_mod=1).collect()
+    }
+    by_phase: dict = {}
+    for r in rows:
+        assert r["n_flags"] == flags[r["doc_id"]]
+        assert r["phase"] == ((5 - r["n_flags"]) * n_phases) // 6
+        by_phase.setdefault(r["phase"], []).append(r["rank"])
+    assert min(by_phase) >= 0 and max(by_phase) < n_phases
+    for ranks in by_phase.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # phases are quality-monotone: every doc in an earlier phase has
+    # at least as many passing flags as any doc in a later phase
+    worst_per_phase = {
+        p: min(flags[r["doc_id"]] for r in rows if r["phase"] == p)
+        for p in by_phase
+    }
+    best_per_phase = {
+        p: max(flags[r["doc_id"]] for r in rows if r["phase"] == p)
+        for p in by_phase
+    }
+    for p in sorted(by_phase)[:-1]:
+        assert worst_per_phase[p] >= best_per_phase[p + 1]
+    rerun = curriculum_order(docs, n_phases=n_phases).collect()
+    assert sorted(map(tuple, rerun)) == sorted(map(tuple, rows))
