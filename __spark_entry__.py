@@ -31,6 +31,7 @@ from pvsyst_pdf_parser_spark.training import corpus as C  # noqa: E402
 from pvsyst_pdf_parser_spark.training import bpe as B  # noqa: E402
 from pvsyst_pdf_parser_spark.training import crawl as CR  # noqa: E402
 from pvsyst_pdf_parser_spark.training import decontam as DC  # noqa: E402
+from pvsyst_pdf_parser_spark.training import dsir as DS  # noqa: E402
 from pvsyst_pdf_parser_spark.training import encoding as EN  # noqa: E402
 from pvsyst_pdf_parser_spark.training import dedup as D  # noqa: E402
 from pvsyst_pdf_parser_spark.training import paragraphs as P  # noqa: E402
@@ -229,6 +230,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality-curriculum order: integer flag-count phases, md5-hash
         # rank within phase (cleanest documents stream first)
         "curriculum_order": lambda s, d: X.curriculum_order(_docs(s, d)),
+        # round-5d operators (never yet verified — run early):
+        # DSIR importance resampling (Xie 2023): hashed-bigram log-ratio
+        # weights in integer micro-nats, target = the quality gate;
+        # bounded 128-row feature table broadcasts back
+        "dsir_importance": lambda s, d: DS.dsir_importance_report(_docs(s, d)),
+        # C4 line-level page cleaning (Raffel 2020 §2.2): terminal-punct
+        # / min-words / javascript line rules + page verdict, all
+        # row-local HOFs (zero shuffle); kept text md5-verified
+        "c4_line_filters": lambda s, d: W.c4_line_filter_report(_docs(s, d)),
+        # gate-attribution breakdown of the cleaning funnel: which gate
+        # removes what, exactly-one-gate vs multi-gate overlap
+        "funnel_attribution": lambda s, d: X.funnel_attribution_stats(
+            _docs(s, d)
+        ),
+        # SemDeDup (Abbas 2023): centroid-partitioned semantic dedup —
+        # within-cell cosine pairs, lowest-sim-to-centroid keeper
+        "semdedup_keepers": lambda s, d: S.semdedup_keepers(_emb(s, d)),
+        # host-keyed train/val split: whole sites on one side (the
+        # leakage-safe variant of train_val_split)
+        "leakage_safe_split": lambda s, d: SA.leakage_safe_split_stats(
+            _docs(s, d)
+        ),
+        # sliding context windows with stride overlap (HF overflow
+        # semantics), every window md5-verified; zero shuffle
+        "context_windows": lambda s, d: SA.context_windows(_docs(s, d)),
         # round-5b operators (never yet verified — run early):
         # cp1252-mojibake repair (ftfy-class encoding fixup — literal
         # replace chain, zero shuffle; damage planted deterministically)
@@ -372,6 +398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data operators
         "dedup_exact": lambda s, d: D.exact_dedup_stats(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d)),
+        # asymmetric containment (Broder 1997): doc-inside-doc pairs
+        "dedup_containment": lambda s, d: D.containment_pairs(_docs(s, d)),
         "dedup_ngram_capped": lambda s, d: D.ngram_jaccard_pairs(
             _docs(s, d), max_df=10
         ),
@@ -715,6 +743,177 @@ SELECT source, count(*) AS n_docs,
        round(sum((pass_lang = 1 AND pass_quality = 1
                   AND first_copy = 1)::int) / count(*), 4) AS retention_rate
 FROM g GROUP BY source
+"""
+
+
+def _gate_flags_ctes(carry: str = "doc_id, source, text, n_tokens") -> str:
+    """The s/h/f CTE chain of _cleaning_funnel_sql ending in a table
+    ``gf({carry}, pass_lang, pass_quality)`` — the DuckDB replay of
+    textstats.gate_flags, shared by the round-5d oracles (the funnel
+    oracle keeps its own verified copy untouched)."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        LANG_MARKERS,
+        LANG_MIN_RATIO_DEN,
+    )
+
+    hit_exprs = ", ".join(
+        "(" + " + ".join(_count_sql("t", m) for m in markers) + f") AS h_{code}"
+        for code, markers in LANG_MARKERS
+    )
+    best = "greatest(" + ", ".join(f"h_{c}" for c, _ in LANG_MARKERS) + ")"
+    stop = " + ".join(_count_sql("t", m) for m in (" the ", " and ", " a "))
+    return f"""s AS (
+  SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS t,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_distinct(string_split(text, ' '))) AS n_types
+  FROM documents),
+h AS (
+  SELECT doc_id, source, text, n_tokens, {hit_exprs},
+         (n_chars - (n_tokens - 1)) / n_tokens AS mwl,
+         n_types / n_tokens AS ttr,
+         ({stop}) AS stop_hits,
+         ({_count_sql("text", "#")} + {_count_sql("text", "...")})
+           AS symbol_hits
+  FROM s),
+f AS (
+  SELECT doc_id, source, text, n_tokens, {best} AS best,
+         ((mwl >= 3.0 AND mwl <= 10.0)::int + (stop_hits >= 2)::int
+          + (symbol_hits * 10 <= n_tokens)::int + (ttr >= 0.2)::int
+          + (n_tokens >= 50 AND n_tokens <= 100000)::int) AS q_flags
+  FROM h),
+gf AS (
+  SELECT {carry},
+         (best * {LANG_MIN_RATIO_DEN} >= n_tokens AND best > 0)::int
+           AS pass_lang,
+         (q_flags >= 4)::int AS pass_quality
+  FROM f)"""
+
+
+def _dsir_importance_sql(n_buckets: int = 128) -> str:
+    """DuckDB replay of dsir.dsir_importance_report: same tokenization,
+    same hashed-bigram bucket (md5-56 % n_buckets), same add-1-smoothed
+    log ratio rounded ONCE to integer micro-nats, exact integer sums."""
+    hb = _H56.format(expr="b")
+    return f"""
+WITH {_gate_flags_ctes()},
+tk AS (
+  SELECT doc_id, source, pass_quality AS is_target,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+  FROM gf),
+bg AS (
+  SELECT doc_id, source, is_target,
+         CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(generate_series(2, len(toks)),
+                                  i -> toks[i-1] || ' ' || toks[i]) END
+           AS bgs
+  FROM tk),
+eb AS (SELECT doc_id, source, is_target, unnest(bgs) AS b FROM bg),
+pdb AS (
+  SELECT doc_id, source, is_target, ({hb}) % {n_buckets} AS bucket,
+         count(*)::bigint AS cnt
+  FROM eb GROUP BY 1, 2, 3, 4),
+feat AS (
+  SELECT bucket, sum(cnt) AS raw_cnt, sum(cnt * is_target) AS tgt_cnt
+  FROM pdb GROUP BY 1),
+tot AS (SELECT sum(raw_cnt) AS raw_total, sum(tgt_cnt) AS tgt_total FROM feat),
+lr AS (
+  SELECT bucket,
+         round((ln((tgt_cnt + 1) / (tgt_total + {n_buckets}))
+                - ln((raw_cnt + 1) / (raw_total + {n_buckets})))
+               * 1000000)::bigint AS lr_unats
+  FROM feat CROSS JOIN tot),
+sc AS (
+  SELECT doc_id, sum(cnt) AS nb, sum(cnt * lr_unats) AS w
+  FROM pdb JOIN lr USING (bucket) GROUP BY 1)
+SELECT d.doc_id, d.source,
+       coalesce(sc.nb, 0)::bigint AS n_bigrams,
+       coalesce(sc.w, 0)::bigint AS weight_unats,
+       (coalesce(sc.w, 0) > 0)::int AS selected
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
+def _c4_line_filters_sql(line_tokens: int = 8, min_words: int = 5,
+                         min_kept_lines: int = 3) -> str:
+    """DuckDB replay of webclean.c4_line_filter_report: same injected
+    line structure (8-token lines, punct/javascript/code/lorem planted
+    from doc_id arithmetic), same line rules, same page verdict, and
+    the SAME md5 digest of the retained text."""
+    line_kept = (
+        f"l -> ends_with(l, '.') "
+        f"AND len(list_filter(string_split(l, ' '), t -> t <> '')) >= {min_words} "
+        f"AND NOT contains(l, 'javascript') AND NOT contains(l, '{{')"
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents),
+ls AS (
+  SELECT doc_id,
+         (CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(
+                 generate_series(0, ((len(toks) + {line_tokens} - 1)
+                                     // {line_tokens}) - 1),
+                 j -> array_to_string(
+                        list_slice(toks, j * {line_tokens} + 1,
+                                   j * {line_tokens} + {line_tokens}), ' ')
+                      || (CASE WHEN (doc_id + j) % 11 = 0
+                               THEN ' javascript' ELSE '' END)
+                      || (CASE WHEN (doc_id + j) % 3 != 0
+                               THEN '.' ELSE '' END)) END)
+         || (CASE WHEN doc_id % 13 = 0
+                  THEN ['function() {{ return 0; }}']
+                  ELSE CAST([] AS VARCHAR[]) END)
+         || (CASE WHEN doc_id % 17 = 0
+                  THEN ['lorem ipsum dolor sit amet consectetur adipiscing elit.']
+                  ELSE CAST([] AS VARCHAR[]) END)
+           AS lines
+  FROM tk),
+k AS (
+  SELECT doc_id, lines, list_filter(lines, {line_kept}) AS kept
+  FROM ls)
+SELECT doc_id,
+       len(lines)::bigint AS n_lines,
+       len(kept)::bigint AS n_kept_lines,
+       (len(kept) >= {min_kept_lines}
+        AND len(list_filter(lines,
+              l -> contains(l, '{{') OR contains(l, 'lorem ipsum'))) = 0
+       )::int AS page_kept,
+       -- array_to_string([]) is NULL in DuckDB; Spark array_join gives
+       -- '' — coalesce so all-dropped pages digest identically
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_digest
+FROM k
+"""
+
+
+def _funnel_attribution_sql() -> str:
+    """DuckDB replay of textstats.funnel_attribution_stats: gate flags
+    + first-copy window + the 8-way flag-combination aggregate with
+    exact integer ppm shares."""
+    return f"""
+WITH {_gate_flags_ctes()},
+g AS (
+  SELECT doc_id, source, n_tokens, pass_lang, pass_quality,
+         (row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)::int
+           AS first_copy
+  FROM gf),
+a AS (
+  SELECT pass_lang, pass_quality, first_copy,
+         count(*) AS n_docs, sum(n_tokens)::bigint AS n_tokens
+  FROM g GROUP BY 1, 2, 3)
+SELECT pass_lang, pass_quality, first_copy,
+       (CASE WHEN pass_lang = 1 AND pass_quality = 1 AND first_copy = 1
+             THEN 'retained'
+             WHEN pass_lang + pass_quality + first_copy = 2
+             THEN 'lost_to_' || (CASE WHEN pass_lang = 0 THEN 'lang'
+                                      WHEN pass_quality = 0 THEN 'quality'
+                                      ELSE 'dup' END) || '_only'
+             ELSE 'lost_to_multiple' END) AS verdict,
+       n_docs, n_tokens,
+       ((n_docs * 1000000) // (sum(n_docs) OVER ()))::bigint AS share_ppm
+FROM a
 """
 
 
@@ -2063,6 +2262,54 @@ r AS (SELECT vec_id, cell,
       FROM s)"""
 
 
+def _semdedup_sql(n_cells: int = 8, threshold: float = 0.35) -> str:
+    """SemDeDup oracle: cell assignment via the IVF rank CTE, pairwise
+    cosine WITHIN a cell only, recursive-CTE components, keeper = the
+    member with the lowest 6-dp cosine to its own cell centroid (ties
+    to the lower vec_id) — the exact mirror of
+    simsearch.semdedup_keepers."""
+    cells = " UNION ALL ".join(
+        f"SELECT {c} AS cell, {_CENTROID.format(cb=(c + 101) * 40503)} AS centroid"
+        for c in range(n_cells)
+    )
+    cos6 = (
+        "round(list_dot_product(m.embedding::DOUBLE[], cl.centroid::DOUBLE[])"
+        " / sqrt(list_dot_product(m.embedding::DOUBLE[], m.embedding::DOUBLE[])"
+        " * list_dot_product(cl.centroid::DOUBLE[], cl.centroid::DOUBLE[])), 6)"
+    )
+    return f"""
+WITH RECURSIVE {_ivf_rank_cte(n_cells)},
+m AS (
+  SELECT r.vec_id, r.cell, e.embedding
+  FROM r JOIN embeddings e USING (vec_id) WHERE r.rk = 1),
+prs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE {_cos_sql("x.embedding", "y.embedding")} >= {threshold}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION SELECT id_b, id_a FROM prs),
+reach(src, label) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, rc.label FROM reach rc JOIN edges e ON e.src = rc.src),
+clusters AS (SELECT src AS vec_id, min(label) AS cluster_rep
+             FROM reach GROUP BY src),
+cl AS ({cells}),
+cs AS (
+  SELECT m.vec_id, m.cell,
+         coalesce(c.cluster_rep, m.vec_id) AS cluster_rep,
+         {cos6} AS cos_centroid
+  FROM m LEFT JOIN clusters c USING (vec_id) JOIN cl USING (cell)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_rep
+                               ORDER BY cos_centroid, vec_id) AS pick
+  FROM cs)
+SELECT vec_id, cell, cluster_rep, cos_centroid, (pick = 1)::int AS keep
+FROM ranked
+"""
+
+
 def _ivf_topk_sql(n_queries: int = 5, k: int = 3, n_probe: int = 2) -> str:
     return f"""
 WITH {_ivf_rank_cte()},
@@ -2643,6 +2890,24 @@ SELECT doc_a, doc_b, n_common,
 FROM pairs JOIN sizes za ON za.doc_id = doc_a JOIN sizes zb ON zb.doc_id = doc_b
 WHERE round(n_common / (za.n + zb.n - n_common), 4) >= 0.02
 """,
+        "dedup_containment": f"""
+WITH {_shingle_cte(5)},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+c AS (
+  SELECT doc_a, doc_b, n_common,
+         round(n_common / za.n, 4) AS cont_a_in_b,
+         round(n_common / zb.n, 4) AS cont_b_in_a
+  FROM pairs JOIN sizes za ON za.doc_id = doc_a
+  JOIN sizes zb ON zb.doc_id = doc_b)
+SELECT doc_a, doc_b, n_common, cont_a_in_b, cont_b_in_a,
+       CASE WHEN cont_a_in_b >= 0.1 AND cont_b_in_a >= 0.1 THEN 'mutual'
+            WHEN cont_a_in_b >= 0.1 THEN 'a_in_b'
+            ELSE 'b_in_a' END AS relation
+FROM c WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.1
+""",
         "dedup_ngram_capped": f"""
 WITH {_shingle_cte(5)}{_CAP_CTES.format(max_df=10)},
 pairs AS (
@@ -2751,6 +3016,7 @@ FROM r WHERE rk = 1 GROUP BY cell
         "ann_ivf_topk": _ivf_topk_sql(),
         "ann_ivf_recall": _ivf_recall_sql(),
         "ann_ivf_trained_recall": _ivf_trained_recall_ab_sql(),
+        "semdedup_keepers": _semdedup_sql(),
         "ann_recall": _ann_recall_sql(),
         "dedup_embedding_cosine": f"""
 WITH bb AS ({_multiband_bucket_sql()}),
@@ -2892,8 +3158,38 @@ SELECT CASE WHEN ({_H56.format(expr="doc_id::varchar")} % 100) < 10
        sum(length(text))::bigint AS n_chars_total
 FROM documents GROUP BY 1
 """,
+        "leakage_safe_split": f"""
+WITH r AS (SELECT doc_id, length(text) AS n_chars,
+                  {_SYNTH_RAW_URL} AS raw_url
+           FROM documents),
+h AS (SELECT doc_id, n_chars, {_SYNTH_HOST} AS host FROM r)
+SELECT host,
+       CASE WHEN ({_H56.format(expr="host")} % 100) < 30
+            THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars)::bigint AS n_chars_total
+FROM h GROUP BY 1, 2
+""",
+        "context_windows": """
+WITH d AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+nz AS (SELECT doc_id, toks, len(toks)::bigint AS n FROM d WHERE len(toks) > 0),
+w AS (SELECT doc_id, toks, n, i AS widx
+      FROM nz, unnest(generate_series(0,
+            CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END)) AS t(i))
+SELECT doc_id, widx::bigint AS widx, (widx * 48)::bigint AS start,
+       least(64, n - widx * 48)::bigint AS win_tokens,
+       md5(array_to_string(
+         toks[widx * 48 + 1 : widx * 48 + least(64, n - widx * 48)], ' '))
+         AS win_md5
+FROM w
+""",
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "cleaning_funnel": _cleaning_funnel_sql(),
+        "dsir_importance": _dsir_importance_sql(),
+        "c4_line_filters": _c4_line_filters_sql(),
+        "funnel_attribution": _funnel_attribution_sql(),
         "corpus_build": _corpus_build_sql(),
         "mojibake_repair": _mojibake_repair_sql(),
         "domain_cap": _domain_cap_sql(),

@@ -122,6 +122,14 @@ HEADLINE = [
     "decontam_fuzzy",
     "shard_assignment",
     "curriculum_order",
+    # round-5d operators
+    "dsir_importance",
+    "c4_line_filters",
+    "funnel_attribution",
+    "semdedup_keepers",
+    "dedup_containment",
+    "leakage_safe_split",
+    "context_windows",
 ]
 
 

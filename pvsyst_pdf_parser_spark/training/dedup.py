@@ -144,6 +144,56 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.02,
     )
 
 
+def containment_pairs(docs: DataFrame, threshold: float = 0.1,
+                      n: int = 3, sample_mod: int = 5,
+                      max_df: int | None = None) -> DataFrame:
+    """Asymmetric near-duplicate pairs by shingle CONTAINMENT
+    (Broder 1997: C(A→B) = |A∩B| / |A|) — catches a document embedded
+    inside a larger one (quotes, syndication, boilerplate wrappers),
+    which symmetric Jaccard dilutes below any usable threshold once
+    the host document grows.
+
+    Same bounded skeleton as :func:`ngram_jaccard_pairs` (ONE
+    materialized shingle frame feeding the self-join and the size agg;
+    ``max_df`` caps hot shingles before the join), so the 10^12-doc
+    cost profile is identical — only the final score arithmetic
+    differs.  ``relation`` labels which side is contained:
+    ``mutual`` / ``a_in_b`` / ``b_in_a``."""
+    docs = docs.filter(F.col("doc_id") % sample_mod == 0)
+    sh = persist_tracked(doc_shingles(docs, n=n))
+    if max_df is not None:
+        sh = persist_tracked(capped_shingles(sh, max_df))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    t = F.lit(threshold)
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        .withColumn("cont_a_in_b",
+                    F.round(F.col("n_common") / F.col("size_a"), 4))
+        .withColumn("cont_b_in_a",
+                    F.round(F.col("n_common") / F.col("size_b"), 4))
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= t)
+        .withColumn(
+            "relation",
+            F.when((F.col("cont_a_in_b") >= t) & (F.col("cont_b_in_a") >= t),
+                   F.lit("mutual"))
+            .when(F.col("cont_a_in_b") >= t, F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a")),
+        )
+        .select("doc_a", "doc_b", "n_common",
+                "cont_a_in_b", "cont_b_in_a", "relation")
+    )
+
+
 def _signatures_from_shingles(sh: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
     h = (md5_56(F.col("shingle")) % F.lit(MERSENNE_P)).alias("h")
     hashed = sh.select("doc_id", h)

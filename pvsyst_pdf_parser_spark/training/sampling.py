@@ -148,6 +148,41 @@ def train_val_split_stats(docs: DataFrame, val_pct: int = 10) -> DataFrame:
     )
 
 
+def leakage_safe_split_stats(docs: DataFrame, val_pct: int = 30) -> DataFrame:
+    """Train/val split keyed by the page's HOST, not the document:
+    every page of a site lands on the SAME side, so near-duplicate
+    pages (mirrors, templated site sections, syndicated articles from
+    one domain) can never straddle the split — the leakage mode a
+    doc_id-keyed split (:func:`train_val_split_stats`) cannot prevent
+    and the one published eval-contamination audits flag first.
+
+    Per (host, split): doc and char counts — host-level granularity so
+    the disjointness property (each host on exactly one side) is
+    directly visible in the output.  Shape at 10^12 docs: one
+    projection + one groupBy on the host key (map-side combined; host
+    cardinality ~10^8).  Same md5-bucket determinism contract as every
+    split here: adding documents never moves a host across sides."""
+    from .urlnorm import synthetic_raw_url
+    from .webclean import host_of
+
+    host = F.regexp_replace(
+        host_of(synthetic_raw_url(F.col("doc_id"))), r"^www\.", ""
+    )
+    return (
+        docs.select(host.alias("host"), F.length("text").alias("n_chars"))
+        .withColumn(
+            "split",
+            F.when(hash_bucket(F.col("host")) < val_pct, F.lit("val"))
+            .otherwise(F.lit("train")),
+        )
+        .groupBy("host", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        )
+    )
+
+
 def training_order(docs: DataFrame) -> DataFrame:
     """Deterministic GLOBAL training order with source interleaving:
     (ord, doc_id, source, round) — round r of the order takes at most
@@ -335,6 +370,52 @@ def sequence_pack_chunks(docs: DataFrame, ctx_len: int = 64) -> DataFrame:
             F.md5(assembled).alias("chunk_hash"),
         )
         .orderBy("source", "chunk_id")
+    )
+
+
+def context_windows(
+    docs: DataFrame, ctx_len: int = 64, stride: int = 48
+) -> DataFrame:
+    """Per-document sliding context windows with overlap (the HF
+    tokenizer ``return_overflowing_tokens``/``stride`` semantics):
+    windows start at 0, stride, 2·stride, …; every window is ctx_len
+    tokens except a shorter final one; consecutive windows overlap by
+    ctx_len − stride tokens so no span longer than the overlap is ever
+    split across windows unseen.  The within-document twin of
+    :func:`sequence_pack_chunks` (which packs ACROSS documents and
+    loses intra-doc locality) — fine-tuning and long-doc eval prep use
+    this form.
+
+    Shape at 10^12 docs: pure row-local arithmetic — one
+    sequence/explode per doc (fan-out n_tokens/stride, bounded by the
+    doc length cap upstream), ZERO shuffles.  Each window's token text
+    is md5-digested so the oracle byte-verifies every window, not just
+    the counts."""
+    if stride <= 0 or stride > ctx_len:
+        raise ValueError("0 < stride <= ctx_len required")
+    toks_arr = F.filter(F.split(F.col("text"), " ", -1), lambda x: x != "")
+    base = docs.select("doc_id", toks_arr.alias("toks")).withColumn(
+        "n_tokens", F.size("toks").cast("bigint")
+    ).filter(F.col("n_tokens") > 0)
+    n_windows = F.when(F.col("n_tokens") <= ctx_len, F.lit(1)).otherwise(
+        F.expr(f"div(n_tokens - {ctx_len} + {stride} - 1, {stride})") + 1
+    )
+    w = base.withColumn("n_windows", n_windows.cast("bigint")).select(
+        "doc_id", "toks", "n_tokens", "n_windows",
+        F.explode(F.sequence(F.lit(0), F.col("n_windows") - 1)).alias("widx"),
+    )
+    start = F.col("widx") * stride
+    wlen = F.least(F.lit(ctx_len), F.col("n_tokens") - start)
+    return w.select(
+        "doc_id",
+        F.col("widx").cast("bigint").alias("widx"),
+        start.cast("bigint").alias("start"),
+        wlen.cast("bigint").alias("win_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), start + 1, wlen)
+            )
+        ).alias("win_md5"),
     )
 
 

@@ -883,6 +883,98 @@ def ivf_trained_recall_ab(
     )
 
 
+def semdedup_keepers(
+    emb: DataFrame,
+    dim: int = 64,
+    n_cells: int = N_CELLS,
+    threshold: float = 0.35,
+    centroids: list | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): partition the
+    embedding space with a coarse quantizer (k-means in the paper; the
+    same cell machinery as :func:`ivf_assign` here — trained centroids
+    plug in via ``centroids``), compare pairs ONLY within a cell, and
+    for each semantic-duplicate group keep the member with the LOWEST
+    cosine similarity to its cluster centroid (the paper's §3 keeper
+    rule: the most "extreme" point preserves the most diversity).
+
+    Distributed shape at 10^12 docs: assignment is one map stage
+    (numpy matmul per Arrow batch); the pairwise stage is an equi-join
+    on ``cell`` — never an all-pairs cross join — and in public
+    practice n_cells grows with the corpus (SemDeDup used 50k clusters
+    for LAION) so per-cell occupancy stays bounded; components run
+    through the size-dispatched star contraction; the keeper pick is
+    one window over clusters.  The centroid table is ``n_cells`` rows
+    and enters as a broadcast join (plan-gated).
+
+    Differs from :func:`embedding_dedup_keepers` (multi-band LSH
+    candidates, min-id keeper) in both candidate topology and keeper
+    rule — this is the published centroid-partitioned variant."""
+    from .cache import persist_tracked
+    from .dedup import connected_components_auto
+
+    spark = emb.sparkSession
+    if centroids is None:
+        cents = [centroid_values(dim, c) for c in range(n_cells)]
+    else:
+        cents, n_cells = centroids, len(centroids)
+    cells = spark.createDataFrame(
+        [(c, cents[c]) for c in range(n_cells)],
+        "cell int, centroid array<double>",
+    )
+
+    assign = ivf_assign(emb, dim, n_cells, n_probe=1, centroids=centroids)
+    # (vec_id, cell, embedding): joined once, persisted — feeds the
+    # within-cell self-join AND the centroid-similarity projection
+    members = persist_tracked(
+        assign.select("vec_id", "cell").join(
+            emb.select("vec_id", "embedding"), "vec_id"
+        )
+    )
+    pairs = (
+        members.alias("x")
+        .join(members.alias("y"), "cell")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine(F.col("x.embedding"), F.col("y.embedding")), 3),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+    )
+    clusters = connected_components_auto(pairs, a="id_a", b="id_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_rep"
+    )
+    # cos-to-centroid via the sequential fold (matches the oracle's
+    # list_dot_product order); rounded to 6 dp BEFORE ranking so
+    # cross-engine ulp drift cannot flip a keeper pick
+    scored = (
+        members.join(F.broadcast(cells), "cell")
+        .withColumn(
+            "cos_centroid",
+            F.round(cosine(F.col("embedding"), F.col("centroid")), 6),
+        )
+        .join(clusters, "vec_id", "left")
+        .withColumn(
+            "cluster_rep", F.coalesce(F.col("cluster_rep"), F.col("vec_id"))
+        )
+    )
+    w = Window.partitionBy("cluster_rep").orderBy("cos_centroid", "vec_id")
+    return (
+        scored.withColumn("pick", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "cell",
+            "cluster_rep",
+            "cos_centroid",
+            (F.col("pick") == 1).cast("int").alias("keep"),
+        )
+    )
+
+
 def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 3, dim: int = 64) -> DataFrame:
     """ANN top-k restricted to same-bucket candidates (the scale path)."""
     buckets = lsh_bucket_ids(emb, dim)

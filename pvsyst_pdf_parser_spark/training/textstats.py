@@ -358,6 +358,67 @@ def cleaning_funnel_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def funnel_attribution_stats(docs: DataFrame) -> DataFrame:
+    """Gate-attribution breakdown of the cleaning funnel: one row per
+    (pass_lang, pass_quality, first_copy) combination with document and
+    token counts plus a human-readable verdict label — the report that
+    answers "which gate is actually removing my data, and how much
+    would relaxing exactly one gate recover?" (the overlap question the
+    per-source funnel totals of :func:`cleaning_funnel_stats` cannot
+    answer, because a document failing two gates is hidden in both
+    columns).
+
+    Plan: rides :func:`funnel_flags` unchanged — one projection, ONE
+    text-keyed window, then an aggregation on a key with at most 8
+    values (map-side combined; the shuffle carries <= 8 rows per
+    partition whatever the corpus size)."""
+    flagged = funnel_flags(docs)
+    verdict = (
+        F.when(
+            (F.col("pass_lang") == 1)
+            & (F.col("pass_quality") == 1)
+            & (F.col("first_copy") == 1),
+            "retained",
+        )
+        .when(
+            F.col("pass_lang") + F.col("pass_quality") + F.col("first_copy")
+            == 2,
+            F.concat(
+                F.lit("lost_to_"),
+                F.when(F.col("pass_lang") == 0, "lang")
+                .when(F.col("pass_quality") == 0, "quality")
+                .otherwise("dup"),
+                F.lit("_only"),
+            ),
+        )
+        .otherwise("lost_to_multiple")
+    )
+    return (
+        flagged.groupBy("pass_lang", "pass_quality", "first_copy")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        # exact integer ppm; the window runs over the <= 8 verdict rows
+        # of the aggregate output, never the corpus
+        .withColumn(
+            "share_ppm",
+            F.expr("(n_docs * 1000000) div (sum(n_docs) over ())").cast(
+                "bigint"
+            ),
+        )
+        .select(
+            "pass_lang",
+            "pass_quality",
+            "first_copy",
+            verdict.alias("verdict"),
+            "n_docs",
+            "n_tokens",
+            "share_ppm",
+        )
+    )
+
+
 def length_percentile_stats(docs: DataFrame) -> DataFrame:
     """Per-source token-length distribution (p50/p90/p99/max) — the
     corpus report an operator runs BEFORE choosing the Gopher length

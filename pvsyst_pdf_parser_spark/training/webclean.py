@@ -139,6 +139,103 @@ def domain_cap_report(docs: DataFrame, cap: int = 5) -> DataFrame:
     )
 
 
+# -- C4 line-level page cleaning --------------------------------------
+
+# C4 (Raffel et al. 2020 §2.2) cleans pages line-by-line BEFORE the
+# page verdict: keep only lines that end in terminal punctuation and
+# have >= 5 words, drop lines with the word "javascript", and discard
+# whole pages that contain "{" (code), "lorem ipsum" (placeholder), or
+# end up with < 3 retained lines.  All rules are row-local HOFs over
+# the line list — ZERO shuffle at any corpus size (plan-gated).
+#
+# The synthetic corpus is flat space-separated tokens, so the demo
+# face manufactures the line structure deterministically from doc_id
+# (the same technique as the PII face above): 8-token lines, terminal
+# '.' on lines where (doc_id + idx) % 3 != 0, a ' javascript' token
+# injected where (doc_id + idx) % 11 == 0, a code line appended when
+# doc_id % 13 == 0 and a 'lorem ipsum' line when doc_id % 17 == 0 —
+# so every rule, line- and page-level, does real work and the DuckDB
+# oracle can replay the injection arithmetic.
+
+C4_LINE_TOKENS = 8
+C4_MIN_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+_C4_LINES = """
+CASE WHEN size(__toks) = 0 THEN array()
+     ELSE transform(sequence(0, ((size(__toks) + {lt} - 1) div {lt}) - 1),
+        j -> concat(
+               array_join(slice(__toks, j * {lt} + 1, {lt}), ' '),
+               CASE WHEN (doc_id + j) % 11 = 0 THEN ' javascript'
+                    ELSE '' END,
+               CASE WHEN (doc_id + j) % 3 != 0 THEN '.' ELSE '' END))
+END
+"""
+
+_C4_EXTRA = """
+concat(
+  CASE WHEN doc_id % 13 = 0 THEN array('function() { return 0; }')
+       ELSE array() END,
+  CASE WHEN doc_id % 17 = 0
+       THEN array('lorem ipsum dolor sit amet consectetur adipiscing elit.')
+       ELSE array() END)
+"""
+
+_C4_LINE_KEPT = (
+    "l -> endswith(l, '.') "
+    "AND size(filter(split(l, ' ', -1), t -> t <> '')) >= {mw} "
+    "AND NOT contains(l, 'javascript') AND NOT contains(l, '{{')"
+)
+
+
+def c4_line_filter_report(
+    docs: DataFrame,
+    min_words: int = C4_MIN_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+) -> DataFrame:
+    """Per document: (doc_id, n_lines, n_kept_lines, page_kept,
+    kept_digest) — the C4 line filters plus the page verdict, with the
+    retained text md5-digested so both engines verify every surviving
+    byte, not just the counts."""
+    kept = _C4_LINE_KEPT.format(mw=min_words)
+    lines = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(text, ' ', -1), t -> t <> '')").alias(
+                "__toks"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "concat("
+                + _C4_LINES.format(lt=C4_LINE_TOKENS).strip()
+                + ", "
+                + _C4_EXTRA.strip()
+                + ")"
+            ).alias("lines"),
+        )
+        .select(
+            "doc_id",
+            "lines",
+            F.expr(f"filter(lines, {kept})").alias("kept_lines"),
+        )
+    )
+    has_page_killer = F.expr(
+        "exists(lines, l -> contains(l, '{') OR contains(l, 'lorem ipsum'))"
+    )
+    page_kept = (
+        (F.size("kept_lines") >= min_kept_lines) & ~has_page_killer
+    ).cast("int")
+    return lines.select(
+        "doc_id",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size("kept_lines").cast("bigint").alias("n_kept_lines"),
+        page_kept.alias("page_kept"),
+        F.md5(F.array_join("kept_lines", "\n")).alias("kept_digest"),
+    )
+
+
 def domain_stats(
     docs: DataFrame, blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST
 ) -> DataFrame:

@@ -1706,3 +1706,342 @@ def test_boilerplate_paragraphs_justext_context(spark):
     assert rows[(2, 1)]["label"] == "bad"
     assert rows[(3, 0)]["raw_label"] == "short"
     assert rows[(3, 0)]["label"] == "bad"
+
+
+def _round_half_away(x: float) -> int:
+    """Spark round(_, 0) / DuckDB round(): ties away from zero (Python's
+    built-in round is banker's, so it cannot be used in replays)."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def test_dsir_importance_matches_python_replay(spark):
+    """DSIR (Xie 2023): integer micro-nat weights equal a pure-Python
+    replay of hashed-bigram counts + add-1-smoothed log ratio, and the
+    weights separate the target class (quality-gate passers score
+    higher per bigram than failers — the in-sample KL guarantee)."""
+    import hashlib
+    import math
+
+    from pvsyst_pdf_parser_spark.training.dsir import (
+        N_BUCKETS,
+        dsir_importance_report,
+    )
+    from pvsyst_pdf_parser_spark.training.textstats import gate_flags
+
+    words = ["the", "and", "a", "cat", "sat", "on", "mat", "dog", "ran",
+             "fast", "table", "row", "scan", "query", "value"]
+    rows = []
+    for i in range(12):
+        if i % 3 == 0:   # quality failers: symbol-heavy, no stopwords
+            toks = [("#" if j % 2 else f"x{j % 4}") for j in range(55)]
+        else:            # passers: varied words incl. stopwords
+            toks = [words[(i * 7 + j * 3) % len(words)] for j in range(60)]
+        rows.append((i, " ".join(toks), f"s{i % 2}"))
+    rows.append((99, "one", "s0"))  # zero bigrams
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    flags = {r["doc_id"]: r["pass_quality"] for r in gate_flags(docs).collect()}
+    assert 0 < sum(flags.values()) < len(flags), "gate must split the corpus"
+
+    def h56(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    per_doc, feat_raw, feat_tgt = {}, {}, {}
+    for doc_id, text, _ in rows:
+        toks = [t for t in text.lower().split(" ") if t]
+        counts = {}
+        for a, b in zip(toks, toks[1:]):
+            bkt = h56(f"{a} {b}") % N_BUCKETS
+            counts[bkt] = counts.get(bkt, 0) + 1
+        per_doc[doc_id] = counts
+        for bkt, c in counts.items():
+            feat_raw[bkt] = feat_raw.get(bkt, 0) + c
+            feat_tgt[bkt] = feat_tgt.get(bkt, 0) + c * flags[doc_id]
+    raw_total, tgt_total = sum(feat_raw.values()), sum(feat_tgt.values())
+    lr = {
+        bkt: _round_half_away(
+            (math.log((feat_tgt.get(bkt, 0) + 1) / (tgt_total + N_BUCKETS))
+             - math.log((raw + 1) / (raw_total + N_BUCKETS))) * 1_000_000
+        )
+        for bkt, raw in feat_raw.items()
+    }
+    got = {r["doc_id"]: r for r in dsir_importance_report(docs).collect()}
+    assert set(got) == {r[0] for r in rows}
+    for doc_id, counts in per_doc.items():
+        w = sum(c * lr[bkt] for bkt, c in counts.items())
+        assert got[doc_id]["n_bigrams"] == sum(counts.values()), doc_id
+        assert got[doc_id]["weight_unats"] == w, doc_id
+        assert got[doc_id]["selected"] == int(w > 0), doc_id
+    assert got[99]["n_bigrams"] == 0 and got[99]["weight_unats"] == 0
+
+    mean_t = [got[d]["weight_unats"] / max(got[d]["n_bigrams"], 1)
+              for d in flags if flags[d] == 1]
+    mean_r = [got[d]["weight_unats"] / max(got[d]["n_bigrams"], 1)
+              for d in flags if flags[d] == 0]
+    assert sum(mean_t) / len(mean_t) > sum(mean_r) / len(mean_r)
+
+
+def test_c4_line_filters_rules_and_digest(spark):
+    """C4 line filters: every rule (terminal punct, min words,
+    javascript, code/lorem page killers, min kept lines) exercised and
+    the kept-text digest equals a pure-Python replay of the injected
+    line structure."""
+    import hashlib
+
+    from pvsyst_pdf_parser_spark.training.webclean import (
+        C4_LINE_TOKENS,
+        C4_MIN_KEPT_LINES,
+        C4_MIN_WORDS,
+        c4_line_filter_report,
+    )
+
+    base = " ".join(f"w{j}" for j in range(42))  # 42 toks -> lines 8*5 + 2
+    rows = [
+        (1, base), (2, base),
+        (13, base),       # code line injected -> page killed
+        (17, base),       # lorem line injected -> page killed
+        (33, base),       # 33%11=0: javascript on line 0; 33%3=0: no '.'
+        (5, "w0 w1 w2"),  # one short line -> 0 kept -> page dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_line_filter_report(docs).collect()}
+
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        lines = []
+        for j in range((len(toks) + C4_LINE_TOKENS - 1) // C4_LINE_TOKENS):
+            line = " ".join(toks[j * C4_LINE_TOKENS:(j + 1) * C4_LINE_TOKENS])
+            if (doc_id + j) % 11 == 0:
+                line += " javascript"
+            if (doc_id + j) % 3 != 0:
+                line += "."
+            lines.append(line)
+        if doc_id % 13 == 0:
+            lines.append("function() { return 0; }")
+        if doc_id % 17 == 0:
+            lines.append(
+                "lorem ipsum dolor sit amet consectetur adipiscing elit.")
+        kept = [
+            l for l in lines
+            if l.endswith(".")
+            and len([t for t in l.split(" ") if t]) >= C4_MIN_WORDS
+            and "javascript" not in l and "{" not in l
+        ]
+        killer = any("{" in l or "lorem ipsum" in l for l in lines)
+        page_kept = int(len(kept) >= C4_MIN_KEPT_LINES and not killer)
+        r = got[doc_id]
+        assert r["n_lines"] == len(lines), doc_id
+        assert r["n_kept_lines"] == len(kept), doc_id
+        assert r["page_kept"] == page_kept, doc_id
+        assert r["kept_digest"] == hashlib.md5(
+            "\n".join(kept).encode()).hexdigest(), doc_id
+
+    assert got[13]["page_kept"] == 0 and got[17]["page_kept"] == 0
+    assert got[5]["page_kept"] == 0
+    assert got[1]["page_kept"] == 1
+    # the short trailing line (2 words) was filtered somewhere
+    assert got[1]["n_kept_lines"] < got[1]["n_lines"]
+
+
+def test_funnel_attribution_masks_and_ppm(spark):
+    """Funnel attribution: flag-combination rows partition the corpus,
+    verdict labels name the single failing gate, and ppm shares use
+    exact integer division."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        funnel_attribution_stats,
+        funnel_flags,
+    )
+
+    good = " ".join(
+        ["the cat sat on the mat and a dog ran fast today"] * 5)  # passes
+    rows = [
+        (0, good + " zero", "s"),
+        (1, good + " one", "s"),
+        (2, good + " one", "s"),          # exact dup of 1 -> dup_only
+        (3, "# # # " * 20, "s"),          # fails quality+lang -> multiple
+        (4, good.replace("the", "xx").replace("and", "yy") + " four", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = funnel_attribution_stats(docs).collect()
+    assert sum(r["n_docs"] for r in out) == len(rows)
+
+    flags = {r["doc_id"]: (r["pass_lang"], r["pass_quality"], r["first_copy"])
+             for r in funnel_flags(docs).collect()}
+    by_key = {(r["pass_lang"], r["pass_quality"], r["first_copy"]): r
+              for r in out}
+    assert by_key[(1, 1, 1)]["verdict"] == "retained"
+    assert by_key[flags[2]]["verdict"] == "lost_to_dup_only"
+    total = len(rows)
+    for r in out:
+        assert r["share_ppm"] == (r["n_docs"] * 1_000_000) // total
+    # every doc's flag combo has a row
+    assert set(flags.values()) <= set(by_key)
+
+
+def test_semdedup_keepers_matches_python_replay(spark):
+    """SemDeDup (Abbas 2023): cell assignment, within-cell pair graph,
+    component labels, and the lowest-cos-to-centroid keeper pick all
+    equal a pure-Python replay on the sf0.001 embeddings."""
+    import math
+
+    from pvsyst_pdf_parser_spark.training.simsearch import (
+        N_CELLS,
+        centroid_half_norm,
+        centroid_values,
+        semdedup_keepers,
+    )
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    def rnd(x, nd):
+        return _round_half_away(x * 10**nd) / 10**nd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    C = [centroid_values(64, c) for c in range(N_CELLS)]
+    hn = [centroid_half_norm(64, c) for c in range(N_CELLS)]
+
+    cell = {
+        v: max(range(N_CELLS), key=lambda c: (dot(e, C[c]) - hn[c], -c))
+        for v, e in vecs.items()
+    }
+
+    def cos(a, b):
+        return dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+
+    parent = {v: v for v in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(vecs)
+    n_pairs = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if cell[a] == cell[b] and rnd(cos(vecs[a], vecs[b]), 3) >= 0.35:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+                n_pairs += 1
+    assert n_pairs > 0, "fixture must contain within-cell near-dups"
+    rep = {v: find(v) for v in vecs}
+    cosc = {v: rnd(cos(vecs[v], C[cell[v]]), 6) for v in vecs}
+    keeper = {}
+    for v in ids:
+        r = rep[v]
+        if r not in keeper or (cosc[v], v) < (cosc[keeper[r]], keeper[r]):
+            keeper[r] = v
+
+    got = {r["vec_id"]: r for r in semdedup_keepers(emb).collect()}
+    assert set(got) == set(vecs)
+    for v in ids:
+        assert got[v]["cell"] == cell[v], v
+        assert got[v]["cluster_rep"] == rep[v], v
+        assert abs(got[v]["cos_centroid"] - cosc[v]) < 1e-9, v
+        assert got[v]["keep"] == int(keeper[rep[v]] == v), v
+    # at least one cluster's keeper differs from the min-id rule, so the
+    # centroid-distance rule is doing real work on this fixture OR every
+    # cluster is a singleton (then the test would be vacuous — forbid it)
+    assert any(rep[v] != v for v in ids)
+
+
+def test_containment_pairs_directional_labels(spark):
+    """Containment catches doc-inside-doc pairs symmetric Jaccard
+    misses: a 10-token doc embedded in a 30-token doc scores
+    containment 1.0 (label a_in_b / b_in_a by side) while its Jaccard
+    is only 8/28; identical docs label mutual."""
+    from pvsyst_pdf_parser_spark.training.dedup import containment_pairs
+
+    small = " ".join(f"w{i}" for i in range(10))
+    big = small + " " + " ".join(f"w{i}" for i in range(10, 30))
+    docs = spark.createDataFrame(
+        [(0, small, "s"), (5, big, "s"), (10, small, "s"),
+         (3, "never sampled text here", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in containment_pairs(docs, threshold=0.5).collect()}
+    assert set(out) == {(0, 5), (0, 10), (5, 10)}
+    assert out[(0, 5)]["relation"] == "a_in_b"
+    assert out[(0, 5)]["cont_a_in_b"] == 1.0
+    assert out[(0, 5)]["cont_b_in_a"] == round(8 / 28, 4)
+    assert out[(0, 10)]["relation"] == "mutual"
+    assert out[(0, 10)]["cont_a_in_b"] == 1.0 == out[(0, 10)]["cont_b_in_a"]
+    assert out[(5, 10)]["relation"] == "b_in_a"
+    assert out[(5, 10)]["cont_b_in_a"] == 1.0
+
+
+def test_leakage_safe_split_hosts_disjoint(spark):
+    """Every host lands on exactly one side of the split (the leakage
+    guarantee), the val fraction follows the host-hash buckets, and
+    the per-host counts replay exactly."""
+    import hashlib
+
+    from pvsyst_pdf_parser_spark.training.sampling import (
+        leakage_safe_split_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = leakage_safe_split_stats(docs).collect()
+    sides = {}
+    for r in out:
+        sides.setdefault(r["host"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in sides.values())
+    assert {"train", "val"} == {r["split"] for r in out}
+
+    expect = {}
+    for d in docs.select("doc_id", "text").collect():
+        host = f"mirror{d['doc_id'] % 7}.example.com"
+        b = int(hashlib.md5(host.encode()).hexdigest()[:14], 16) % 100
+        split = "val" if b < 30 else "train"
+        n, c = expect.get((host, split), (0, 0))
+        expect[(host, split)] = (n + 1, c + len(d["text"]))
+    got = {(r["host"], r["split"]): (r["n_docs"], r["n_chars_total"])
+           for r in out}
+    assert got == expect
+
+
+def test_context_windows_overlap_and_digests(spark):
+    """Sliding windows: correct count/starts/lengths for short, exact,
+    and overflowing docs; consecutive windows overlap by ctx-stride;
+    every window digest equals the Python replay."""
+    import hashlib
+
+    from pvsyst_pdf_parser_spark.training.sampling import context_windows
+
+    def toks(n):
+        return [f"t{i}" for i in range(n)]
+
+    rows = [
+        (1, " ".join(toks(10)), "s"),    # short: 1 window of 10
+        (2, " ".join(toks(64)), "s"),    # exact: 1 window of 64
+        (3, " ".join(toks(65)), "s"),    # 2 windows: 64 + 17 (start 48)
+        (4, " ".join(toks(160)), "s"),   # 3 windows: 64, 64, 64 (start 96)
+        (5, "", "s"),                    # empty: no rows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {}
+    for r in context_windows(docs).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    for v in out.values():
+        v.sort(key=lambda r: r["widx"])
+    assert set(out) == {1, 2, 3, 4}
+    assert [(r["start"], r["win_tokens"]) for r in out[1]] == [(0, 10)]
+    assert [(r["start"], r["win_tokens"]) for r in out[2]] == [(0, 64)]
+    assert [(r["start"], r["win_tokens"]) for r in out[3]] == [(0, 64), (48, 17)]
+    assert [(r["start"], r["win_tokens"]) for r in out[4]] == [
+        (0, 64), (48, 64), (96, 64)]
+    for doc_id, text, _ in rows[:4]:
+        t = text.split(" ")
+        for r in out[doc_id]:
+            seg = " ".join(t[r["start"]:r["start"] + r["win_tokens"]])
+            assert r["win_md5"] == hashlib.md5(seg.encode()).hexdigest()

@@ -382,3 +382,57 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bj_left")
         spark.sql("DROP TABLE IF EXISTS bj_right")
+
+
+def test_dsir_feature_table_is_broadcast_no_python(spark):
+    """DSIR's log-ratio table is bounded at n_buckets rows and must
+    re-enter the per-document side as a BROADCAST join; bigram
+    construction is row-local HOFs (no Python UDF anywhere), so the
+    corpus pays exactly its aggregation shuffles at 10^12 docs."""
+    from pvsyst_pdf_parser_spark.training.dsir import dsir_importance_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(dsir_importance_report(docs))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p  # the 1-row totals join broadcasts
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_c4_line_filters_pure_projection(spark):
+    """The C4 line rules are row-local list HOFs over each page — the
+    report may not shuffle or leave the JVM."""
+    from pvsyst_pdf_parser_spark.training.webclean import c4_line_filter_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(c4_line_filter_report(docs))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_funnel_attribution_one_window_one_agg(spark):
+    """Gate attribution rides the funnel's one text-keyed window; the
+    flag aggregate adds a map-side-combined <=8-key shuffle and the ppm
+    window runs over the aggregate output, never the corpus."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        funnel_attribution_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(funnel_attribution_stats(docs))
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final on the mask key
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_semdedup_cell_equijoin_and_broadcast_centroids(spark):
+    """SemDeDup's pairwise stage is an equi-join on the cell key (never
+    a cross join) and the n_cells-row centroid table enters as a
+    broadcast join; assignment is the one Arrow map stage."""
+    from pvsyst_pdf_parser_spark.training.simsearch import semdedup_keepers
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(semdedup_keepers(emb))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p  # the centroid table
