@@ -27,6 +27,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from pvsyst_pdf_parser_spark import demo_queries as Q  # noqa: E402
+from pvsyst_pdf_parser_spark.training import calibrate as CA  # noqa: E402
 from pvsyst_pdf_parser_spark.training import corpus as C  # noqa: E402
 from pvsyst_pdf_parser_spark.training import bpe as B  # noqa: E402
 from pvsyst_pdf_parser_spark.training import crawl as CR  # noqa: E402
@@ -230,6 +231,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality-curriculum order: integer flag-count phases, md5-hash
         # rank within phase (cleanest documents stream first)
         "curriculum_order": lambda s, d: X.curriculum_order(_docs(s, d)),
+        # per-language calibrated quality cutoff (CCNet/FineWeb
+        # practice): exact q-th order statistic per lang, broadcast
+        # cutoff join; percentile_approx swap documented for 10^12
+        "quality_threshold_by_lang": lambda s, d: CA.quality_threshold_by_lang(
+            _docs(s, d)
+        ),
+        # snapshot drift gate: PSI over fixed score bins between the
+        # even/odd doc_id halves; one 10-key groupBy, map-side combine
+        "quality_drift_psi": lambda s, d: CA.quality_drift_psi(_docs(s, d)),
         # round-5d operators (never yet verified — run early):
         # DSIR importance resampling (Xie 2023): hashed-bigram log-ratio
         # weights in integer micro-nats, target = the quality gate;
@@ -602,6 +612,66 @@ SELECT doc_id, n_tokens,
        round((flag_word_len + flag_stopwords + flag_symbols + flag_ttr
               + flag_length) / 5.0, 4) AS quality2_score
 FROM f
+"""
+
+
+def _q4_score_cte() -> str:
+    """Shared CTE ``q(doc_id, lang, q4)``: the v1 composite quality
+    score rounded to 4 decimals (calibrate.quality_score_q4)."""
+    stop = " + ".join(_count_sql("t", m) for m in (" the ", " and ", " a "))
+    return f"""q AS (
+  SELECT doc_id, lang,
+         round(0.4 * least(1.0, n_chars / 500.0)
+               + 0.3 * least(1.0, ({stop}) * 10.0 / n_tokens)
+               + 0.3 * least(1.0, (n_chars / n_tokens) / 8.0), 4) AS q4
+  FROM (SELECT doc_id, lang, length(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               ' ' || lower(text) || ' ' AS t
+        FROM documents))"""
+
+
+def _quality_threshold_sql(q: float = 0.3) -> str:
+    """DuckDB replay of calibrate.quality_threshold_by_lang: exact
+    q-th order statistic per language (rank ceil(q*n), ties by doc_id),
+    keep = q4 >= cutoff."""
+    return f"""
+WITH {_q4_score_cte()},
+r AS (SELECT lang, doc_id, q4,
+             row_number() OVER (PARTITION BY lang ORDER BY q4, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM q),
+c AS (SELECT lang, q4 AS cutoff FROM r WHERE rn = ceil({q} * n))
+SELECT q.lang, count(*)::bigint AS n_docs, min(c.cutoff) AS cutoff,
+       sum((q.q4 >= c.cutoff)::int)::bigint AS n_kept,
+       round(sum((q.q4 >= c.cutoff)::int) / count(*), 4) AS kept_frac
+FROM q JOIN c USING (lang) GROUP BY q.lang
+"""
+
+
+def _quality_psi_sql(n_bins: int = 10) -> str:
+    """DuckDB replay of calibrate.quality_drift_psi: Laplace-smoothed
+    PSI over fixed score bins, ref = even doc_id / cur = odd.
+    Intermediate raw proportions keep distinct names (pr/pc) so
+    DuckDB's lateral column aliases cannot shadow them."""
+    return f"""
+WITH {_q4_score_cte()},
+b AS (SELECT least({n_bins - 1}, floor(q4 * {n_bins}))::int AS bin,
+             (doc_id % 2 = 0) AS is_ref
+      FROM q),
+c AS (SELECT bin, sum(is_ref::int)::bigint AS n_ref,
+             sum((NOT is_ref)::int)::bigint AS n_cur
+      FROM b GROUP BY bin),
+p AS (SELECT bin, n_ref, n_cur,
+             (n_ref + 1) / (sum(n_ref) OVER () + {n_bins}) AS pr,
+             (n_cur + 1) / (sum(n_cur) OVER () + {n_bins}) AS pc
+      FROM c),
+t AS (SELECT bin, n_ref, n_cur,
+             round(pr, 4) AS p_ref, round(pc, 4) AS p_cur,
+             round((pc - pr) * ln(pc / pr), 4) AS psi_term
+      FROM p)
+SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term,
+       round(sum(psi_term) OVER (), 4) AS psi_total
+FROM t
 """
 
 
@@ -3008,6 +3078,8 @@ b AS (SELECT round(max(total_bytes) / avg(total_bytes), 4) AS balance FROM p)
 SELECT shard, n_docs, total_bytes, balance FROM p CROSS JOIN b
 """,
         "curriculum_order": _curriculum_sql(),
+        "quality_threshold_by_lang": _quality_threshold_sql(),
+        "quality_drift_psi": _quality_psi_sql(),
         "ann_ivf_cells": f"""
 WITH {_ivf_rank_cte()}
 SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_vec_id

@@ -45,6 +45,8 @@ sys.path.insert(0, REPO)
 
 HEADLINE = [
     "pvsyst_field_spans",
+    "quality_threshold_by_lang",
+    "quality_drift_psi",
     "dedup_embedding_keepers",
     "dedup_sentence_spans",
     "intradoc_line_dedup",

@@ -436,3 +436,30 @@ def test_semdedup_cell_equijoin_and_broadcast_centroids(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p  # the centroid table
+
+
+def test_quality_threshold_cutoff_join_is_broadcast(spark):
+    """The per-lang cutoff table (~#langs rows) must come back as a
+    BroadcastHashJoin — a sort-merge join here would shuffle the full
+    scored corpus a second time at 10^12 docs."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pvsyst_pdf_parser_spark.training.calibrate import (
+        quality_threshold_by_lang,
+    )
+
+    p = _plan(quality_threshold_by_lang(docs))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_quality_drift_psi_single_lowcard_agg_no_python(spark):
+    """PSI = one 10-key hash aggregate (partial_ prefix proves the
+    map-side combine that makes the shuffle ~10 rows/partition) plus
+    the tiny window over 10 bin rows; no Python, no join."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pvsyst_pdf_parser_spark.training.calibrate import quality_drift_psi
+
+    p = _plan(quality_drift_psi(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_sum" in p  # map-side combine before the bin shuffle
+    assert "Join" not in p

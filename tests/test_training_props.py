@@ -718,3 +718,62 @@ def test_curriculum_order_phases_and_determinism(spark, docs):
         assert worst_per_phase[p] >= best_per_phase[p + 1]
     rerun = curriculum_order(docs, n_phases=n_phases).collect()
     assert sorted(map(tuple, rerun)) == sorted(map(tuple, rows))
+
+
+def test_quality_threshold_by_lang_order_statistic(spark, docs):
+    """Per-language cutoffs: the cutoff is the score at ascending rank
+    ceil(q*n) within that language, kept docs are exactly those at or
+    above it, and different languages calibrate independently."""
+    import math
+
+    from pvsyst_pdf_parser_spark.training.calibrate import (
+        quality_score_q4,
+        quality_threshold_by_lang,
+    )
+
+    q = 0.3
+    rows = {r["lang"]: r for r in quality_threshold_by_lang(docs, q=q).collect()}
+    scored = docs.select("doc_id", "lang", quality_score_q4().alias("q4")).collect()
+    by_lang: dict = {}
+    for r in scored:
+        by_lang.setdefault(r["lang"], []).append((r["q4"], r["doc_id"]))
+    assert set(rows) == set(by_lang)
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        cutoff = vals[math.ceil(q * n) - 1][0]
+        kept = sum(1 for v, _ in vals if v >= cutoff)
+        row = rows[lang]
+        assert row["n_docs"] == n
+        assert row["cutoff"] == pytest.approx(cutoff, abs=1e-12)
+        assert row["n_kept"] == kept
+        assert row["kept_frac"] == pytest.approx(round(kept / n, 4), abs=1e-12)
+        # the whole point: roughly the bottom q-fraction is dropped
+        assert kept <= n - math.ceil(q * n) + len([v for v, _ in vals if v == cutoff])
+
+
+def test_quality_drift_psi_identical_halves_and_planted_shift(spark, docs):
+    """PSI is ~0 when both halves share a distribution (even/odd split
+    of one corpus) and strictly larger under a planted score shift;
+    per-bin terms are non-negative up to smoothing rounding and sum to
+    psi_total."""
+    from pvsyst_pdf_parser_spark.training.calibrate import quality_drift_psi
+
+    rows = quality_drift_psi(docs).collect()
+    assert rows
+    total = rows[0]["psi_total"]
+    assert all(r["psi_total"] == total for r in rows)
+    assert abs(sum(r["psi_term"] for r in rows) - total) < 1e-6
+    # PSI terms are individually >= 0 by construction ((a-b)ln(a/b) >= 0)
+    assert all(r["psi_term"] >= -1e-12 for r in rows)
+    # even/odd halves of one fixture corpus: no material drift
+    assert total < 0.25
+    # plant a shift: blank out odd docs' text so the 'current' half
+    # collapses into the lowest score bin -> PSI must rise sharply
+    shifted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 1, F.lit("x x")).otherwise(F.col("text")),
+    )
+    shifted_total = quality_drift_psi(shifted).collect()[0]["psi_total"]
+    assert shifted_total > total
+    assert shifted_total > 1.0
