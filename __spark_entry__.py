@@ -388,6 +388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )(_quality_model()),
         "warc_roundtrip": lambda s, d: _warc_roundtrip(s, d),
+        # asymmetric containment (Broder 1997): doc-inside-doc pairs —
+        # kept in the never-driver-verified block so a budget-truncated
+        # correctness run reaches it before the long-green demos below
+        "dedup_containment": lambda s, d: D.containment_pairs(_docs(s, d)),
         # relational operator classes (SURVEY §2)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "broadcast_join_revenue": Q.broadcast_join_revenue,
@@ -408,8 +412,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data operators
         "dedup_exact": lambda s, d: D.exact_dedup_stats(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d)),
-        # asymmetric containment (Broder 1997): doc-inside-doc pairs
-        "dedup_containment": lambda s, d: D.containment_pairs(_docs(s, d)),
         "dedup_ngram_capped": lambda s, d: D.ngram_jaccard_pairs(
             _docs(s, d), max_df=10
         ),
