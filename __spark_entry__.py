@@ -214,6 +214,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mix composed over ONE documents scan (plan-gated in
         # tests/test_plans.py) — the full cleaning-run decision
         "corpus_build": lambda s, d: C.corpus_build_report(_docs(s, d)),
+        # round-5d operators (never yet verified — run early):
+        # BM25 retrieval for a deterministic mid-frequency query-term
+        # set — the search stage on top of the postings machinery
+        "bm25_topk": lambda s, d: TI.bm25_topk(_docs(s, d)),
+        # PQ asymmetric-distance (ADC) top-k: compressed codes on the
+        # database side, exact subvectors on the query side, the lut
+        # broadcast — the search stage on top of pq_encode
+        "pq_adc_topk": lambda s, d: S.pq_adc_topk(_emb(s, d)),
         # round-5c operators (never yet verified — run early):
         # hard-negative mining for contrastive training: per query, the
         # top-k most-similar candidates BELOW the near-dup threshold,
@@ -1842,6 +1850,120 @@ GROUP BY subspace, code
 """
 
 
+def _pq_adc_topk_sql(n_queries: int = 5, topk: int = 5) -> str:
+    """DuckDB replay of simsearch.pq_adc_topk: codes via the same
+    (score desc, code asc) argmin window as the pq_codebook oracle, the
+    ADC lut by the quadratic expansion ‖q_s‖² − 2·q_s·c + ‖c‖² against
+    the repr'd codebook literals (algebraically equal to the Spark
+    side's per-element Σ(q−c)²; both sides round the summed distance to
+    6 dp BEFORE ranking, which absorbs the last-ulp association drift),
+    ties on cand_id ascending."""
+    from pvsyst_pdf_parser_spark.training.simsearch import (
+        PQ_K,
+        PQ_M,
+        _seq_half_norm,
+        pq_centroid_values,
+    )
+
+    sub_dim = 64 // PQ_M
+    rows = []
+    for s in range(PQ_M):
+        for c in range(PQ_K):
+            cent = pq_centroid_values(s, c, sub_dim)
+            lit = "[" + ", ".join(repr(v) for v in cent) + "]::DOUBLE[]"
+            hn = repr(_seq_half_norm(cent))
+            rows.append(f"({s}, {c}, {lit}, {hn})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH cb(subspace, code, cent, hn) AS (VALUES
+    {values}),
+sc AS (
+  SELECT e.vec_id, cb.subspace, cb.code,
+         list_dot_product(
+           e.embedding[cb.subspace * {sub_dim} + 1
+                       : cb.subspace * {sub_dim} + {sub_dim}]::DOUBLE[],
+           cb.cent) - cb.hn AS score
+  FROM embeddings e, cb),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY score DESC, code) AS rn
+    FROM sc) WHERE rn = 1),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.subspace, cb.code,
+         list_dot_product(
+           q.embedding[cb.subspace * {sub_dim} + 1
+                       : cb.subspace * {sub_dim} + {sub_dim}]::DOUBLE[],
+           q.embedding[cb.subspace * {sub_dim} + 1
+                       : cb.subspace * {sub_dim} + {sub_dim}]::DOUBLE[])
+         - 2 * list_dot_product(
+             q.embedding[cb.subspace * {sub_dim} + 1
+                         : cb.subspace * {sub_dim} + {sub_dim}]::DOUBLE[],
+             cb.cent)
+         + 2 * cb.hn AS d
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id < {n_queries}) q, cb),
+scored AS (
+  SELECT lut.query_id, codes.vec_id AS cand_id,
+         round(sum(lut.d), 6) AS adc_dist
+  FROM codes JOIN lut USING (subspace, code)
+  WHERE lut.query_id <> codes.vec_id
+  GROUP BY 1, 2)
+SELECT query_id, cand_id, adc_dist,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist ASC, cand_id ASC)::bigint
+         AS adc_rank
+FROM scored
+QUALIFY adc_rank <= {topk}
+"""
+
+
+def _bm25_topk_sql(
+    n_terms: int = 3, skip: int = 1, k: int = 10,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """DuckDB replay of tfidf.bm25_topk: same tokenization and df-rank
+    query-term selection, the same left-associated Okapi expression
+    (constants repr'd from the Python-folded values so both engines see
+    identical doubles), scores rounded to 6 dp BEFORE ranking, ties on
+    doc_id ascending."""
+    k1r, k1p1, one_m_b, br = repr(k1), repr(k1 + 1.0), repr(1.0 - b), repr(b)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+    FROM documents)
+  WHERE t <> ''),
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1),
+qt AS (
+  SELECT term, df FROM (
+    SELECT term, df,
+           row_number() OVER (ORDER BY df DESC, term ASC) AS trk
+    FROM df)
+  WHERE trk > {skip} AND trk <= {skip + n_terms}),
+dl AS (SELECT doc_id, sum(tf)::bigint AS dl FROM tf GROUP BY 1),
+tot AS (SELECT count(DISTINCT doc_id)::bigint AS n,
+               sum(tf)::bigint AS toks FROM tf),
+scored AS (
+  SELECT t.doc_id, count(*)::bigint AS n_hit,
+         round(sum(
+           (ln(1.0 + ((tot.n::DOUBLE - qt.df) + 0.5) / (qt.df + 0.5))
+            * (t.tf * {k1p1}))
+           / (t.tf + {k1r} * ({one_m_b}
+                              + (({br} * dl.dl)
+                                 / (tot.toks::DOUBLE / tot.n))))
+         ), 6) AS score
+  FROM tf t JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+  GROUP BY t.doc_id)
+SELECT doc_id, n_hit, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::bigint
+         AS bm25_rank
+FROM scored
+QUALIFY bm25_rank <= {k}
+"""
+
+
 def _layout_placed_cte() -> str:
     """Shared DuckDB CTE replaying layout.synth_word_boxes: the same
     fixed-width slot grid (8 slots x 16 chars, 24-unit gutter before
@@ -3297,6 +3419,8 @@ FROM w
         "token_length_histogram": _token_length_histogram_sql(),
         "robots_filter": _robots_filter_sql(),
         "pq_codebook": _pq_codebook_sql(),
+        "pq_adc_topk": _pq_adc_topk_sql(),
+        "bm25_topk": _bm25_topk_sql(),
         "sequence_pack_chunks": _sequence_pack_chunks_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "domain_stats": _domain_stats_sql(),

@@ -132,6 +132,9 @@ HEADLINE = [
     "dedup_containment",
     "leakage_safe_split",
     "context_windows",
+    # round-5e operators
+    "bm25_topk",
+    "pq_adc_topk",
 ]
 
 

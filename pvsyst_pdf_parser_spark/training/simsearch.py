@@ -1107,3 +1107,85 @@ def pq_codebook_stats(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
         )
         .orderBy("subspace", "code")
     )
+
+
+def pq_adc_lut(
+    emb: DataFrame, n_queries: int = 5, m: int = PQ_M, k: int = PQ_K,
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, subspace, code, d): the ADC lookup table — squared L2
+    distance from each EXACT query subvector to every codebook entry
+    (Jégou et al. 2011 §III.B, "asymmetric" because only the database
+    side is quantized).
+
+    ‖q_s − c‖² is expanded as a fixed-order per-element sum
+    ((q₁−c₁)² + (q₂−c₂)² + …, left-associated), so the DuckDB oracle
+    replays the float chain EXACTLY — no cross-engine ulp drift enters
+    before the final rounding.  One projection over the n_queries rows
+    exploding an M×K literal-struct array: the table is
+    n_queries × M × K rows (≤ 640 here), broadcast-sized at any corpus
+    scale — queries are a constant, never the corpus."""
+    sub_dim = dim // m
+    entries = []
+    for s in range(m):
+        for c in range(k):
+            cent = pq_centroid_values(s, c, sub_dim)
+            d = None
+            for i, cv in enumerate(cent):
+                e = F.element_at("q", s * sub_dim + i + 1) - F.lit(cv)
+                term = e * e
+                d = term if d is None else d + term
+            entries.append(
+                F.struct(
+                    F.lit(s).alias("subspace"),
+                    F.lit(c).alias("code"),
+                    d.alias("d"),
+                )
+            )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q"),
+    )
+    return queries.select(
+        "query_id", F.explode(F.array(*entries)).alias("e")
+    ).select("query_id", "e.subspace", "e.code", "e.d")
+
+
+def pq_adc_topk(
+    emb: DataFrame, n_queries: int = 5, topk: int = 5, m: int = PQ_M,
+    k: int = PQ_K, dim: int = 64,
+) -> DataFrame:
+    """(query_id, cand_id, adc_dist, adc_rank): top-k nearest database
+    vectors per query by PQ asymmetric distance — the search stage that
+    makes the :func:`pq_encode` codes USEFUL: compressed codes are all
+    the scan touches; exact vectors never leave the query side.
+
+    Plan shape at 10^12 vectors: the code frame is the one corpus-sized
+    input (M rows per vector, produced by the pq_encode map stage); it
+    joins the BROADCAST lut on (subspace, code) — no corpus shuffle —
+    then one groupBy on (query_id, cand_id) with map-side combine sums
+    the M per-subspace terms.  A production variant packs the M codes
+    into one array column and folds the LUT inside the same map stage
+    (per-partition top-k, then a bounded global merge — exact for
+    top-k); the unpacked join form is kept here because it is pure
+    relational algebra the oracle replays row for row.  adc_dist is
+    rounded to 6 dp BEFORE ranking (the cross-engine rank-stability
+    contract used by every scored operator in this module); ties break
+    on cand_id ascending."""
+    codes = pq_encode(emb, m, k, dim).select("vec_id", "subspace", "code")
+    lut = pq_adc_lut(emb, n_queries, m, k, dim)
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), "d")
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("adc_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("adc_rank") <= topk)
+        .select("query_id", "cand_id", "adc_dist", "adc_rank")
+    )

@@ -124,3 +124,66 @@ def inverted_postings(
 def idf_value(n_docs: int, df: int) -> float:
     """Reference scalar for tests: ln((N+1)/(df+1)) + 1."""
     return math.log((n_docs + 1) / (df + 1)) + 1.0
+
+
+def bm25_topk(
+    docs: DataFrame, n_terms: int = 3, skip: int = 1, k: int = 10,
+    k1: float = 1.2, b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, n_hit, score, bm25_rank): top-k documents by BM25
+    (Robertson & Zaragoza 2009, the Okapi weighting) for a
+    deterministic query — the ``n_terms`` terms ranked ``skip+1`` …
+    ``skip+n_terms`` by (df desc, term asc), i.e. mid-frequency terms
+    just below the top stopword, so the scoring is non-degenerate on
+    any corpus without hard-coding vocabulary.
+
+    score(d) = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(q) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Plan shape at 10^12 docs: tf rides the ONE corpus shuffle on
+    (doc_id, term) that every IR operator in this module shares; dl is
+    a same-key-family re-agg of that frame; the query-term table is
+    n_terms rows (broadcast), so the scored frame is ≤ n_terms rows per
+    doc BEFORE the dl join.  N and Σdl are bounded one-row aggregates
+    (the same driver-collect pattern as tfidf_top_terms), and avgdl is
+    their exact-integer quotient, so both engines divide identical
+    integers.  Scores round to 6 dp BEFORE ranking (cross-engine rank
+    stability); ties break on doc_id ascending."""
+    tf = doc_term_counts(docs)
+    df_tbl = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    wt = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    qterms = (
+        df_tbl.withColumn("trk", F.row_number().over(wt))
+        .filter((F.col("trk") > skip) & (F.col("trk") <= skip + n_terms))
+        .drop("trk")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    totals = tf.agg(
+        F.count_distinct("doc_id").alias("n"), F.sum("tf").alias("toks")
+    ).collect()[0]  # bounded one-row aggregate
+    n_docs, total_tokens = int(totals["n"]), int(totals["toks"])
+    avgdl = total_tokens / n_docs
+    hit = tf.join(F.broadcast(qterms), "term").join(dl, "doc_id")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+    ) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    )
+    scored = (
+        hit.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hit"),
+            F.round(F.sum("contrib"), 6).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("bm25_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("bm25_rank") <= k)
+        .select("doc_id", "n_hit", "score", "bm25_rank")
+    )

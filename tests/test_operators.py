@@ -2045,3 +2045,113 @@ def test_context_windows_overlap_and_digests(spark):
         for r in out[doc_id]:
             seg = " ".join(t[r["start"]:r["start"] + r["win_tokens"]])
             assert r["win_md5"] == hashlib.md5(seg.encode()).hexdigest()
+
+
+def test_bm25_topk_matches_python_replay(spark):
+    """BM25 scores, query-term selection, and ranking equal a pure
+    Python Okapi replay with the same constants and rounding."""
+    import math
+
+    from pvsyst_pdf_parser_spark.training.tfidf import bm25_topk
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat near a mat and a cat",
+        "a bird flew over the mat",
+        "cat cat cat cat",
+        "dog dog and dog",
+        "the the the the the",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    k1, b, n_terms, skip = 1.2, 0.75, 3, 1
+    got = {r["doc_id"]: r for r in bm25_topk(
+        docs, n_terms=n_terms, skip=skip, k=10, k1=k1, b=b).collect()}
+    # python replay
+    tf, df = {}, {}
+    for i, t in enumerate(texts):
+        for w in t.split():
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    ranked_terms = sorted(df, key=lambda w: (-df[w], w))
+    qterms = ranked_terms[skip:skip + n_terms]
+    dl = {}
+    for (i, _), c in tf.items():
+        dl[i] = dl.get(i, 0) + c
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    scores = {}
+    for i in dl:
+        s, hits = 0.0, 0
+        for w in qterms:
+            c = tf.get((i, w), 0)
+            if not c:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+            s += idf * (c * (k1 + 1.0)) / (
+                c + k1 * (1.0 - b + b * dl[i] / avgdl)
+            )
+        if hits:
+            scores[i] = (hits, round(s, 6))
+    assert set(got) == set(scores)
+    for i, (hits, s) in scores.items():
+        assert got[i]["n_hit"] == hits
+        assert abs(got[i]["score"] - s) < 1e-9
+    order = sorted(scores, key=lambda i: (-scores[i][1], i))
+    for rank, i in enumerate(order, 1):
+        assert got[i]["bm25_rank"] == rank
+
+
+def test_pq_adc_topk_matches_numpy_replay(spark):
+    """ADC distances equal the lut-summed replay over the replayed
+    codes; ranking is (rounded dist asc, cand_id asc); self excluded."""
+    import numpy as np
+
+    from pvsyst_pdf_parser_spark.training.simsearch import (
+        PQ_K,
+        PQ_M,
+        pq_adc_topk,
+        pq_centroid_values,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(30)
+    n_queries, topk = 3, 4
+    got = pq_adc_topk(emb, n_queries=n_queries, topk=topk).collect()
+    sub_dim = 64 // PQ_M
+    C = np.array(
+        [[pq_centroid_values(s, c, sub_dim) for c in range(PQ_K)]
+         for s in range(PQ_M)]
+    )
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in emb.collect()}
+    codes = {}
+    for vid, x in vecs.items():
+        codes[vid] = [
+            int(np.argmin(((C[s] - x[s * sub_dim:(s + 1) * sub_dim]) ** 2)
+                          .sum(axis=1)))
+            for s in range(PQ_M)
+        ]
+    expected = {}
+    for q in range(n_queries):
+        dists = []
+        for cand, cc in codes.items():
+            if cand == q:
+                continue
+            d = 0.0
+            for s in range(PQ_M):
+                qs = vecs[q][s * sub_dim:(s + 1) * sub_dim]
+                d += float(((qs - C[s][cc[s]]) ** 2).sum())
+            dists.append((round(d, 6), cand))
+        dists.sort()
+        expected[q] = dists[:topk]
+    assert len(got) == n_queries * topk
+    for r in got:
+        d, cand = expected[r["query_id"]][r["adc_rank"] - 1]
+        assert r["cand_id"] == cand, (r["query_id"], r["adc_rank"])
+        assert abs(r["adc_dist"] - d) < 1e-6
