@@ -94,6 +94,18 @@ def _trained_centroids() -> list[list[float]]:
         return json.load(f)["centroids"]
 
 
+def _bpe_merges() -> list:
+    """Frozen BPE merge table (scripts/train_bpe.py).  The committed
+    JSON is the single source of truth: the Spark encoder embeds the
+    merges as closure literals and the DuckDB oracle as chained literal
+    replaces — the trained-tokenizer analog of the IVF centroids
+    fixture."""
+    import json
+
+    with open(os.path.join(_REPO, "fixtures", "bpe_merges.json")) as f:
+        return [tuple(m) for m in json.load(f)["merges"]]
+
+
 def _quality_model() -> dict:
     """Frozen hashed-BoW quality classifier (scripts/train_quality.py):
     class-balanced logistic GD over rule-gate weak labels, weights
@@ -222,6 +234,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # database side, exact subvectors on the query side, the lut
         # broadcast — the search stage on top of pq_encode
         "pq_adc_topk": lambda s, d: S.pq_adc_topk(_emb(s, d)),
+        # BPE inference with the FROZEN trained merge table
+        # (fixtures/bpe_merges.json, scripts/train_bpe.py): per-doc
+        # token counts + an md5 of the full encoded stream
+        "bpe_encode": lambda s, d: B.bpe_encode_stats(
+            _docs(s, d), _bpe_merges()
+        ),
         # round-5c operators (never yet verified — run early):
         # hard-negative mining for contrastive training: per query, the
         # top-k most-similar candidates BELOW the near-dup threshold,
@@ -1964,6 +1982,38 @@ QUALIFY bm25_rank <= {k}
 """
 
 
+def _bpe_encode_sql(max_word_len: int | None = None) -> str:
+    """DuckDB replay of bpe.bpe_encode_stats: the same word contract
+    (lowercase [a-z]+, length cap), the same ``[sym]`` bracketized
+    representation, and the SAME chained literal replaces from the
+    frozen merge fixture — so the md5 of the encoded stream verifies
+    every merge decision byte-for-byte."""
+    from pvsyst_pdf_parser_spark.training.bpe import BPE_MAX_WORD_LEN
+
+    cap = BPE_MAX_WORD_LEN if max_word_len is None else max_word_len
+    enc = "regexp_replace(word, '(.)', '[\\1]', 'g')"
+    for a, b in _bpe_merges():
+        enc = f"replace({enc}, '[{a}][{b}]', '[{a}{b}]')"
+    return f"""
+WITH parts AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS p FROM documents),
+rawtok AS (
+  SELECT doc_id, p[i] AS word, i
+  FROM parts, unnest(generate_series(1, len(p))) AS t(i)
+  WHERE p[i] <> ''),
+w AS (
+  SELECT doc_id, i, word FROM rawtok
+  WHERE regexp_full_match(word, '[a-z]+') AND length(word) <= {cap}),
+enc AS (
+  SELECT doc_id, i, {enc} AS enc FROM w)
+SELECT doc_id,
+       count(*)::bigint AS n_words,
+       sum(length(enc) - length(replace(enc, '[', '')))::bigint AS n_tokens,
+       md5(string_agg(enc, '' ORDER BY i)) AS enc_md5
+FROM enc GROUP BY doc_id
+"""
+
+
 def _layout_placed_cte() -> str:
     """Shared DuckDB CTE replaying layout.synth_word_boxes: the same
     fixed-width slot grid (8 slots x 16 chars, 24-unit gutter before
@@ -3421,6 +3471,7 @@ FROM w
         "pq_codebook": _pq_codebook_sql(),
         "pq_adc_topk": _pq_adc_topk_sql(),
         "bm25_topk": _bm25_topk_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         "sequence_pack_chunks": _sequence_pack_chunks_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "domain_stats": _domain_stats_sql(),

@@ -135,6 +135,7 @@ HEADLINE = [
     # round-5e operators
     "bm25_topk",
     "pq_adc_topk",
+    "bpe_encode",
 ]
 
 

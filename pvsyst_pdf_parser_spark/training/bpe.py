@@ -133,3 +133,67 @@ def bpe_train_merges(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("step")
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges: list,
+    max_word_len: int = BPE_MAX_WORD_LEN,
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens, enc_md5): the corpus tokenized with a
+    TRAINED merge table — the inference half of BPE that turns
+    :func:`bpe_train_merges` output into the statistic every training
+    run budgets by (tokens per document), plus an md5 of the full
+    per-doc encoded stream so the oracle verifies every merge decision
+    byte-for-byte, not just the counts.
+
+    Encoding is single-pass merge application in training order: each
+    symbol is wrapped as ``[sym]`` and merge (a, b) is the LITERAL
+    replace ``[a][b]`` → ``[ab]``.  Full bracketing makes the replace
+    boundary-safe (a symbol that merely ends in ``a`` can never match
+    ``[a]``) and non-overlapping left-to-right replace-all reproduces
+    the trainer's greedy left fold (``aaaa`` under (a,a) → ``aa aa``).
+    Words follow the trainer's contract: lowercase ``[a-z]+`` tokens of
+    ≤ ``max_word_len`` chars; everything else is outside the vocab.
+
+    Plan shape at 10^12 docs: the encode is a pure projection (K
+    chained literal replaces, JVM codegen, no Python) over the exploded
+    word frame; the ONLY shuffle is the final doc_id re-agg.  The merge
+    table enters as closure literals — exactly how a production job
+    broadcasts a frozen tokenizer."""
+    words = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
+            ).alias("pos", "word"),
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .filter(F.length("word") <= max_word_len)
+    )
+    enc = F.regexp_replace("word", "(.)", "[$1]")
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+    scored = words.select(
+        "doc_id",
+        "pos",
+        enc.alias("enc"),
+    ).withColumn(
+        "n_tok",
+        (F.length("enc") - F.length(F.replace("enc", F.lit("[")))).cast(
+            "bigint"
+        ),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "enc"))),
+                    lambda s: s["enc"],
+                ),
+                "",
+            )
+        ).alias("enc_md5"),
+    )

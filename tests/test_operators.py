@@ -2155,3 +2155,57 @@ def test_pq_adc_topk_matches_numpy_replay(spark):
         d, cand = expected[r["query_id"]][r["adc_rank"] - 1]
         assert r["cand_id"] == cand, (r["query_id"], r["adc_rank"])
         assert abs(r["adc_dist"] - d) < 1e-6
+
+
+def test_bpe_encode_matches_greedy_fold_replay(spark):
+    """The chained bracket-replace encode equals a per-word greedy
+    left-to-right merge fold (the trainer's semantics), including the
+    boundary case where a symbol merely ENDS in a merge member and the
+    repeated-run case (aaaa under (a,a) -> aa aa)."""
+    import hashlib
+
+    from pvsyst_pdf_parser_spark.training.bpe import bpe_encode_stats
+
+    merges = [("a", "a"), ("l", "l"), ("ll", "o"), ("h", "e"),
+              ("he", "llo"), ("a", "s"), ("as", "h"), ("h", "ash")]
+    texts = [
+        "hello aaaa hash",          # multi-level merges + run greedy
+        "alllo shash chash",        # 'al' ends in 'a'/'l' boundary traps
+        "Mixed CASE hello2 ok",     # contract: non-[a-z]+ words drop
+        "aaa aa a",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    got = {r["doc_id"]: r for r in
+           bpe_encode_stats(docs, merges).collect()}
+
+    def fold(word):
+        syms = list(word)
+        for a, b in merges:
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    import re
+    for i, t in enumerate(texts):
+        words = [w for w in t.lower().split()
+                 if re.fullmatch("[a-z]+", w) and len(w) <= 32]
+        if not words:
+            assert i not in got
+            continue
+        encs = ["".join(f"[{s}]" for s in fold(w)) for w in words]
+        assert got[i]["n_words"] == len(words)
+        assert got[i]["n_tokens"] == sum(len(fold(w)) for w in words)
+        assert got[i]["enc_md5"] == hashlib.md5(
+            "".join(encs).encode()).hexdigest(), (i, encs)
