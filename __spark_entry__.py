@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # database side, exact subvectors on the query side, the lut
         # broadcast — the search stage on top of pq_encode
         "pq_adc_topk": lambda s, d: S.pq_adc_topk(_emb(s, d)),
+        # IVFADC: probed posting lists prune, PQ asymmetric distance
+        # re-scores — the composed billion-scale ANN architecture
+        "ivf_pq_topk": lambda s, d: S.ivf_pq_topk(_emb(s, d)),
         # BPE inference with the FROZEN trained merge table
         # (fixtures/bpe_merges.json, scripts/train_bpe.py): per-doc
         # token counts + an md5 of the full encoded stream
@@ -1982,6 +1985,85 @@ QUALIFY bm25_rank <= {k}
 """
 
 
+def _ivf_pq_topk_sql(
+    n_queries: int = 5, topk: int = 5, n_probe: int = 2
+) -> str:
+    """DuckDB replay of simsearch.ivf_pq_topk (IVFADC): candidates from
+    the probed IVF posting lists (the same rank CTE as the ivf oracles)
+    re-scored by the same PQ code/lut algebra as the pq_adc_topk
+    oracle; both engines round the summed asymmetric distance to 6 dp
+    BEFORE ranking, ties on cand_id ascending."""
+    from pvsyst_pdf_parser_spark.training.simsearch import (
+        PQ_K,
+        PQ_M,
+        _seq_half_norm,
+        pq_centroid_values,
+    )
+
+    sub_dim = 64 // PQ_M
+    rows = []
+    for s in range(PQ_M):
+        for c in range(PQ_K):
+            cent = pq_centroid_values(s, c, sub_dim)
+            lit = "[" + ", ".join(repr(v) for v in cent) + "]::DOUBLE[]"
+            hn = repr(_seq_half_norm(cent))
+            rows.append(f"({s}, {c}, {lit}, {hn})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH {_ivf_rank_cte()},
+home AS (SELECT vec_id AS cand_id, cell FROM r WHERE rk = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM r
+           WHERE rk <= {n_probe} AND vec_id < {n_queries}),
+cand AS (
+  SELECT DISTINCT probes.query_id, home.cand_id
+  FROM probes JOIN home USING (cell)
+  WHERE probes.query_id <> home.cand_id),
+cb(subspace, code, cent, hn) AS (VALUES
+    {values}),
+psc AS (
+  SELECT e.vec_id, cb.subspace, cb.code,
+         list_dot_product(
+           e.embedding[cb.subspace * {sub_dim} + 1
+                       : cb.subspace * {sub_dim} + {sub_dim}]::DOUBLE[],
+           cb.cent) - cb.hn AS score
+  FROM embeddings e, cb),
+pcodes AS (
+  SELECT vec_id AS cand_id, subspace, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY score DESC, code) AS rn
+    FROM psc) WHERE rn = 1),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.subspace, cb.code,
+         list_dot_product(
+           q.embedding[cb.subspace * {sub_dim} + 1
+                       : cb.subspace * {sub_dim} + {sub_dim}]::DOUBLE[],
+           q.embedding[cb.subspace * {sub_dim} + 1
+                       : cb.subspace * {sub_dim} + {sub_dim}]::DOUBLE[])
+         - 2 * list_dot_product(
+             q.embedding[cb.subspace * {sub_dim} + 1
+                         : cb.subspace * {sub_dim} + {sub_dim}]::DOUBLE[],
+             cb.cent)
+         + 2 * cb.hn AS d
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id < {n_queries}) q, cb),
+scored AS (
+  SELECT cand.query_id, cand.cand_id,
+         round(sum(lut.d), 6) AS adc_dist
+  FROM cand
+  JOIN pcodes USING (cand_id)
+  JOIN lut ON lut.query_id = cand.query_id
+          AND lut.subspace = pcodes.subspace
+          AND lut.code = pcodes.code
+  GROUP BY 1, 2)
+SELECT query_id, cand_id, adc_dist,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist ASC, cand_id ASC)::bigint
+         AS adc_rank
+FROM scored
+QUALIFY adc_rank <= {topk}
+"""
+
+
 def _bpe_encode_sql(max_word_len: int | None = None) -> str:
     """DuckDB replay of bpe.bpe_encode_stats: the same word contract
     (lowercase [a-z]+, length cap), the same ``[sym]`` bracketized
@@ -3470,6 +3552,7 @@ FROM w
         "robots_filter": _robots_filter_sql(),
         "pq_codebook": _pq_codebook_sql(),
         "pq_adc_topk": _pq_adc_topk_sql(),
+        "ivf_pq_topk": _ivf_pq_topk_sql(),
         "bm25_topk": _bm25_topk_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "sequence_pack_chunks": _sequence_pack_chunks_sql(),

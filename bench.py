@@ -136,6 +136,7 @@ HEADLINE = [
     "bm25_topk",
     "pq_adc_topk",
     "bpe_encode",
+    "ivf_pq_topk",
 ]
 
 

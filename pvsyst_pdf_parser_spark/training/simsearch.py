@@ -1189,3 +1189,61 @@ def pq_adc_topk(
         .filter(F.col("adc_rank") <= topk)
         .select("query_id", "cand_id", "adc_dist", "adc_rank")
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    topk: int = 5,
+    dim: int = 64,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> DataFrame:
+    """(query_id, cand_id, adc_dist, adc_rank): IVFADC (Jégou et al.
+    2011 §IV) — the coarse quantizer prunes (candidates come only from
+    the query's ``n_probe`` probed posting lists) and PQ asymmetric
+    distance re-scores, so the scan touches ONLY compressed codes of a
+    bounded candidate set.  This composition of :func:`ivf_assign` and
+    :func:`pq_adc_topk`'s scoring stage is the billion-scale ANN
+    architecture in production use (e.g. FAISS ``IVFPQ``).
+
+    Plan shape at 10^12 vectors: home-cell assign and pq_encode are the
+    two map stages the index build already pays (in a real system both
+    are written once, partitioned by cell); the probe join keys on
+    cell (posting-list-bounded, never all-pairs), the candidate frame
+    joins the code frame on cand_id, the lut stays BROADCAST, and ONE
+    (query, cand) agg with map-side combine sums the M terms.  Exact
+    candidate vectors are never read — that is the point of ADC."""
+    home = ivf_assign(emb, dim, n_cells, n_probe=1).select(
+        F.col("vec_id").alias("cand_id"), "cell"
+    )
+    probes = ivf_assign(
+        emb.filter(F.col("vec_id") < n_queries), dim, n_cells,
+        n_probe=n_probe,
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cands = (
+        probes.join(home, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    codes = pq_encode(emb, m, k, dim).select(
+        F.col("vec_id").alias("cand_id"), "subspace", "code"
+    )
+    lut = pq_adc_lut(emb, n_queries, m, k, dim)
+    scored = (
+        cands.join(codes, "cand_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("adc_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("adc_rank") <= topk)
+        .select("query_id", "cand_id", "adc_dist", "adc_rank")
+    )

@@ -2209,3 +2209,66 @@ def test_bpe_encode_matches_greedy_fold_replay(spark):
         assert got[i]["n_tokens"] == sum(len(fold(w)) for w in words)
         assert got[i]["enc_md5"] == hashlib.md5(
             "".join(encs).encode()).hexdigest(), (i, encs)
+
+
+def test_ivf_pq_topk_matches_numpy_replay(spark):
+    """IVFADC = (probed-cell candidate set) ∩ (ADC scoring): the result
+    equals a full numpy replay of both stages, and every returned
+    candidate's home cell is among the query's probed cells."""
+    import numpy as np
+
+    from pvsyst_pdf_parser_spark.training.simsearch import (
+        N_CELLS,
+        PQ_K,
+        PQ_M,
+        centroid_values,
+        ivf_pq_topk,
+        pq_centroid_values,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(40)
+    n_queries, topk, n_probe = 3, 4, 2
+    got = ivf_pq_topk(
+        emb, n_queries=n_queries, topk=topk, n_probe=n_probe
+    ).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in emb.collect()}
+    IC = np.array([centroid_values(64, c) for c in range(N_CELLS)])
+    ihalf = (IC * IC).sum(axis=1) / 2.0
+
+    def cells(x, n):
+        score = IC @ x - ihalf
+        return list(np.argsort(-score, kind="stable")[:n])
+
+    sub_dim = 64 // PQ_M
+    C = np.array(
+        [[pq_centroid_values(s, c, sub_dim) for c in range(PQ_K)]
+         for s in range(PQ_M)]
+    )
+    codes = {
+        vid: [int(np.argmin(((C[s] - x[s * sub_dim:(s + 1) * sub_dim]) ** 2)
+                            .sum(axis=1))) for s in range(PQ_M)]
+        for vid, x in vecs.items()
+    }
+    home = {vid: cells(x, 1)[0] for vid, x in vecs.items()}
+    expected = {}
+    for q in range(n_queries):
+        probed = set(cells(vecs[q], n_probe))
+        dists = []
+        for cand, cc in codes.items():
+            if cand == q or home[cand] not in probed:
+                continue
+            d = 0.0
+            for s in range(PQ_M):
+                qs = vecs[q][s * sub_dim:(s + 1) * sub_dim]
+                d += float(((qs - C[s][cc[s]]) ** 2).sum())
+            dists.append((round(d, 6), cand))
+        dists.sort()
+        expected[q] = dists[:topk]
+    for r in got:
+        d, cand = expected[r["query_id"]][r["adc_rank"] - 1]
+        assert r["cand_id"] == cand, (r["query_id"], r["adc_rank"])
+        assert abs(r["adc_dist"] - d) < 1e-6
+    assert len(got) == sum(min(topk, len(v)) for v in expected.values())
