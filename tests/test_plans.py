@@ -463,3 +463,55 @@ def test_quality_drift_psi_single_lowcard_agg_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "partial_sum" in p  # map-side combine before the bin shuffle
     assert "Join" not in p
+
+
+def test_pq_adc_lut_is_broadcast_never_cartesian(spark):
+    """The ADC lookup table (n_queries × M × K rows) must re-enter the
+    corpus-sized code frame as a BROADCAST join, and the encode path
+    must stay the pq_encode map stage — no cartesian product anywhere
+    (all-pairs rescoring is the failure mode ADC exists to avoid)."""
+    from pvsyst_pdf_parser_spark.training.simsearch import pq_adc_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(pq_adc_topk(emb))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ivf_pq_candidates_are_cell_bounded(spark):
+    """IVFADC must never degenerate to all-pairs: candidates ride the
+    cell-keyed posting-list join and codes join the bounded candidate
+    frame; the lut stays broadcast."""
+    from pvsyst_pdf_parser_spark.training.simsearch import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(ivf_pq_topk(emb))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bm25_query_terms_are_broadcast(spark):
+    """The n_terms query table is constant-bounded and must re-enter
+    the tf frame as a BROADCAST join; the only sort-merge exchange
+    allowed is the corpus-keyed dl join (both sides corpus-sized)."""
+    from pvsyst_pdf_parser_spark.training.tfidf import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(bm25_topk(docs))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bpe_encode_is_jvm_projection_one_agg(spark):
+    """The chained-replace encode is pure JVM codegen over the word
+    explode — no Python in the plan; the only exchange is the final
+    doc_id re-agg."""
+    from pvsyst_pdf_parser_spark.training.bpe import bpe_encode_stats
+
+    import __spark_entry__ as entry
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(bpe_encode_stats(docs, entry._bpe_merges()))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange") <= 2  # partial+final agg exchange pair
