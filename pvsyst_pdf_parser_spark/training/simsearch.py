@@ -1038,10 +1038,11 @@ def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
 
     One numpy matmul per (Arrow batch × subspace) — a pure map stage at
     any corpus size; the codebooks are M×K literals broadcast with the
-    closure.  ‖x_sub‖² is summed SEQUENTIALLY per row so the distortion
-    arithmetic is replayable (numpy's pairwise sum differs in the last
-    ulp from SQL's left-to-right chain; results round to 4 decimals
-    downstream anyway)."""
+    closure.  ‖x_sub‖² is accumulated in LEFT-TO-RIGHT element order
+    (column-wise vectorized adds) so the distortion arithmetic is
+    replayable (numpy's ``sum`` pairwise association differs in the
+    last ulp from SQL's left-to-right chain; results round to 4
+    decimals downstream anyway)."""
     import numpy as np
 
     sub_dim = dim // m
@@ -1067,13 +1068,16 @@ def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
                 score = Es @ C[s].T - half[s]          # n × k
                 codes = np.argmax(score, axis=1)        # first max = low code
                 best = score[np.arange(n), codes]
-                # sequential per-row ‖x_sub‖² (determinism contract)
-                xnorm = np.empty(n)
-                for r in range(n):
-                    acc = 0.0
-                    for v in Es[r]:
-                        acc += float(v) * float(v)
-                    xnorm[r] = acc
+                # sequential-order ‖x_sub‖² (determinism contract):
+                # accumulate COLUMN-wise so the per-row float chain is
+                # the left-associated 0+v₁²+v₂²+… a SQL replay produces,
+                # while every add is a vectorized op across rows (the
+                # per-row Python loop this replaces was the encode
+                # stage's hot spot)
+                xnorm = np.zeros(n)
+                for i in range(sub_dim):
+                    v = Es[:, i]
+                    xnorm = xnorm + v * v
                 out_vid.append(pdf["vec_id"].values)
                 out_sub.append(np.full(n, s, dtype="int32"))
                 out_code.append(codes.astype("int32"))
@@ -1118,37 +1122,56 @@ def pq_adc_lut(
     (Jégou et al. 2011 §III.B, "asymmetric" because only the database
     side is quantized).
 
-    ‖q_s − c‖² is expanded as a fixed-order per-element sum
-    ((q₁−c₁)² + (q₂−c₂)² + …, left-associated), so the DuckDB oracle
-    replays the float chain EXACTLY — no cross-engine ulp drift enters
-    before the final rounding.  One projection over the n_queries rows
-    exploding an M×K literal-struct array: the table is
+    ‖q_s − c‖² is a fixed-order per-element sum (0 + (q₁−c₁)² +
+    (q₂−c₂)² + …, left-associated — ``aggregate``'s fold order), so the
+    DuckDB oracle replays the float chain EXACTLY — no cross-engine ulp
+    drift enters before the final rounding.  One projection over the
+    n_queries rows exploding an M×K index range against ONE
+    constant-folded codebook literal: the table is
     n_queries × M × K rows (≤ 640 here), broadcast-sized at any corpus
-    scale — queries are a constant, never the corpus."""
+    scale — queries are a constant, never the corpus.
+
+    The codebook enters as a single ``array<array<double>>`` literal
+    and the distance as an ``aggregate`` fold (a codegen LOOP), not an
+    unrolled M×K×sub_dim expression tree: the unrolled form blew past
+    Janino's method-size limit (whole-stage codegen compile failure →
+    interpreted fallback) and shipped a ~1.7 MiB task binary."""
     sub_dim = dim // m
-    entries = []
-    for s in range(m):
-        for c in range(k):
-            cent = pq_centroid_values(s, c, sub_dim)
-            d = None
-            for i, cv in enumerate(cent):
-                e = F.element_at("q", s * sub_dim + i + 1) - F.lit(cv)
-                term = e * e
-                d = term if d is None else d + term
-            entries.append(
-                F.struct(
-                    F.lit(s).alias("subspace"),
-                    F.lit(c).alias("code"),
-                    d.alias("d"),
-                )
-            )
+    cents = F.lit([
+        pq_centroid_values(s, c, sub_dim)
+        for s in range(m)
+        for c in range(k)
+    ])  # entry s*k + c; all-literal, folded to one Literal node
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("q"),
     )
-    return queries.select(
-        "query_id", F.explode(F.array(*entries)).alias("e")
-    ).select("query_id", "e.subspace", "e.code", "e.d")
+    exploded = queries.select(
+        "query_id",
+        "q",
+        F.explode(F.sequence(F.lit(0), F.lit(m * k - 1))).alias("idx"),
+    ).select(
+        "query_id",
+        "q",
+        F.expr(f"idx div {k}").cast("int").alias("subspace"),
+        F.pmod("idx", F.lit(k)).cast("int").alias("code"),
+        F.element_at(cents, F.col("idx") + 1).alias("cent"),
+    )
+
+    def _sq_l2_term(acc, i):
+        e = F.element_at(F.col("q"), (
+            F.col("subspace") * sub_dim + i
+        ).cast("int")) - F.element_at(F.col("cent"), i)
+        return acc + e * e
+
+    return exploded.select(
+        "query_id",
+        "subspace",
+        "code",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(sub_dim)), F.lit(0.0), _sq_l2_term
+        ).alias("d"),
+    )
 
 
 def pq_adc_topk(
