@@ -430,29 +430,31 @@ def shard_assignment_stats(docs: DataFrame, n_shards: int = 16) -> DataFrame:
     longest-processing-time heuristic's sortless cousin; serpentine
     assignment cancels the systematic bias plain round-robin has when
     sizes are sorted (shard 0 would get the largest doc of EVERY pass).
-    Deterministic, one window over a global sort of (bytes, id) pairs
-    only — the text itself never shuffles; the verdict joins back by
-    doc_id.
+    Deterministic, one global rank over (bytes, id) pairs only — the
+    text itself never shuffles; the verdict joins back by doc_id.
 
     Report per shard: n_docs, total_bytes, and the max/mean byte ratio
     ("balance"; 1.0 = perfect) replicated on every row for the gate.
-    At 10^12 docs swap the exact global rank for a sampled
-    range-partitioner cut (rank only orders the deal; approximate
-    ranks keep the same balance guarantee in expectation)."""
-    from pyspark.sql import Window
+    The global LPT rank is EXACT and distributed
+    (:func:`rankutil.global_row_number`: range exchange → local rank →
+    bounded offset join) — no single-partition window ever sees the
+    corpus-sized (bytes, id) frame."""
+    from .rankutil import global_row_number
 
     base = docs.select(
         "doc_id", F.length("text").cast("bigint").alias("n_bytes")
     )
-    w = Window.orderBy(F.col("n_bytes").desc(), "doc_id")
-    r0 = F.row_number().over(w) - 1  # 0-based LPT rank
+    ranked_base = global_row_number(
+        base, [F.col("n_bytes").desc(), F.col("doc_id").asc()], "_grank"
+    )
+    r0 = F.col("_grank") - 1  # 0-based LPT rank
     pass_idx = F.floor(r0 / n_shards)
     pos = r0 % n_shards
     shard = F.when(
         pass_idx % 2 == 0, pos
     ).otherwise(n_shards - 1 - pos).cast("int")
     per_shard = (
-        base.withColumn("shard", shard)
+        ranked_base.withColumn("shard", shard)
         .groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),

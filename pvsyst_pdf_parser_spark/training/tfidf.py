@@ -31,6 +31,8 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from .rankutil import topk_with_rank
+
 
 def doc_term_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, term, tf): whitespace tokens of the lowercased text."""
@@ -85,7 +87,9 @@ def inverted_postings(
     in ascending order, comma-joined (string so the value-hash compare
     is order-exact).
 
-    Term selection by (df desc, term asc); the per-term doc list is
+    Term selection by (df desc, term asc) via ``TakeOrderedAndProject``
+    (distributed top-k — the vocabulary-sized df table never funnels
+    through a single-partition window); the per-term doc list is
     capped BEFORE aggregation by a doc_id-ordered window, so no
     posting list ever materializes unbounded on one task — the guard a
     real index build needs for stopwords, whose postings would
@@ -94,12 +98,9 @@ def inverted_postings(
     df_tbl = appears.groupBy("term").agg(
         F.count("*").cast("bigint").alias("df")
     )
-    wt = Window.orderBy(F.col("df").desc(), F.col("term").asc())
-    top_terms = (
-        df_tbl.withColumn("trank", F.row_number().over(wt))
-        .filter(F.col("trank") <= top_n)
-        .drop("trank")
-    )
+    top_terms = df_tbl.orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    ).limit(top_n)
     wd = Window.partitionBy("term").orderBy("doc_id")
     capped = (
         appears.join(F.broadcast(top_terms), "term")
@@ -147,16 +148,19 @@ def bm25_topk(
     doc BEFORE the dl join.  N and Σdl are bounded one-row aggregates
     (the same driver-collect pattern as tfidf_top_terms), and avgdl is
     their exact-integer quotient, so both engines divide identical
-    integers.  Scores round to 6 dp BEFORE ranking (cross-engine rank
+    integers.  Both global ranks (query-term selection over the
+    vocabulary, final doc top-k over the hit set) run through
+    ``TakeOrderedAndProject`` — no single-partition window anywhere.
+    Scores round to 6 dp BEFORE ranking (cross-engine rank
     stability); ties break on doc_id ascending."""
     tf = doc_term_counts(docs)
     df_tbl = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
-    wt = Window.orderBy(F.col("df").desc(), F.col("term").asc())
-    qterms = (
-        df_tbl.withColumn("trk", F.row_number().over(wt))
-        .filter((F.col("trk") > skip) & (F.col("trk") <= skip + n_terms))
-        .drop("trk")
-    )
+    qterms = topk_with_rank(
+        df_tbl,
+        [F.col("df").desc(), F.col("term").asc()],
+        skip + n_terms,
+        "trk",
+    ).filter(F.col("trk") > skip).drop("trk")
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     totals = tf.agg(
         F.count_distinct("doc_id").alias("n"), F.sum("tf").alias("toks")
@@ -181,9 +185,10 @@ def bm25_topk(
             F.round(F.sum("contrib"), 6).alias("score"),
         )
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("bm25_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("bm25_rank") <= k)
-        .select("doc_id", "n_hit", "score", "bm25_rank")
-    )
+    return topk_with_rank(
+        scored,
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        k,
+        "bm25_rank",
+        rank_type="bigint",
+    ).select("doc_id", "n_hit", "score", "bm25_rank")

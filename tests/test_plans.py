@@ -515,3 +515,68 @@ def test_bpe_encode_is_jvm_projection_one_agg(spark):
     p = _plan(bpe_encode_stats(docs, entry._bpe_merges()))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("Exchange") <= 2  # partial+final agg exchange pair
+
+
+def test_global_ranks_never_single_partition_window(spark):
+    """Corpus- and vocabulary-sized global ranks must plan as
+    TakeOrderedAndProject (top-k paths: BM25's two ranked selections,
+    the posting-list term cut) or as a range exchange + local rank +
+    broadcast offset join (shard_assignment's every-row LPT rank) —
+    never as an unpartitioned window over the full frame."""
+    import pyspark.sql.functions as F
+
+    from pvsyst_pdf_parser_spark.training.cache import release_persisted
+    from pvsyst_pdf_parser_spark.training.sampling import (
+        shard_assignment_stats,
+    )
+    from pvsyst_pdf_parser_spark.training.tfidf import (
+        bm25_topk,
+        inverted_postings,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    try:
+        p = _plan(bm25_topk(docs))
+        assert "TakeOrderedAndProject" in p
+        p = _plan(inverted_postings(docs))
+        assert "TakeOrderedAndProject" in p
+
+        p = _plan(shard_assignment_stats(docs))
+        assert "rangepartitioning" in p.lower()  # the sampled range exchange
+        # every Window in the plan is either partition-local (_gpart) or
+        # over the bounded per-partition offset table — no corpus-sized
+        # global sort into one task
+        assert "Window" in p and "_gpart" in p
+    finally:
+        release_persisted()
+
+
+def test_global_row_number_matches_single_task_rank(spark):
+    """global_row_number must be byte-identical to the unpartitioned
+    window it replaces, including across range-partition boundaries."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from pvsyst_pdf_parser_spark.training.cache import release_persisted
+    from pvsyst_pdf_parser_spark.training.rankutil import global_row_number
+
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(31)).alias("k"),
+    )
+    order = [F.col("k").desc(), F.col("id").asc()]
+    try:
+        got = {
+            r["id"]: r["rk"]
+            for r in global_row_number(df, order, "rk", num_partitions=7)
+            .collect()
+        }
+    finally:
+        release_persisted()
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+        ).collect()
+    }
+    assert got == want
