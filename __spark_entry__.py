@@ -494,6 +494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # the whole cleaning decision (lang + quality + dedup) per source
         "cleaning_funnel": lambda s, d: X.cleaning_funnel_stats(_docs(s, d)),
+        # JL ±1 random-projection recall report (Achlioptas 2003):
+        # recall@k of cosine top-k in 16-dim projected space vs the
+        # 64-dim brute-force truth — the measured cost of 4× embedding
+        # compression on this corpus
+        "ann_jl_recall": lambda s, d: S.jl_recall_report(_emb(s, d)),
     }
 
 
@@ -2881,6 +2886,54 @@ SELECT {n_queries} AS n_queries, {k} AS k,
 """
 
 
+def _ann_jl_recall_sql(
+    n_queries: int = 20, k: int = 5, dim: int = 64, out_dim: int = 16
+) -> str:
+    """DuckDB replay of simsearch.jl_recall_report: the SAME ±1 sign
+    arrays (driver-side jl_sign_values, embedded as literals on both
+    engines) project every embedding to out_dim components via
+    list_dot_product; truth and projected-space top-k both rank by
+    (round(cos, 3) DESC, cand_id)."""
+    signs = ", ".join(
+        "["
+        + ", ".join(repr(v) for v in S.jl_sign_values(dim, j))
+        + "]::DOUBLE[]"
+        for j in range(out_dim)
+    )
+    proj = ", ".join(
+        f"list_dot_product(embedding::DOUBLE[], s.signs[{j + 1}])"
+        for j in range(out_dim)
+    )
+    return f"""
+WITH s AS (SELECT [{signs}] AS signs),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS cand_id, embedding FROM embeddings),
+ts AS (SELECT query_id, cand_id, {_cos_sql("q_emb", "embedding")} AS cos_sim
+       FROM q CROSS JOIN c WHERE query_id <> cand_id),
+truth AS (SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id) AS rank
+    FROM ts) WHERE rank <= {k}),
+pj AS (SELECT vec_id, [{proj}] AS proj FROM embeddings, s),
+ps AS (SELECT pq.vec_id AS query_id, pc.vec_id AS cand_id,
+              {_cos_sql("pq.proj", "pc.proj")} AS cos_sim
+       FROM pj pq CROSS JOIN pj pc
+       WHERE pq.vec_id < {n_queries} AND pq.vec_id <> pc.vec_id),
+approx AS (SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id) AS rank
+    FROM ps) WHERE rank <= {k}),
+hits AS (SELECT t.query_id, t.cand_id
+         FROM truth t JOIN approx a USING (query_id, cand_id))
+SELECT {out_dim} AS out_dim, {n_queries} AS n_queries, {k} AS k,
+       (SELECT count(*) FROM hits) AS n_hits,
+       (SELECT count(*) FROM truth) AS n_truth,
+       round((SELECT count(*) FROM hits) / (SELECT count(*) FROM truth), 4)
+         AS recall
+"""
+
+
 def _quality_model_sql(tau: float = 0.5) -> str:
     """DuckDB replay of qualitymodel.quality_model_report with the SAME
     frozen fixture weights as array literals: weak label = the 5-rule
@@ -3692,6 +3745,7 @@ SELECT url, kind, n_pages,
          AS total_inverters
 FROM '{_SMOKE_GOLDENS}'
 """,
+        "ann_jl_recall": _ann_jl_recall_sql(),
     }
     # identical fixpoint, different distributed algorithm on the Spark
     # side (min-label propagation vs Kiveris star contraction)

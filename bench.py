@@ -137,6 +137,7 @@ HEADLINE = [
     "pq_adc_topk",
     "bpe_encode",
     "ivf_pq_topk",
+    "ann_jl_recall",
 ]
 
 

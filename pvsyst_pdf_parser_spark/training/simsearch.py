@@ -1270,3 +1270,99 @@ def ivf_pq_topk(
         .filter(F.col("adc_rank") <= topk)
         .select("query_id", "cand_id", "adc_dist", "adc_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (database-friendly ±1 variant,
+# Achlioptas 2003 JCSS "Database-friendly random projections").  Projecting
+# 64-dim embeddings onto out_dim ±1 hyperplanes preserves pairwise angles
+# up to JL distortion while cutting every downstream ANN/dedup dot product
+# by dim/out_dim — the standard pre-index compression step when the
+# embedding column, not the candidate count, dominates cost.  Signs come
+# from the same two-round multiply-mod-2^31 mix as plane_values (a salt
+# keeps them independent of the LSH planes) and are embedded as ±1.0
+# LITERAL arrays on BOTH engines, so the projection is one constant-folded
+# zip_with dot per component — pure JVM, no Python, no shuffle.  The ±1
+# scheme needs no 1/sqrt(out_dim) scale for cosine (scale cancels), which
+# also keeps every projected component an exact sum of the input floats —
+# no irrational scale factor for cross-engine drift to hide in.
+
+_JL_SALT = 777767777
+
+
+def jl_sign_values(dim: int, j: int) -> list:
+    """Component signs (±1) of JL hyperplane j, driver-side integer-only
+    arithmetic shared verbatim with the DuckDB oracle builder."""
+    out = []
+    for i in range(1, dim + 1):
+        h1 = (i * 2654435761 + (j + 1) * 1013904223 + _JL_SALT) % 2147483648
+        h2 = (h1 * 2654435761) % 2147483648
+        out.append(float(((h2 >> 7) % 2) * 2 - 1))
+    return out
+
+
+def jl_sign_expr(dim: int, j: int):
+    return F.array(*[F.lit(v) for v in jl_sign_values(dim, j)])
+
+
+def jl_project(emb: DataFrame, dim: int = 64, out_dim: int = 16) -> DataFrame:
+    """(vec_id, proj: array<double>) — out_dim ±1-hyperplane components.
+
+    Each component is one zip_with/aggregate dot against a literal sign
+    array (constant-folded by Catalyst, codegen'd, zero shuffle): a pure
+    map stage whatever the corpus size, exactly like pq_encode."""
+    comps = [
+        _dot(F.col("embedding"), jl_sign_expr(dim, j)) for j in range(out_dim)
+    ]
+    return emb.select("vec_id", F.array(*comps).alias("proj"))
+
+
+def jl_recall_report(
+    emb: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    dim: int = 64,
+    out_dim: int = 16,
+) -> DataFrame:
+    """recall@k of cosine top-k computed in JL-projected space vs the
+    full-dimension brute-force truth: one row
+    (out_dim, n_queries, k, n_hits, n_truth, recall) — the measured
+    answer to "how many projected dims does THIS corpus need".  Both
+    spaces rank by (round(cos, 3) DESC, cand_id) so float noise cannot
+    reorder the cross-engine comparison.  The projected-space search
+    here is the brute-force demo form; at scale the projected frame
+    feeds the same multiband/IVF indexes (the report quantifies the
+    recall cost of the compression alone)."""
+    truth = brute_force_topk(emb, n_queries=n_queries, k=k).select(
+        "query_id", "cand_id"
+    )
+    proj = jl_project(emb, dim=dim, out_dim=out_dim)
+    queries = proj.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("proj").alias("q_proj")
+    )
+    cands = proj.select(F.col("vec_id").alias("cand_id"), "proj")
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(cands)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_proj"), F.col("proj")), 3))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id")
+    )
+    hits = truth.join(approx, ["query_id", "cand_id"], "left_semi")
+    return truth.agg(F.count("*").alias("n_truth")).crossJoin(
+        hits.agg(F.count("*").alias("n_hits"))
+    ).select(
+        F.lit(out_dim).alias("out_dim"),
+        F.lit(n_queries).alias("n_queries"),
+        F.lit(k).alias("k"),
+        "n_hits",
+        "n_truth",
+        F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+    )

@@ -2272,3 +2272,50 @@ def test_ivf_pq_topk_matches_numpy_replay(spark):
         assert r["cand_id"] == cand, (r["query_id"], r["adc_rank"])
         assert abs(r["adc_dist"] - d) < 1e-6
     assert len(got) == sum(min(topk, len(v)) for v in expected.values())
+
+
+def test_jl_recall_report_matches_numpy_replay(spark):
+    """JL projection components equal a numpy sign-matrix replay, and
+    the recall row equals a full python re-rank of both spaces (same
+    round-3 + cand_id tie rule)."""
+    import numpy as np
+
+    from pvsyst_pdf_parser_spark.training.simsearch import (
+        jl_project,
+        jl_recall_report,
+        jl_sign_values,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim, out_dim, n_q, k = 64, 16, 10, 5
+    S = np.array([jl_sign_values(dim, j) for j in range(out_dim)])  # (16, 64)
+    X = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+         for r in emb.collect()}
+
+    got = {r["vec_id"]: np.array(r["proj"])
+           for r in jl_project(emb, dim, out_dim).collect()}
+    for vid, x in X.items():
+        assert np.allclose(got[vid], S @ x, atol=1e-9), vid
+
+    def topk(vecs):
+        out = set()
+        for q in range(n_q):
+            scored = sorted(
+                ((-round(float(np.dot(vecs[q], vecs[c]))
+                         / float(np.linalg.norm(vecs[q])
+                                 * np.linalg.norm(vecs[c])), 3), c)
+                 for c in vecs if c != q),
+            )[:k]
+            out |= {(q, c) for _, c in scored}
+        return out
+
+    truth = topk(X)
+    approx = topk({v: S @ x for v, x in X.items()})
+    row = jl_recall_report(emb, n_queries=n_q, k=k, dim=dim,
+                           out_dim=out_dim).collect()[0]
+    assert row["n_truth"] == len(truth) == n_q * k
+    assert row["n_hits"] == len(truth & approx)
+    assert abs(row["recall"] - round(row["n_hits"] / row["n_truth"], 4)) < 1e-9
+    # projection onto 16 ±1 planes must do real work but not destroy
+    # neighborhoods: recall strictly between 0 and 1 on this corpus
+    assert 0.0 < row["recall"] < 1.0
