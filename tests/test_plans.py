@@ -580,3 +580,17 @@ def test_global_row_number_matches_single_task_rank(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_jl_projection_is_literal_map_stage(spark):
+    """jl_project must stay a pure JVM projection: the ±1 sign arrays
+    enter as constant-folded literals (no per-row sequence/transform
+    rebuild), no Python eval, and ZERO exchanges — the projection is a
+    free map stage over the trillion-row embedding table."""
+    from pvsyst_pdf_parser_spark.training.simsearch import jl_project
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(jl_project(emb))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
+    assert "sequence(" not in p  # literals folded at plan time
