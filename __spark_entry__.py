@@ -226,6 +226,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mix composed over ONE documents scan (plan-gated in
         # tests/test_plans.py) — the full cleaning-run decision
         "corpus_build": lambda s, d: C.corpus_build_report(_docs(s, d)),
+        # JL ±1 random-projection recall report (Achlioptas 2003):
+        # recall@k of cosine top-k in 16-dim projected space vs the
+        # 64-dim brute-force truth — the measured cost of 4× embedding
+        # compression on this corpus (never driver-verified: run early)
+        "ann_jl_recall": lambda s, d: S.jl_recall_report(_emb(s, d)),
         # round-5d operators (never yet verified — run early):
         # BM25 retrieval for a deterministic mid-frequency query-term
         # set — the search stage on top of the postings machinery
@@ -494,11 +499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # the whole cleaning decision (lang + quality + dedup) per source
         "cleaning_funnel": lambda s, d: X.cleaning_funnel_stats(_docs(s, d)),
-        # JL ±1 random-projection recall report (Achlioptas 2003):
-        # recall@k of cosine top-k in 16-dim projected space vs the
-        # 64-dim brute-force truth — the measured cost of 4× embedding
-        # compression on this corpus
-        "ann_jl_recall": lambda s, d: S.jl_recall_report(_emb(s, d)),
     }
 
 
