@@ -45,6 +45,7 @@ from pvsyst_pdf_parser_spark.training import textstats as X  # noqa: E402
 from pvsyst_pdf_parser_spark.training import tfidf as TI  # noqa: E402
 from pvsyst_pdf_parser_spark.training import urlnorm as U  # noqa: E402
 from pvsyst_pdf_parser_spark.training import webclean as W  # noqa: E402
+from pvsyst_pdf_parser_spark.training import zorder as Z  # noqa: E402
 from pvsyst_pdf_parser_spark.text import layout as LY  # noqa: E402
 from pvsyst_pdf_parser_spark.training.hashing import (  # noqa: E402
     MERSENNE_P,
@@ -231,6 +232,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 64-dim brute-force truth — the measured cost of 4× embedding
         # compression on this corpus (never driver-verified: run early)
         "ann_jl_recall": lambda s, d: S.jl_recall_report(_emb(s, d)),
+        # round-5e operators (never yet verified — run early):
+        # trigram Stupid Backoff LM scoring (Brants 2007) over pruned
+        # broadcast n-gram tables — one order past the bigram scorer
+        "text_trigram_backoff": lambda s, d: X.trigram_backoff_scores(
+            _docs(s, d)
+        ),
+        # Efraimidis–Spirakis weighted sampling without replacement as
+        # a distributed TakeOrdered top-k (weight = token count)
+        "weighted_sample_topk": lambda s, d: SA.weighted_sample_topk(
+            _docs(s, d)
+        ),
+        # Morton-key (z-order) layout: per-output-file min/max bounding
+        # boxes over (source-hash, length-bucket) — the two-dimension
+        # file-skipping layout for the Iceberg write path
+        "zorder_layout": lambda s, d: Z.zorder_file_stats(_docs(s, d)),
+        # salted replicated JOIN for the skewed fact key — the join-
+        # side twin of salted_hot_key_agg; oracle is the plain join
+        "salted_skew_join": Q.salted_skew_join,
         # round-5d operators (never yet verified — run early):
         # BM25 retrieval for a deterministic mid-frequency query-term
         # set — the search stage on top of the postings machinery
@@ -3084,6 +3103,130 @@ FROM np
 """
 
 
+def _trigram_backoff_sql(
+    top_m3: int = 4096, top_m2: int = 4096, backoff: float = 0.4
+) -> str:
+    """DuckDB replay of textstats.trigram_backoff_scores: same pruned
+    top-m n-gram tables (count-desc, lexicographic tie-break), same
+    Stupid Backoff chain and 0.4 factors, same 4-decimal round."""
+    b = repr(float(backoff))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+toku AS (SELECT doc_id, u.tok FROM base, unnest(t) AS u(tok)),
+uni AS (SELECT tok, count(*) AS c1 FROM toku GROUP BY tok),
+tot AS (SELECT sum(c1)::double AS n_total FROM uni),
+pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM base, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+bi AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+  ORDER BY c12 DESC, w1, w2 LIMIT {top_m2}),
+triples AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+  FROM base, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3),
+tri AS (
+  SELECT w1, w2, w3, count(*) AS c123 FROM triples GROUP BY w1, w2, w3
+  ORDER BY c123 DESC, w1, w2, w3 LIMIT {top_m3}),
+scored AS (
+  SELECT tr.doc_id,
+         CASE WHEN t3.c123 IS NOT NULL AND bc.c12 IS NOT NULL
+              THEN 1 ELSE 0 END AS tri_hit,
+         CASE WHEN bb.c12 IS NOT NULL THEN 1 ELSE 0 END AS bi_hit,
+         CASE WHEN t3.c123 IS NOT NULL AND bc.c12 IS NOT NULL
+              THEN ln(t3.c123 / bc.c12)
+              WHEN bb.c12 IS NOT NULL
+              THEN ln({b} * bb.c12 / u2.c1)
+              ELSE ln({b} * {b} * u3.c1 / tot.n_total) END AS lp
+  FROM triples tr
+  LEFT JOIN tri t3
+    ON t3.w1 = tr.w1 AND t3.w2 = tr.w2 AND t3.w3 = tr.w3
+  LEFT JOIN bi bc ON bc.w1 = tr.w1 AND bc.w2 = tr.w2
+  LEFT JOIN bi bb ON bb.w1 = tr.w2 AND bb.w2 = tr.w3
+  JOIN uni u2 ON u2.tok = tr.w2
+  JOIN uni u3 ON u3.tok = tr.w3, tot)
+SELECT doc_id, count(*)::bigint AS n_trigrams,
+       sum(tri_hit)::bigint AS n_tri_hits,
+       sum(CASE WHEN tri_hit = 0 THEN bi_hit ELSE 0 END)::bigint
+         AS n_bi_hits,
+       round(avg(lp), 4) AS avg_lp
+FROM scored GROUP BY doc_id
+"""
+
+
+def _weighted_sample_sql(k: int = 40) -> str:
+    """DuckDB replay of sampling.weighted_sample_topk: the same
+    md5-uniform, the same IEEE double chain ln(u)/w, the same
+    (key desc, doc_id) total order."""
+    h = _H56.format(expr="doc_id::varchar")
+    denom = repr(float(1 << 56))
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         greatest(1, len(list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '')))::bigint AS weight,
+         ln(({h} + 1) / {denom})
+           / greatest(1, len(list_filter(string_split(lower(text), ' '),
+                                         x -> x <> '')))::bigint AS es_key
+  FROM documents),
+top AS (
+  SELECT doc_id, source, weight, es_key
+  FROM keyed ORDER BY es_key DESC, doc_id LIMIT {k})
+SELECT doc_id, source, weight,
+       row_number() OVER (ORDER BY es_key DESC, doc_id)::bigint
+         AS sel_rank,
+       round(es_key, 6) AS es_key_r
+FROM top ORDER BY sel_rank
+"""
+
+
+def _zorder_layout_sql(n_files: int = 16) -> str:
+    """DuckDB replay of zorder.zorder_file_stats: identical bucketize
+    → Morton bit-interleave → fixed-width range split arithmetic."""
+    h = _H56.format(expr="source::varchar")
+    terms = " + ".join(
+        f"(((a >> {i}) & 1) * {1 << (2 * i + 1)})"
+        f" + (((b >> {i}) & 1) * {1 << (2 * i)})"
+        for i in range(8)
+    )
+    cell = (1 << 16) // n_files
+    return f"""
+WITH keyed AS (
+  SELECT ({h} % 256)::bigint AS a,
+         least(255, n_chars // 64)::bigint AS b
+  FROM documents),
+zed AS (SELECT a, b, ({terms})::bigint AS z FROM keyed),
+f AS (SELECT a, b, z, (z // {cell})::bigint AS file_id FROM zed)
+SELECT file_id, count(*)::bigint AS n_docs,
+       min(a) AS a_min, max(a) AS a_max,
+       min(b) AS b_min, max(b) AS b_max,
+       min(z) AS z_min, max(z) AS z_max
+FROM f GROUP BY file_id ORDER BY file_id
+"""
+
+
+def _salted_skew_join_sql() -> str:
+    """Oracle for demo_queries.salted_skew_join: the PLAIN unsalted
+    join — salting must be result-invariant, which is the assertion."""
+    h = _H56.format(expr="event_type")
+    return f"""
+WITH dim AS (
+  SELECT event_type, ({h} % 1000)::bigint AS weight_ppk
+  FROM (SELECT DISTINCT event_type FROM events)),
+fact AS (
+  SELECT event_type, floor(value * 1000)::bigint AS v_milli FROM events)
+SELECT f.event_type, count(*)::bigint AS n_events,
+       sum(f.v_milli)::bigint AS sum_v_milli,
+       (sum(f.v_milli) * min(d.weight_ppk))::bigint AS weighted_milli_ppk
+FROM fact f JOIN dim d ON d.event_type = f.event_type
+GROUP BY f.event_type ORDER BY f.event_type
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     g = _H56
     out = {
@@ -3746,6 +3889,10 @@ SELECT url, kind, n_pages,
 FROM '{_SMOKE_GOLDENS}'
 """,
         "ann_jl_recall": _ann_jl_recall_sql(),
+        "text_trigram_backoff": _trigram_backoff_sql(),
+        "weighted_sample_topk": _weighted_sample_sql(),
+        "zorder_layout": _zorder_layout_sql(),
+        "salted_skew_join": _salted_skew_join_sql(),
     }
     # identical fixpoint, different distributed algorithm on the Spark
     # side (min-label propagation vs Kiveris star contraction)

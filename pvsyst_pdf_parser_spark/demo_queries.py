@@ -383,3 +383,63 @@ def two_level_unnest(spark, sf_dir):
     return lvl2.groupBy("p_partkey").agg(
         F.count("*").alias("n_combos"), F.sum(F.col("i") * F.col("j")).alias("weighted")
     )
+
+
+def salted_skew_join(spark, sf_dir, n_salts: int = 16):
+    """Salted replicated JOIN for a skewed fact key — the join-side
+    twin of :func:`salted_hot_key_agg` (that one salts a groupBy; this
+    salts a shuffle join, the second skew shape the north rule calls
+    out).
+
+    ``events.event_type`` is the hot key: a plain shuffle join on it
+    funnels every row of a hot type through ONE reducer task.  The
+    pattern (public Spark practice for dims too large to broadcast):
+    explode the dim side ×``n_salts`` replicas, salt the fact side
+    deterministically with ``pmod(xxhash64(event_id), n_salts)``, and
+    join on (key, salt) — each hot key now spreads across ``n_salts``
+    reducers, at the bounded cost of ``n_dim × n_salts`` replicated dim
+    rows.  ``hint("shuffle_hash")`` pins the shuffled-join plan so the
+    demo exercises the salted exchange even when the demo-sized dim
+    would auto-broadcast (at real scale the hint is the default plan).
+
+    Results are identical to the plain unsalted join, which is exactly
+    what the oracle asserts.  All output measures are exact integers
+    (floor(value*1000) per row before summing), so partial-sum order
+    can never move the driver's value hash."""
+    from .training.hashing import md5_56
+
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (md5_56(F.col("event_type")) % 1000).alias("weight_ppk"),
+        )
+    )
+    dim_salted = dim.select(
+        "event_type",
+        "weight_ppk",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_salts - 1))
+        ).alias("salt"),
+    )
+    fact = ev.select(
+        "event_type",
+        F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).alias("salt"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v_milli"),
+    )
+    joined = fact.hint("shuffle_hash").join(
+        dim_salted, ["event_type", "salt"]
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("v_milli").cast("bigint").alias("sum_v_milli"),
+            (F.sum("v_milli") * F.first("weight_ppk"))
+            .cast("bigint")
+            .alias("weighted_milli_ppk"),
+        )
+        .orderBy("event_type")
+    )

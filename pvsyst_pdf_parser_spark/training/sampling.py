@@ -467,3 +467,52 @@ def shard_assignment_stats(docs: DataFrame, n_shards: int = 16) -> DataFrame:
     return per_shard.crossJoin(F.broadcast(balance)).select(
         "shard", "n_docs", "total_bytes", "balance"
     )
+
+
+def weighted_sample_topk(docs: DataFrame, k: int = 40) -> DataFrame:
+    """Exact one-pass weighted sampling WITHOUT replacement of ``k``
+    documents with inclusion probability proportional to token count —
+    the Efraimidis–Spirakis (2006) A-ES reservoir, expressed as a
+    distributed top-k instead of a sequential reservoir.
+
+    Each doc gets key = ln(u) / w with u = (md5_56(doc_id)+1) / 2^56
+    (a deterministic uniform in (0, 1] — same no-``rand()`` policy as
+    every sampler here) and w = max(1, n_tokens); the k LARGEST keys
+    are exactly an A-ES weighted sample.  Selection is
+    ``orderBy(key desc).limit(k)`` — Spark plans TakeOrderedAndProject
+    (per-partition top-k partials, bounded driver merge), so at 10^12
+    docs this is ONE pass over a pure projection with no global sort
+    and no corpus-sized window; the rank window then runs over ≤ k
+    rows (:func:`rankutil.topk_with_rank`).
+
+    Cross-engine determinism: u and key are a fixed chain of IEEE-754
+    double ops on exact integers, so Spark and DuckDB compute
+    bit-identical keys; the order (key desc, doc_id) is total.  The
+    emitted key is rounded to 6 decimals for display only — ranking
+    uses the exact value."""
+    from .rankutil import topk_with_rank
+
+    n_tokens = F.size(
+        F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
+    ).cast("bigint")
+    w = F.greatest(F.lit(1).cast("bigint"), n_tokens)
+    u = (md5_56(F.col("doc_id").cast("string")) + 1) / F.lit(
+        float(1 << 56)
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        w.alias("weight"),
+        (F.log(u) / w).alias("es_key"),
+    )
+    top = topk_with_rank(
+        keyed,
+        [F.col("es_key").desc(), F.col("doc_id")],
+        k,
+        "sel_rank",
+        rank_type="bigint",
+    )
+    return top.select(
+        "doc_id", "source", "weight", "sel_rank",
+        F.round("es_key", 6).alias("es_key_r"),
+    ).orderBy("sel_rank")

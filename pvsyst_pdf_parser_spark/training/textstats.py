@@ -802,3 +802,140 @@ def curriculum_order(docs: DataFrame, n_phases: int = 3) -> DataFrame:
         base.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "phase", "rank", "n_flags")
     )
+
+
+def trigram_backoff_scores(
+    docs: DataFrame,
+    top_m3: int = 4096,
+    top_m2: int = 4096,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-document mean trigram log-score under Stupid Backoff
+    (Brants 2007, "Large Language Models in Machine Translation") over
+    PRUNED corpus n-gram tables — the next order up from
+    :func:`bigram_logprob_scores` toward the 5-gram KenLM scoring of
+    CCNet (Wenzek 2020), with the backoff chain that production web-
+    scale LMs actually use instead of smoothing:
+
+        S(w3|w1,w2) = c123/c12          if the trigram AND its context
+                                        bigram are in the pruned tables
+                    = 0.4  * c23/c2     else if (w2,w3) is in the
+                                        pruned bigram table
+                    = 0.4² * c3/N       else (unigram floor; c3 > 0
+                                        always — w3 came from the
+                                        corpus)
+
+    Pruning (top-``top_m3`` trigrams, top-``top_m2`` bigrams, count-
+    desc with full lexicographic tie-break) is what keeps both model
+    tables BROADCASTABLE; the unigram table is vocab-sized, the same
+    broadcast-class frame every other LM operator here ships.  The
+    corpus side builds its trigram positions ROW-LOCALLY (sequence +
+    element_at, no self-join), takes five broadcast hash joins, and
+    folds once on doc_id — at 10^12 documents nothing shuffles except
+    that one doc-keyed aggregate.  ``n_tri_hits`` / ``n_bi_hits`` are
+    exact integers (hash anchors for the oracle); the mean log-score
+    is rounded to 4 decimals so float summation order cannot flip the
+    driver's value hash (same policy as the other LM scores)."""
+    toks_arr = F.filter(
+        F.split(F.lower("text"), " ", -1), lambda x: x != ""
+    )
+    base = docs.select("doc_id", toks_arr.alias("t"))
+    toku = base.select("doc_id", F.explode("t").alias("tok"))
+    uni = toku.groupBy("tok").agg(F.count("*").alias("c1"))
+    tot = uni.agg(F.sum("c1").cast("double").alias("n_total"))
+    pairs = base.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(top_m2)
+    )
+    triples = base.filter(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                    F.element_at("t", i + 2).alias("w3"),
+                ),
+            )
+        ).alias("tg"),
+    ).select("doc_id", "tg.w1", "tg.w2", "tg.w3")
+    tri = (
+        triples.groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c123"))
+        .orderBy(F.col("c123").desc(), "w1", "w2", "w3")
+        .limit(top_m3)
+    )
+    b_ctx = bi.select(
+        F.col("w1").alias("x1"), F.col("w2").alias("x2"),
+        F.col("c12").alias("ctx12"),
+    )
+    b_back = bi.select(
+        F.col("w1").alias("y2"), F.col("w2").alias("y3"),
+        F.col("c12").alias("c23"),
+    )
+    u2 = uni.select(F.col("tok").alias("u2"), F.col("c1").alias("c2"))
+    u3 = uni.select(F.col("tok").alias("u3"), F.col("c1").alias("c3"))
+    j = (
+        triples
+        .join(F.broadcast(tri), ["w1", "w2", "w3"], "left")
+        .join(
+            F.broadcast(b_ctx),
+            (F.col("w1") == F.col("x1")) & (F.col("w2") == F.col("x2")),
+            "left",
+        )
+        .join(
+            F.broadcast(b_back),
+            (F.col("w2") == F.col("y2")) & (F.col("w3") == F.col("y3")),
+            "left",
+        )
+        .join(F.broadcast(u2), F.col("w2") == F.col("u2"))
+        .join(F.broadcast(u3), F.col("w3") == F.col("u3"))
+        .crossJoin(F.broadcast(tot))
+    )
+    tri_hit = F.col("c123").isNotNull() & F.col("ctx12").isNotNull()
+    bi_hit = F.col("c23").isNotNull()
+    lp = (
+        F.when(tri_hit, F.log(F.col("c123") / F.col("ctx12")))
+        .when(
+            bi_hit,
+            F.log(F.lit(backoff) * F.col("c23") / F.col("c2")),
+        )
+        .otherwise(
+            F.log(
+                F.lit(backoff) * F.lit(backoff)
+                * F.col("c3") / F.col("n_total")
+            )
+        )
+    )
+    scored = j.select(
+        "doc_id",
+        tri_hit.cast("int").alias("tri_hit"),
+        bi_hit.cast("int").alias("bi_hit"),
+        lp.alias("lp"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.sum("tri_hit").cast("bigint").alias("n_tri_hits"),
+            F.sum(
+                F.when(F.col("tri_hit") == 0, F.col("bi_hit")).otherwise(0)
+            ).cast("bigint").alias("n_bi_hits"),
+            F.round(F.avg("lp"), 4).alias("avg_lp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -594,3 +594,59 @@ def test_jl_projection_is_literal_map_stage(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Exchange" not in p
     assert "sequence(" not in p  # literals folded at plan time
+
+
+def test_trigram_model_tables_broadcast_no_python(spark):
+    """All five model-side joins of the Stupid Backoff scorer must be
+    broadcasts (the pruned tri/bi tables and the vocab-sized unigram
+    table), the corpus side must never sort-merge or cartesian, and
+    the whole chain stays JVM-side."""
+    from pvsyst_pdf_parser_spark.training import textstats as X
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(X.trigram_backoff_scores(docs))
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" in p  # the bounded 1-row total
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """The A-ES weighted sample must plan as TakeOrderedAndProject
+    (per-partition top-k, bounded driver merge) — never a global sort
+    or a corpus-sized single-partition window."""
+    from pvsyst_pdf_parser_spark.training import sampling as SA
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(SA.weighted_sample_topk(docs))
+    assert "TakeOrderedAndProject" in p
+    # the only Window in the plan ranks the ≤ k merged rows, which sit
+    # in a single bounded partition by construction; no global Sort of
+    # the corpus may appear outside it
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_zorder_key_is_pure_projection_one_agg(spark):
+    """Morton-key derivation must be a zero-exchange JVM projection;
+    the only shuffle is the bounded per-file stats fold."""
+    from pvsyst_pdf_parser_spark.training import zorder as Z
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(Z.zorder_file_stats(docs))
+    assert p.count("Exchange") <= 2  # agg exchange + orderBy of ≤ n_files
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") >= 2  # map-side partials
+
+
+def test_salted_skew_join_shape(spark):
+    """The salted join must actually join on (key, salt) through a
+    shuffled hash join (the hint pins it even at demo scale where the
+    dim would auto-broadcast) — that is the skew-splitting exchange
+    the operator exists to demonstrate."""
+    from pvsyst_pdf_parser_spark import demo_queries as Q
+
+    p = _plan(Q.salted_skew_join(spark, SF))
+    assert "ShuffledHashJoin" in p
+    assert "salt" in p  # the salt column participates in the join keys
+    assert "CartesianProduct" not in p

@@ -777,3 +777,167 @@ def test_quality_drift_psi_identical_halves_and_planted_shift(spark, docs):
     shifted_total = quality_drift_psi(shifted).collect()[0]["psi_total"]
     assert shifted_total > total
     assert shifted_total > 1.0
+
+
+def test_trigram_backoff_chain_and_bounds(spark, docs):
+    """Stupid Backoff invariants: every scored doc has ≥3 tokens, hit
+    counters partition the trigram positions (tri_hits + bi_hits ≤
+    n_trigrams), scores are finite and strictly negative (every S < 1
+    on a corpus with >1 distinct trigram), and a doc whose trigrams
+    all live in the pruned table (a corpus-dominant repeated phrase)
+    scores no worse than the corpus mean."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        trigram_backoff_scores,
+    )
+
+    out = trigram_backoff_scores(docs).collect()
+    assert out
+    n_docs_3tok = docs.filter(
+        F.size(F.filter(F.split(F.lower("text"), " ", -1),
+                        lambda x: x != "")) >= 3
+    ).count()
+    assert len(out) == n_docs_3tok
+    import math
+
+    for r in out:
+        assert r["n_trigrams"] >= 1
+        assert 0 <= r["n_tri_hits"] <= r["n_trigrams"]
+        assert 0 <= r["n_bi_hits"] <= r["n_trigrams"] - r["n_tri_hits"]
+        assert math.isfinite(r["avg_lp"])
+        assert r["avg_lp"] < 0.0
+
+
+def test_trigram_backoff_prefers_in_model_text(spark):
+    """A document repeating one phrase (its trigrams dominate the
+    pruned model) must outscore a same-length all-distinct-token doc
+    whose every trigram falls through to the unigram floor."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        trigram_backoff_scores,
+    )
+
+    phrase = " ".join(["the quick brown fox"] * 10)
+    salad = " ".join(f"tok{i:03d}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, phrase), (1, salad)], "doc_id bigint, text string"
+    )
+    # top_m = the phrase's exact distinct n-gram count, so only the
+    # dominant phrase's n-grams stay in the model — the pruning regime
+    # every real corpus is in (on an
+    # UNPRUNED tiny corpus each unique trigram is its own perfect
+    # context and scores ln(1) = 0, so there is nothing to prefer)
+    got = {
+        r["doc_id"]: r
+        for r in trigram_backoff_scores(df, top_m3=4, top_m2=4).collect()
+    }
+    assert got[0]["n_tri_hits"] > 0
+    assert got[1]["n_tri_hits"] == 0  # salad fell out of the model
+    assert got[0]["avg_lp"] > got[1]["avg_lp"]
+
+
+def test_weighted_sample_is_exact_aes(spark, docs):
+    """The distributed top-k must equal a local numpy replay of
+    Efraimidis–Spirakis over the exact same md5-uniforms — selection,
+    order, ranks, bit-for-bit keys."""
+    import hashlib
+    import math
+
+    from pvsyst_pdf_parser_spark.training.sampling import (
+        weighted_sample_topk,
+    )
+
+    k = 15
+    got = weighted_sample_topk(docs, k=k).collect()
+    assert [r["sel_rank"] for r in got] == list(range(1, k + 1))
+
+    local = []
+    for r in docs.select("doc_id", "text").collect():
+        toks = [t for t in (r["text"] or "").lower().split(" ") if t]
+        w = max(1, len(toks))
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:14], 16)
+        key = math.log((h + 1) / float(1 << 56)) / w
+        local.append((-key, r["doc_id"], w))
+    local.sort()
+    expect = local[:k]
+    assert [r["doc_id"] for r in got] == [d for _, d, _ in expect]
+    assert [r["weight"] for r in got] == [w for _, _, w in expect]
+    for r, (negkey, _, _) in zip(got, expect):
+        assert abs(r["es_key_r"] - round(-negkey, 6)) < 1e-12
+
+
+def test_zorder_boxes_partition_the_morton_range(spark, docs):
+    """File ranges must tile the Morton key space without overlap, and
+    each file's z bounds must sit inside its fixed-width cell — the
+    property min/max pruning relies on."""
+    from pvsyst_pdf_parser_spark.training.zorder import zorder_file_stats
+
+    rows = zorder_file_stats(docs, n_files=16).collect()
+    assert rows
+    cell = (1 << 16) // 16
+    for r in rows:
+        assert r["file_id"] * cell <= r["z_min"] <= r["z_max"]
+        assert r["z_max"] < (r["file_id"] + 1) * cell
+        assert 0 <= r["a_min"] <= r["a_max"] <= 255
+        assert 0 <= r["b_min"] <= r["b_max"] <= 255
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+
+
+def test_morton_interleave_matches_python(spark):
+    """Bit-exact check of the interleave expression against a python
+    reference over the full 8-bit corner set."""
+    from pvsyst_pdf_parser_spark.training.zorder import morton_interleave
+
+    vals = [0, 1, 2, 127, 128, 170, 255]
+    df = spark.createDataFrame(
+        [(a, b) for a in vals for b in vals], "a bigint, b bigint"
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", morton_interleave(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+
+    def ref(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    for a in vals:
+        for b in vals:
+            assert got[(a, b)] == ref(a, b)
+
+
+def test_salted_join_is_result_invariant(spark):
+    """Salting must not change the join result: compare against the
+    plain unsalted join computed inline (the DuckDB oracle asserts the
+    same thing cross-engine at sf0.01)."""
+    from pvsyst_pdf_parser_spark import demo_queries as Q
+    from pvsyst_pdf_parser_spark.training.hashing import md5_56
+
+    salted = {
+        r["event_type"]: (r["n_events"], r["sum_v_milli"],
+                          r["weighted_milli_ppk"])
+        for r in Q.salted_skew_join(spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    dim = ev.select("event_type").distinct().select(
+        "event_type", (md5_56(F.col("event_type")) % 1000).alias("wp")
+    )
+    plain = {
+        r["event_type"]: (r["n"], r["s"], r["wm"])
+        for r in ev.select(
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+        .join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s"),
+            (F.sum("v") * F.first("wp")).cast("bigint").alias("wm"),
+        )
+        .collect()
+    }
+    assert salted == plain
