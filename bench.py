@@ -138,6 +138,11 @@ HEADLINE = [
     "bpe_encode",
     "ivf_pq_topk",
     "ann_jl_recall",
+    # round-5f operators
+    "text_trigram_backoff",
+    "weighted_sample_topk",
+    "zorder_layout",
+    "salted_skew_join",
 ]
 
 
