@@ -250,6 +250,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # salted replicated JOIN for the skewed fact key — the join-
         # side twin of salted_hot_key_agg; oracle is the plain join
         "salted_skew_join": Q.salted_skew_join,
+        # round-5g (never yet verified — run early): CCNet head/middle/
+        # tail perplexity terciles PER LANGUAGE (Wenzek 2020 §4.3) —
+        # the tiered-corpus artifact CCNet publishes
+        "ccnet_buckets": lambda s, d: CA.ccnet_perplexity_buckets(
+            _docs(s, d)
+        ),
         # round-5d operators (never yet verified — run early):
         # BM25 retrieval for a deterministic mid-frequency query-term
         # set — the search stage on top of the postings machinery
@@ -3779,6 +3785,31 @@ nl AS (SELECT tk.doc_id, -ln(freq.c / tot.total) AS nll
        FROM tk JOIN freq USING (tok) CROSS JOIN tot)
 SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 4) AS avg_nll
 FROM nl GROUP BY doc_id
+""",
+        # same unigram-NLL CTE with lang riding along, then per-lang
+        # terciles — ntile(3) over (avg_nll, doc_id) is deterministic
+        # and standard-SQL-identical between Spark and DuckDB
+        "ccnet_buckets": """
+WITH t2 AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE doc_id % 2 = 0),
+tk AS (SELECT doc_id, lang, tok FROM t2 WHERE tok <> ''),
+freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+tot AS (SELECT sum(c) AS total FROM freq),
+nl AS (SELECT tk.doc_id, tk.lang, -ln(freq.c / tot.total) AS nll
+       FROM tk JOIN freq USING (tok) CROSS JOIN tot),
+sc AS (SELECT doc_id, lang, round(avg(nll), 4) AS avg_nll
+       FROM nl GROUP BY doc_id, lang),
+nt AS (SELECT lang, avg_nll,
+              ntile(3) OVER (PARTITION BY lang
+                             ORDER BY avg_nll, doc_id) AS tercile
+       FROM sc)
+SELECT lang,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       min(avg_nll) AS min_nll, max(avg_nll) AS max_nll
+FROM nt GROUP BY lang, tercile
 """,
         "url_canonicalize": r"""
 WITH r AS (

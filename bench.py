@@ -143,6 +143,8 @@ HEADLINE = [
     "weighted_sample_topk",
     "zorder_layout",
     "salted_skew_join",
+    # round-5g operators
+    "ccnet_buckets",
 ]
 
 

@@ -1,6 +1,6 @@
 """Corpus quality calibration and drift monitoring.
 
-Two production steps a web-corpus pipeline runs AROUND the per-doc
+Production steps a web-corpus pipeline runs AROUND the per-doc
 quality scores (textstats.py) rather than inside them:
 
 - ``quality_threshold_by_lang`` — per-language calibrated quality
@@ -14,6 +14,10 @@ quality scores (textstats.py) rather than inside them:
   ``percentile_approx`` (one pass, mergeable sketches, no global sort)
   — the same documented exact→sketch swap as
   textstats.length_percentile_stats.
+
+- ``ccnet_perplexity_buckets`` — per-language head/middle/tail
+  perplexity terciles, the tiered-corpus artifact CCNet actually
+  publishes (Wenzek 2020 §4.3).
 
 - ``quality_drift_psi`` — Population Stability Index between two
   snapshots' score distributions (the standard production drift gate:
@@ -96,6 +100,41 @@ def quality_threshold_by_lang(docs: DataFrame, q: float = 0.3) -> DataFrame:
                 F.sum(kept.cast("int")) / F.count(F.lit(1)), 4
             ).alias("kept_frac"),
         )
+    )
+
+
+def ccnet_perplexity_buckets(docs: DataFrame, sample_mod: int = 2) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3):
+    within each language, split documents into perplexity terciles —
+    ``head`` = most fluent third (lowest mean NLL), ``middle``,
+    ``tail`` = least fluent.  CCNet ships the three buckets as separate
+    corpus tiers so downstream consumers choose their quality/volume
+    trade; bucketing PER LANGUAGE is the point (a global cut would put
+    whole low-resource languages in the tail).
+
+    Reuses :func:`textstats.unigram_logprob_scores` as the perplexity
+    proxy with ``lang`` riding through its doc-keyed aggregation — no
+    extra join against the corpus.  Returns one row per
+    ``(lang, bucket)``: ``(lang, bucket, n_docs, min_nll, max_nll)``.
+
+    Scale note: ``ntile`` is a per-language sort window, exactly like
+    :func:`quality_threshold_by_lang`'s order statistic — chosen for
+    bit-exact oracle parity.  At 10^12 docs swap it for two
+    ``percentile_approx(avg_nll, [1/3, 2/3])`` cutoffs per language
+    broadcast back (CCNet itself computes the cutoffs on a sample and
+    streams the assignment)."""
+    from .textstats import unigram_logprob_scores
+
+    scored = unigram_logprob_scores(docs, sample_mod=sample_mod, carry=("lang",))
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    names = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+    b = scored.withColumn(
+        "bucket", F.element_at(names, F.ntile(3).over(w))
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("avg_nll").alias("min_nll"),
+        F.max("avg_nll").alias("max_nll"),
     )
 
 

@@ -441,7 +441,9 @@ def length_percentile_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def unigram_logprob_scores(docs: DataFrame, sample_mod: int = 2) -> DataFrame:
+def unigram_logprob_scores(
+    docs: DataFrame, sample_mod: int = 2, carry: tuple = ()
+) -> DataFrame:
     """Per-document mean unigram negative log-likelihood under the
     CORPUS unigram distribution — the DataFrame-native proxy for the
     LM-perplexity quality filter of public pipelines (CCNet, Wenzek et
@@ -456,11 +458,17 @@ def unigram_logprob_scores(docs: DataFrame, sample_mod: int = 2) -> DataFrame:
     rows — broadcastable — vs the corpus' trillions of token
     occurrences, so the big side never shuffles); one doc-keyed
     aggregation finishes.  The corpus total rides along as a column of
-    the broadcast frame — no driver-side scalar round trip."""
+    the broadcast frame — no driver-side scalar round trip.
+
+    ``carry`` names extra per-doc columns (e.g. ``("lang",)``) to ride
+    through the doc-keyed aggregation — they are functionally dependent
+    on doc_id, so widening the groupBy key costs nothing and saves the
+    caller a doc-keyed join back against the corpus."""
     toks = (
         docs.filter(F.col("doc_id") % sample_mod == 0)
         .select(
             "doc_id",
+            *carry,
             F.explode(F.split(F.lower("text"), " ", -1)).alias("tok"),
         )
         .filter(F.col("tok") != "")
@@ -472,7 +480,7 @@ def unigram_logprob_scores(docs: DataFrame, sample_mod: int = 2) -> DataFrame:
     )
     return (
         toks.join(F.broadcast(freq.select("tok", "nll")), "tok")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *carry)
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(F.avg("nll"), 4).alias("avg_nll"),

@@ -779,6 +779,44 @@ def test_quality_drift_psi_identical_halves_and_planted_shift(spark, docs):
     assert shifted_total > 1.0
 
 
+def test_ccnet_buckets_partition_and_monotone(spark, docs):
+    """CCNet terciles: per language the three buckets PARTITION the
+    sampled docs with ntile's ±1 size balance (head ≥ middle ≥ tail),
+    and NLL ranges are monotone non-decreasing head → middle → tail
+    (head is the most fluent tier)."""
+    from pvsyst_pdf_parser_spark.training.calibrate import (
+        ccnet_perplexity_buckets,
+    )
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        unigram_logprob_scores,
+    )
+
+    rows = ccnet_perplexity_buckets(docs).collect()
+    assert rows
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    sampled = unigram_logprob_scores(docs, carry=("lang",)).collect()
+    n_by_lang: dict = {}
+    for s in sampled:
+        n_by_lang[s["lang"]] = n_by_lang.get(s["lang"], 0) + 1
+    assert set(per_lang) == set(n_by_lang)
+    for lang, buckets in per_lang.items():
+        # partition: bucket sizes sum to the sampled count
+        assert sum(b["n_docs"] for b in buckets.values()) == n_by_lang[lang]
+        if n_by_lang[lang] >= 3:
+            assert set(buckets) == {"head", "middle", "tail"}
+            sizes = [buckets[k]["n_docs"] for k in ("head", "middle", "tail")]
+            # ntile balance: earlier buckets absorb the remainder
+            assert max(sizes) - min(sizes) <= 1
+            assert sizes[0] >= sizes[1] >= sizes[2]
+            # fluency-monotone ranges (ties across the cut allowed)
+            assert buckets["head"]["max_nll"] <= buckets["middle"]["min_nll"]
+            assert buckets["middle"]["max_nll"] <= buckets["tail"]["min_nll"]
+        for b in buckets.values():
+            assert b["min_nll"] <= b["max_nll"]
+
+
 def test_trigram_backoff_chain_and_bounds(spark, docs):
     """Stupid Backoff invariants: every scored doc has ≥3 tokens, hit
     counters partition the trigram positions (tri_hits + bi_hits ≤
