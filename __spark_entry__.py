@@ -256,6 +256,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": lambda s, d: CA.ccnet_perplexity_buckets(
             _docs(s, d)
         ),
+        # tokenizer fertility per language (Rust 2021): tokens/word and
+        # chars/token under the FROZEN trained merge table — the
+        # over-segmentation diagnostic for multilingual tokenizers
+        "bpe_fertility": lambda s, d: B.bpe_fertility_stats(
+            _docs(s, d), _bpe_merges()
+        ),
         # round-5d operators (never yet verified — run early):
         # BM25 retrieval for a deterministic mid-frequency query-term
         # set — the search stage on top of the postings machinery
@@ -2126,6 +2132,41 @@ FROM enc GROUP BY doc_id
 """
 
 
+def _bpe_fertility_sql(max_word_len: int | None = None) -> str:
+    """DuckDB replay of bpe.bpe_fertility_stats: the same word contract
+    and chained literal replaces as _bpe_encode_sql, grouped by lang;
+    integer sums divide once at the end so round(·, 4) agrees
+    bit-for-bit."""
+    from pvsyst_pdf_parser_spark.training.bpe import BPE_MAX_WORD_LEN
+
+    cap = BPE_MAX_WORD_LEN if max_word_len is None else max_word_len
+    enc = "regexp_replace(word, '(.)', '[\\1]', 'g')"
+    for a, b in _bpe_merges():
+        enc = f"replace({enc}, '[{a}][{b}]', '[{a}{b}]')"
+    return f"""
+WITH parts AS (
+  SELECT lang, string_split(lower(text), ' ') AS p FROM documents),
+rawtok AS (
+  SELECT lang, p[i] AS word
+  FROM parts, unnest(generate_series(1, len(p))) AS t(i)
+  WHERE p[i] <> ''),
+w AS (
+  SELECT lang, word FROM rawtok
+  WHERE regexp_full_match(word, '[a-z]+') AND length(word) <= {cap}),
+enc AS (
+  SELECT lang, length(word)::bigint AS n_char,
+         (length({enc}) - length(replace({enc}, '[', '')))::bigint AS n_tok
+  FROM w)
+SELECT lang,
+       count(*)::bigint AS n_words,
+       sum(n_tok)::bigint AS n_tokens,
+       sum(n_char)::bigint AS n_chars,
+       round(sum(n_tok)::bigint / count(*), 4) AS fertility,
+       round(sum(n_char)::bigint / sum(n_tok)::bigint, 4) AS chars_per_token
+FROM enc GROUP BY lang
+"""
+
+
 def _layout_placed_cte() -> str:
     """Shared DuckDB CTE replaying layout.synth_word_boxes: the same
     fixed-width slot grid (8 slots x 16 chars, 24-unit gutter before
@@ -3757,6 +3798,7 @@ FROM w
         "ivf_pq_topk": _ivf_pq_topk_sql(),
         "bm25_topk": _bm25_topk_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "bpe_fertility": _bpe_fertility_sql(),
         "sequence_pack_chunks": _sequence_pack_chunks_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "domain_stats": _domain_stats_sql(),

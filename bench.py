@@ -145,6 +145,7 @@ HEADLINE = [
     "salted_skew_join",
     # round-5g operators
     "ccnet_buckets",
+    "bpe_fertility",
 ]
 
 

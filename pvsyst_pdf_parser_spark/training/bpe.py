@@ -197,3 +197,65 @@ def bpe_encode_stats(
             )
         ).alias("enc_md5"),
     )
+
+
+def bpe_fertility_stats(
+    docs: DataFrame,
+    merges: list,
+    max_word_len: int = BPE_MAX_WORD_LEN,
+) -> DataFrame:
+    """Tokenizer fertility per language (Rust et al. 2021, "How Good is
+    Your Tokenizer?", ACL — the multilingual-tokenizer diagnostic):
+    one row per lang with ``(lang, n_words, n_tokens, n_chars,
+    fertility, chars_per_token)`` under a FROZEN merge table, where
+    fertility = tokens/word and chars_per_token = chars/token.
+
+    A tokenizer trained on language-skewed data over-segments the
+    low-resource languages; a lang at 2x the fertility of another pays
+    2x the context length for the same text, so this report is run
+    BEFORE training compute is committed.  With an empty merge table
+    every char is its own token, so chars_per_token == 1.0 exactly and
+    fertility == mean word length — the calibration anchors the
+    property test pins.
+
+    Plan shape: the same chained-literal-replace encode projection as
+    :func:`bpe_encode_stats` (JVM codegen, merge table as closure
+    literals, no Python) with ``lang`` riding the word frame; the ONLY
+    shuffle is the final ~100-key lang aggregation, map-side combined.
+    Integer sums divide once at the end, so Spark and DuckDB agree
+    bit-for-bit after round(·, 4)."""
+    words = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
+            ).alias("word"),
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .filter(F.length("word") <= max_word_len)
+    )
+    enc = F.regexp_replace("word", "(.)", "[$1]")
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+    scored = words.select(
+        "lang",
+        F.length("word").cast("bigint").alias("n_char"),
+        (
+            F.length(enc) - F.length(F.replace(enc, F.lit("[")))
+        ).cast("bigint").alias("n_tok"),
+    )
+    agg = scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_char").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens") / F.col("n_words"), 4).alias("fertility"),
+        F.round(
+            F.col("n_chars") / F.col("n_tokens"), 4
+        ).alias("chars_per_token"),
+    )

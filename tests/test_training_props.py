@@ -779,6 +779,42 @@ def test_quality_drift_psi_identical_halves_and_planted_shift(spark, docs):
     assert shifted_total > 1.0
 
 
+def test_bpe_fertility_anchors_and_bounds(spark, docs):
+    """Fertility invariants: with an EMPTY merge table every char is
+    its own token, so chars_per_token == 1.0 exactly and fertility ==
+    mean word length; with a trained table token counts can only
+    SHRINK (n_tokens ≤ the empty-table n_tokens, n_words/n_chars are
+    merge-invariant), fertility ≥ 1 stays impossible to undershoot
+    (every word is ≥ 1 token), and chars_per_token ≥ 1."""
+    from pvsyst_pdf_parser_spark.training.bpe import (
+        bpe_fertility_stats,
+        bpe_train_merges,
+    )
+
+    base = {r["lang"]: r for r in bpe_fertility_stats(docs, []).collect()}
+    assert base
+    for r in base.values():
+        assert r["n_tokens"] == r["n_chars"]
+        assert r["chars_per_token"] == 1.0
+        assert r["fertility"] == round(r["n_chars"] / r["n_words"], 4)
+    merges = [(m["a"], m["b"]) for m in bpe_train_merges(docs, 4).collect()]
+    assert len(merges) == 4
+    trained = {
+        r["lang"]: r for r in bpe_fertility_stats(docs, merges).collect()
+    }
+    assert set(trained) == set(base)
+    for lang, r in trained.items():
+        assert r["n_words"] == base[lang]["n_words"]
+        assert r["n_chars"] == base[lang]["n_chars"]
+        assert r["n_words"] <= r["n_tokens"] <= base[lang]["n_tokens"]
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_token"] >= 1.0
+    # the trained table actually merged something somewhere
+    assert any(
+        trained[lang]["n_tokens"] < base[lang]["n_tokens"] for lang in base
+    )
+
+
 def test_ccnet_buckets_partition_and_monotone(spark, docs):
     """CCNet terciles: per language the three buckets PARTITION the
     sampled docs with ntile's ±1 size balance (head ≥ middle ≥ tail),
