@@ -29,6 +29,7 @@ if _REPO not in sys.path:
 from pvsyst_pdf_parser_spark import demo_queries as Q  # noqa: E402
 from pvsyst_pdf_parser_spark.training import calibrate as CA  # noqa: E402
 from pvsyst_pdf_parser_spark.training import corpus as C  # noqa: E402
+from pvsyst_pdf_parser_spark.training import bitext as BT  # noqa: E402
 from pvsyst_pdf_parser_spark.training import bpe as B  # noqa: E402
 from pvsyst_pdf_parser_spark.training import crawl as CR  # noqa: E402
 from pvsyst_pdf_parser_spark.training import decontam as DC  # noqa: E402
@@ -190,6 +191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pvsyst_field_spans": _pvsyst_field_spans,
         # web-scale url canonicalization over synthesized messy urls
         "url_canonicalize": lambda s, d: U.canonical_url_stats(_docs(s, d)),
+        # bitext mining: URL-pattern candidates + embedding-margin
+        # verification (ParaCrawl/CCMatrix practice; never verified -
+        # run early)
+        "bitext_mine": lambda s, d: BT.bitext_mine(_docs(s, d), _emb(s, d)),
+        # empirical-Bayes per-host quality shrinkage (never verified)
+        "domain_quality_prior": lambda s, d: W.domain_quality_prior(_docs(s, d)),
         # REAL header decode: deterministic PNG/JPEG/GIF payloads whose
         # dimensions are read back from the encoded header fields (pure
         # public-spec byte parsing, no codec library); the oracle
@@ -3888,6 +3895,66 @@ SELECT doc_id, raw_url,
   scheme || '://' || host || path
     || CASE WHEN query = '' THEN '' ELSE '?' || query END AS canonical_url
 FROM s
+""",
+        # bitext mining: same page_key candidates, same exact
+        # milli-cosine margin arithmetic (bitext.bitext_mine)
+        "bitext_mine": f"""
+WITH src AS (SELECT doc_id AS src_id, doc_id // 10 AS page_key
+             FROM documents WHERE lang = 'en'),
+tgt AS (SELECT doc_id AS tgt_id, lang AS tgt_lang, doc_id // 10 AS page_key
+        FROM documents WHERE lang <> 'en'),
+cand AS (
+  SELECT src_id, tgt_lang, tgt_id,
+         round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+               sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]) *
+                    list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))
+               * 1000, 0)::BIGINT AS cos_milli
+  FROM src JOIN tgt USING (page_key)
+  JOIN embeddings ea ON ea.vec_id = src_id
+  JOIN embeddings eb ON eb.vec_id = tgt_id),
+g AS (
+  SELECT src_id, tgt_lang, tgt_id, cos_milli,
+         (count(*) OVER w * cos_milli - sum(cos_milli) OVER w)::BIGINT
+           AS margin_mnx,
+         count(*) OVER w AS n_candidates,
+         row_number() OVER (PARTITION BY src_id, tgt_lang
+                            ORDER BY cos_milli DESC, tgt_id) AS rk
+  FROM cand
+  WINDOW w AS (PARTITION BY src_id, tgt_lang))
+SELECT src_id, tgt_lang, tgt_id, cos_milli, margin_mnx, n_candidates
+FROM g WHERE rk = 1 AND cos_milli >= 250
+""",
+        # empirical-Bayes host-quality shrinkage: exact integer
+        # micro-units end-to-end (webclean.domain_quality_prior)
+        "domain_quality_prior": f"""
+WITH r AS (SELECT doc_id, text, {_SYNTH_RAW_URL} AS raw_url FROM documents),
+s AS (
+  SELECT doc_id, {_SYNTH_HOST} AS host,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         ' ' || lower(text) || ' ' AS t
+  FROM r),
+h AS (
+  SELECT doc_id, host, n_chars, n_tokens,
+         (((length(t) - length(replace(t, ' the ', ''))) / 5)::bigint
+          + ((length(t) - length(replace(t, ' and ', ''))) / 5)::bigint
+          + ((length(t) - length(replace(t, ' a ', ''))) / 3)::bigint) AS stop_hits
+  FROM s),
+q AS (
+  SELECT host,
+         round(round(0.4 * least(1.0, n_chars / 500.0)
+               + 0.3 * least(1.0, stop_hits * 10.0 / n_tokens)
+               + 0.3 * least(1.0, (n_chars / n_tokens) / 8.0), 4)
+               * 10000, 0)::BIGINT AS q_micro
+  FROM h),
+by_host AS (SELECT host, count(*) AS n_docs, sum(q_micro) AS sum_q
+            FROM q GROUP BY host),
+totals AS (SELECT count(*) AS n_total, sum(q_micro) AS sum_total FROM q)
+SELECT host, n_docs,
+       round(sum_q::DOUBLE / n_docs / 10000.0, 4) AS host_mean_q,
+       round((sum_q * n_total + 5 * sum_total)::DOUBLE
+             / ((n_docs + 5) * n_total)::DOUBLE / 10000.0, 4) AS shrunk_q
+FROM by_host CROSS JOIN totals
 """,
         "token_budget_sample": f"""
 WITH b AS (

@@ -146,6 +146,9 @@ HEADLINE = [
     # round-5g operators
     "ccnet_buckets",
     "bpe_fertility",
+    # round-5h operators
+    "bitext_mine",
+    "domain_quality_prior",
 ]
 
 

@@ -1,0 +1,102 @@
+"""Bitext mining — cross-language document alignment for MT training
+data (public practice: Bañón et al. 2020 "ParaCrawl: Web-Scale
+Acquisition of Parallel Corpora" — URL-pattern candidate alignment;
+Artetxe & Schwenk 2019 "Margin-based Parallel Corpus Mining with
+Multilingual Sentence Embeddings" — embedding margin verification;
+Schwenk et al. 2021 CCMatrix for the web-scale composition of the two).
+
+Two-stage shape, NEVER all-pairs:
+
+1. **Candidate generation is structural**: pages of the same site path
+   under different language prefixes (``/en/docs/42`` vs ``/fr/docs/42``)
+   are translation candidates — ONE equi-join on the language-stripped
+   canonical path key.  Group size is bounded by languages-per-site
+   (≤ ~40 in any real crawl), so the join output is O(corpus), not
+   O(corpus²).  The demo synthesizes the path key as
+   ``doc_id // pages_per_site`` (the deterministic stand-in for the
+   language-stripped key of urlnorm.synthetic_raw_url — same
+   convention as webclean's synthesized hosts).
+2. **Verification is content-based**: cosine between the two documents'
+   embeddings (LASER-style), thresholded, then the best match per
+   (source doc, target language) and a *difference margin* against the
+   rest of the candidate neighborhood (Artetxe & Schwenk §3's margin,
+   difference variant).
+
+Distributed shape at 10^12 documents:
+
+- the candidate join shuffles on the path key; both embedding lookups
+  are id-keyed equi-joins (co-partitioned by the same hash exchange);
+  the best-match rank is ONE window keyed by (src_id, tgt_lang) whose
+  partitions are candidate-group-sized — no corpus-wide window.
+- the margin is computed in EXACT INTEGER milli-cosine units
+  (``n·cos_m − Σcos_m`` over the neighborhood = the summed pairwise
+  difference margin), the same drift-free discipline as dsir.py's
+  micro-nats: bigint sums are order-free and spill-safe, so Spark and
+  the DuckDB oracle agree bit-for-bit with no float-summation risk.
+
+Reference for parity: the reference repo has no cross-language stage;
+this is part of the training-data layer mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .simsearch import cosine
+
+# cosine floor for a verified pair — below this the aligned-URL pair is
+# structural coincidence, not translation (probe: candidate cosines at
+# sf0.01 have median ≈ 0.0, p90 ≈ 0.16; 0.25 keeps the top ~3%)
+COS_THRESHOLD_MILLI = 250
+PAGES_PER_SITE = 10
+
+
+def bitext_mine(
+    docs: DataFrame,
+    emb: DataFrame,
+    pages_per_site: int = PAGES_PER_SITE,
+    threshold_milli: int = COS_THRESHOLD_MILLI,
+) -> DataFrame:
+    """Best verified translation candidate per (English doc, target
+    language): (src_id, tgt_lang, tgt_id, cos_milli, margin_mnx,
+    n_candidates).
+
+    ``cos_milli`` is the rounded cosine in exact milli-units;
+    ``margin_mnx`` is the neighborhood difference margin
+    ``n·cos − Σcos`` in the same units (bigint, order-free).
+    """
+    page_key = (F.col("doc_id") / pages_per_site).cast("bigint")
+    src = docs.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("src_id"), page_key.alias("page_key")
+    )
+    tgt = docs.filter(F.col("lang") != "en").select(
+        F.col("doc_id").alias("tgt_id"),
+        F.col("lang").alias("tgt_lang"),
+        page_key.alias("page_key"),
+    )
+    e_src = emb.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("src_emb"))
+    e_tgt = emb.select(F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("tgt_emb"))
+    cos_milli = F.round(cosine(F.col("src_emb"), F.col("tgt_emb")) * 1000, 0).cast(
+        "bigint"
+    )
+    cand = (
+        src.join(tgt, "page_key")
+        .join(e_src, "src_id")
+        .join(e_tgt, "tgt_id")
+        .select("src_id", "tgt_lang", "tgt_id", cos_milli.alias("cos_milli"))
+    )
+    grp = Window.partitionBy("src_id", "tgt_lang")
+    rank = Window.partitionBy("src_id", "tgt_lang").orderBy(
+        F.col("cos_milli").desc(), F.col("tgt_id")
+    )
+    return (
+        cand.withColumn(
+            "margin_mnx",
+            F.count("*").over(grp) * F.col("cos_milli") - F.sum("cos_milli").over(grp),
+        )
+        .withColumn("n_candidates", F.count("*").over(grp))
+        .withColumn("rk", F.row_number().over(rank))
+        .filter((F.col("rk") == 1) & (F.col("cos_milli") >= threshold_milli))
+        .select("src_id", "tgt_lang", "tgt_id", "cos_milli", "margin_mnx", "n_candidates")
+    )

@@ -265,3 +265,64 @@ def domain_stats(
             F.col("host").isin(*blocklist).cast("int").alias("blocked"),
         )
     )
+
+
+def domain_quality_prior(docs: DataFrame, pseudo_count: int = 5) -> DataFrame:
+    """Empirical-Bayes shrinkage of document quality toward the host
+    mean: (host, n_docs, host_mean_q, shrunk_q).
+
+    Public pipeline practice scores *pages* but enforces policy per
+    *site* (C4/RefinedWeb host rules; FineWeb's per-domain analysis):
+    a host with three pages and a lucky quality score should not
+    outrank a host whose mean is earned over thousands of pages.  The
+    standard fix is the Bayesian posterior mean with a pseudo-count
+    prior at the corpus mean:
+
+        shrunk = (n · host_mean + m · global_mean) / (n + m)
+
+    Arithmetic discipline (same as dsir.py's micro-nats): per-document
+    quality scores are already rounded to 1e-4, so they are lifted to
+    exact integer micro-units before any aggregation.  Both the host
+    sum and the corpus sum are bigint — order-free, spill-safe — and
+    the shrunk score is ONE exact-integer ratio
+
+        (sum_host · N_total + m · sum_total) / ((n + m) · N_total)
+
+    evaluated as a single double division, so Spark and the DuckDB
+    oracle agree without float-summation drift.
+
+    Distributed shape at 10^12 documents: one projection, one groupBy
+    host (~10^8 keys), one single-row corpus aggregate broadcast back
+    via crossJoin — the document side shuffles exactly once.
+    """
+    from .textstats import quality_scores
+
+    # host is a pure function of doc_id (synthesized url), so it rides
+    # the SAME projection as the quality score — no self-join
+    host = F.regexp_replace(
+        host_of(synthetic_raw_url(F.col("doc_id"))), r"^www\.", ""
+    )
+    q_micro = F.round(F.col("quality_score") * 10000, 0).cast("bigint")
+    per = quality_scores(docs, sample_mod=1).select(
+        host.alias("host"), q_micro.alias("q_micro")
+    )
+    by_host = per.groupBy("host").agg(
+        F.count("*").alias("n_docs"), F.sum("q_micro").alias("sum_q")
+    )
+    totals = per.agg(
+        F.count("*").alias("n_total"), F.sum("q_micro").alias("sum_total")
+    )
+    # exact 128-bit integer arithmetic: sum_q·N_total reaches ~10^28 at
+    # 10^12 docs, past bigint — decimal(38,0) here, HUGEINT in DuckDB
+    m = F.lit(pseudo_count).cast("decimal(38,0)")
+    sum_q = F.col("sum_q").cast("decimal(38,0)")
+    num = (sum_q * F.col("n_total") + m * F.col("sum_total")).cast("double")
+    den = ((F.col("n_docs") + m) * F.col("n_total")).cast("double")
+    return by_host.crossJoin(F.broadcast(totals)).select(
+        "host",
+        "n_docs",
+        F.round(F.col("sum_q").cast("double") / F.col("n_docs") / 10000.0, 4).alias(
+            "host_mean_q"
+        ),
+        F.round(num / den / 10000.0, 4).alias("shrunk_q"),
+    )

@@ -650,3 +650,35 @@ def test_salted_skew_join_shape(spark):
     assert "ShuffledHashJoin" in p
     assert "salt" in p  # the salt column participates in the join keys
     assert "CartesianProduct" not in p
+
+
+def test_bitext_mine_equijoins_only(spark):
+    """Bitext candidates come from the page-key equi-join and two
+    id-keyed embedding joins — never a cross join — and the whole
+    operator stays JVM-side (cosine is a zip_with/aggregate HOF)."""
+    from pvsyst_pdf_parser_spark.training.bitext import bitext_mine
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(bitext_mine(docs, emb))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_domain_quality_prior_broadcasts_totals(spark):
+    """The corpus-mean side is ONE row: its re-entry must broadcast,
+    and the document side shuffles exactly once (the host groupBy);
+    everything is JVM-side arithmetic."""
+    from pvsyst_pdf_parser_spark.training.webclean import domain_quality_prior
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(domain_quality_prior(docs))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # 1-row totals enter via broadcast (BroadcastExchange/NestedLoop on
+    # a 1-row build side is the cheap, correct plan for a keyless join)
+    assert "BroadcastExchange" in p
+    # host is computed in the same projection as the score: no doc_id
+    # self-join may appear
+    assert "SortMergeJoin" not in p

@@ -1015,3 +1015,74 @@ def test_salted_join_is_result_invariant(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_bitext_mine_structure(spark, docs, emb):
+    """One best match per (src, tgt_lang); pairs share a page_key and
+    cross the language boundary; the margin is the exact integer
+    n·cos − Σcos over the pre-threshold candidate neighborhood."""
+    from pvsyst_pdf_parser_spark.training.bitext import bitext_mine
+
+    rows = bitext_mine(docs, emb).collect()
+    assert rows  # threshold keeps the top tail (probe: ~23 pairs)
+    lang = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    seen = set()
+    for r in rows:
+        assert (r["src_id"], r["tgt_lang"]) not in seen  # best match only
+        seen.add((r["src_id"], r["tgt_lang"]))
+        assert lang[r["src_id"]] == "en"
+        assert lang[r["tgt_id"]] == r["tgt_lang"] != "en"
+        assert r["src_id"] // 10 == r["tgt_id"] // 10  # URL-pattern candidate
+        assert r["cos_milli"] >= 250
+        assert r["n_candidates"] >= 1
+        # the kept pair is the group max, so its summed difference
+        # margin is non-negative
+        assert r["margin_mnx"] >= 0
+
+
+def test_bitext_margin_exact_neighborhood_sum(spark, docs, emb):
+    """Replay the margin for one surviving pair from the raw candidate
+    set computed inline (threshold must NOT shrink the neighborhood)."""
+    from pvsyst_pdf_parser_spark.training.bitext import bitext_mine
+    from pvsyst_pdf_parser_spark.training.simsearch import cosine
+
+    best = bitext_mine(docs, emb).orderBy("src_id", "tgt_lang").first()
+    e = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    grp = [
+        t for t in langs
+        if langs[t] == best["tgt_lang"] and t // 10 == best["src_id"] // 10
+    ]
+    pairs = spark.createDataFrame(
+        [(best["src_id"], t, e[best["src_id"]], e[t]) for t in grp],
+        "src_id bigint, tgt_id bigint, a array<float>, b array<float>",
+    ).select(
+        "tgt_id",
+        F.round(cosine(F.col("a"), F.col("b")) * 1000, 0)
+        .cast("bigint")
+        .alias("cm"),
+    )
+    cms = {r["tgt_id"]: r["cm"] for r in pairs.collect()}
+    assert len(cms) == best["n_candidates"]
+    assert cms[best["tgt_id"]] == best["cos_milli"] == max(cms.values())
+    assert best["margin_mnx"] == len(cms) * best["cos_milli"] - sum(cms.values())
+
+
+def test_domain_quality_prior_shrinks_toward_global(spark, docs):
+    """Every host's shrunk score lies strictly between its raw mean and
+    the corpus mean (unless they coincide), and hosts with more docs
+    move less."""
+    from pvsyst_pdf_parser_spark.training.webclean import domain_quality_prior
+
+    rows = domain_quality_prior(docs).collect()
+    assert rows
+    total_n = sum(r["n_docs"] for r in rows)
+    global_mean = sum(r["host_mean_q"] * r["n_docs"] for r in rows) / total_n
+    for r in rows:
+        lo, hi = sorted((r["host_mean_q"], global_mean))
+        assert lo - 5e-4 <= r["shrunk_q"] <= hi + 5e-4
+        # shrinkage magnitude matches the posterior-mean weights
+        expected = (r["n_docs"] * r["host_mean_q"] + 5 * global_mean) / (
+            r["n_docs"] + 5
+        )
+        assert abs(r["shrunk_q"] - expected) < 5e-3
