@@ -197,6 +197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_mine": lambda s, d: BT.bitext_mine(_docs(s, d), _emb(s, d)),
         # empirical-Bayes per-host quality shrinkage (never verified)
         "domain_quality_prior": lambda s, d: W.domain_quality_prior(_docs(s, d)),
+        # UNIMAX per-language epoch-capped token budgets (never verified)
+        "unimax_budgets": lambda s, d: SA.unimax_budgets(_docs(s, d)),
+        # inter-source shingle overlap matrix (never verified)
+        "source_overlap": lambda s, d: D.source_overlap(_docs(s, d)),
         # REAL header decode: deterministic PNG/JPEG/GIF payloads whose
         # dimensions are read back from the encoded header fields (pure
         # public-spec byte parsing, no codec library); the oracle
@@ -3955,6 +3959,69 @@ SELECT host, n_docs,
        round((sum_q * n_total + 5 * sum_total)::DOUBLE
              / ((n_docs + 5) * n_total)::DOUBLE / 10000.0, 4) AS shrunk_q
 FROM by_host CROSS JOIN totals
+""",
+        # UNIMAX waterfill: same ascending-cap prefix rule, same exact
+        # integer share split (sampling.unimax_budgets)
+        "unimax_budgets": """
+WITH by_lang AS (
+  SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS available_tokens
+  FROM documents GROUP BY lang),
+caps AS (SELECT lang, available_tokens,
+                available_tokens * 1 AS cap_tokens FROM by_lang),
+ann AS (
+  SELECT *,
+         row_number() OVER (ORDER BY cap_tokens, lang) AS j,
+         coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_prev,
+         count(*) OVER () AS n_langs,
+         (sum(available_tokens) OVER () * 4) // 5 AS budget_total
+  FROM caps),
+f AS (SELECT *,
+             (cap_tokens * (n_langs - j + 1) > budget_total - cum_prev)
+               AS fails
+      FROM ann),
+g AS (SELECT *, min(CASE WHEN fails THEN j END) OVER () AS first_fail FROM f),
+h AS (SELECT *,
+             max(CASE WHEN j = first_fail THEN cum_prev END) OVER ()
+               AS cum_at_ff
+      FROM g),
+b AS (
+  SELECT lang, available_tokens, cap_tokens,
+         (CASE WHEN first_fail IS NULL OR j < first_fail THEN cap_tokens
+               ELSE (budget_total - cum_at_ff)
+                      // (n_langs - first_fail + 1)
+                    + CASE WHEN (j - first_fail + 1) <=
+                           (budget_total - cum_at_ff)
+                             % (n_langs - first_fail + 1)
+                           THEN 1 ELSE 0 END
+          END)::BIGINT AS budget_tokens
+  FROM h)
+SELECT lang, available_tokens, cap_tokens, budget_tokens,
+       (budget_tokens * 1000000 // available_tokens)::BIGINT AS epochs_ppm
+FROM b
+""",
+        # inter-source overlap: distinct per-source shingle sets, same
+        # integer ppm arithmetic (dedup.source_overlap)
+        "source_overlap": """
+WITH docs0 AS (
+  SELECT source, string_split(lower(text), ' ') AS toks
+  FROM documents WHERE doc_id % 2 = 0),
+ssh AS (
+  SELECT DISTINCT source,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM docs0, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)),
+sizes AS (SELECT source, count(*) AS n_sh FROM ssh GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM ssh a JOIN ssh b USING (shingle)
+  WHERE a.source < b.source GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared, za.n_sh AS size_a, zb.n_sh AS size_b,
+       (n_shared * 1000000 // (za.n_sh + zb.n_sh - n_shared))::BIGINT
+         AS jaccard_ppm
+FROM pairs
+JOIN sizes za ON za.source = source_a
+JOIN sizes zb ON zb.source = source_b
 """,
         "token_budget_sample": f"""
 WITH b AS (

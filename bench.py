@@ -149,6 +149,8 @@ HEADLINE = [
     # round-5h operators
     "bitext_mine",
     "domain_quality_prior",
+    "unimax_budgets",
+    "source_overlap",
 ]
 
 

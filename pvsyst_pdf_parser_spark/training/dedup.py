@@ -977,3 +977,66 @@ def dedup_cluster_size_histogram(docs: DataFrame,
         )
         .orderBy("cluster_size")
     )
+
+
+def source_overlap(docs: DataFrame, n: int = 3,
+                   sample_mod: int = 2) -> DataFrame:
+    """Inter-source n-gram overlap matrix: per source pair (source_a,
+    source_b, n_shared, size_a, size_b, jaccard_ppm) over DISTINCT
+    per-source shingle sets.
+
+    The corpus-composition diagnostic run before mixing: two "sources"
+    that are really the same crawl re-labeled (a CC dump and a
+    derived subset, two snapshots of the same site list) show up as a
+    high-Jaccard pair, and the mixer should collapse or down-weight
+    them rather than double-count their tokens.
+
+    Shape at 10^12 docs: the per-source DISTINCT shingle projection is
+    ONE groupBy-free distinct (map-side combined); the self-join fans
+    out per shingle bounded by sources-per-shingle ≤ n_sources (a few
+    hundred in practice, giving ≤ n_sources² rows per shingle — the
+    pair space itself is tiny).  For trillion-shingle universes,
+    estimate on a hash-sampled shingle subset (filter on
+    md5_56(shingle) % k — an unbiased Jaccard estimator since the
+    sample is a fixed subset of the UNIVERSE, not per-source);
+    jaccard_ppm is exact integer arithmetic either way.
+    """
+    docs = docs.filter(F.col("doc_id") % sample_mod == 0)
+    ssh = persist_tracked(
+        doc_shingles(docs, n=n, id_col="source")
+        .withColumnRenamed("doc_id", "source")
+        .distinct()
+    )
+    sizes = ssh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        ssh.alias("a")
+        .join(ssh.alias("b"), "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("source", "source_a")
+            .withColumnRenamed("n_sh", "size_a"),
+            "source_a",
+        )
+        .join(
+            sizes.withColumnRenamed("source", "source_b")
+            .withColumnRenamed("n_sh", "size_b"),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "size_a",
+            "size_b",
+            F.expr(
+                "n_shared * 1000000L DIV (size_a + size_b - n_shared)"
+            ).alias("jaccard_ppm"),
+        )
+    )

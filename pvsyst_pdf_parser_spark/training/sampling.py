@@ -516,3 +516,96 @@ def weighted_sample_topk(docs: DataFrame, k: int = 40) -> DataFrame:
         "doc_id", "source", "weight", "sel_rank",
         F.round("es_key", 6).alias("es_key_r"),
     ).orderBy("sel_rank")
+
+
+def unimax_budgets(docs: DataFrame, budget_num: int = 4,
+                   budget_den: int = 5, max_epochs: int = 1) -> DataFrame:
+    """UNIMAX per-language token budgets (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): allocate a total token budget across
+    languages as uniformly as possible, capping each language at
+    ``max_epochs`` passes over its available data — the closed-form
+    waterfill that replaced temperature sampling in public multilingual
+    recipes.
+
+    Greedy over languages in ascending cap order: a language whose cap
+    fits under the current even share takes its cap; the first language
+    whose cap exceeds the share tips ALL remaining languages into the
+    even-share regime (ascending caps make the capped set a prefix).
+
+    Exact integer arithmetic end-to-end: token counts and caps are
+    bigint, the waterfill comparison ``cap·(n−j+1) ≤ B − Σ_prev`` is
+    integer, and the share region distributes ``R DIV m`` with the
+    ``R MOD m`` remainder given to the first ``R MOD m`` languages of
+    the region (deterministic order) — budgets SUM EXACTLY to
+    min(B, Σ caps) and both engines agree bit-for-bit.
+
+    Per language: (lang, available_tokens, cap_tokens, budget_tokens,
+    epochs_ppm).  The budget B is ``budget_num/budget_den`` of total
+    available tokens (computed from the data, so the demo is
+    deterministic at any SF).
+
+    Shape at 10^12 docs: ONE lang-keyed map-side-combined aggregation
+    over the corpus; everything after runs on the ≤ O(100)-row language
+    table (the single-partition windows are bounded by design — this is
+    the one table where a global window is correct)."""
+    from pyspark.sql import Window
+
+    tokens = F.size(F.split(F.col("text"), " ", -1)).cast("bigint")
+    by_lang = docs.select(F.col("lang"), tokens.alias("t")).groupBy("lang").agg(
+        F.sum("t").alias("available_tokens")
+    )
+    cap = (F.col("available_tokens") * max_epochs).alias("cap_tokens")
+    langs = by_lang.select("lang", "available_tokens", cap)
+    w = Window.orderBy("cap_tokens", "lang")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    annotated = langs.select(
+        "lang",
+        "available_tokens",
+        "cap_tokens",
+        F.row_number().over(w).alias("j"),
+        F.coalesce(F.sum("cap_tokens").over(wprev), F.lit(0).cast("bigint")).alias(
+            "cum_prev"
+        ),
+        F.count("*").over(wall).alias("n_langs"),
+        (F.sum("available_tokens").over(wall) * budget_num).alias(
+            "budget_scaled"
+        ),
+    ).withColumn(
+        "budget_total", F.expr(f"budget_scaled DIV {budget_den}")
+    ).withColumn(
+        "fails",
+        F.col("cap_tokens") * (F.col("n_langs") - F.col("j") + 1)
+        > F.col("budget_total") - F.col("cum_prev"),
+    )
+    first_fail = F.min(F.when(F.col("fails"), F.col("j"))).over(wall)
+    # share region: R tokens over m languages, remainder to the first
+    # R MOD m of them in (cap, lang) order
+    ff = annotated.withColumn("first_fail", first_fail).withColumn(
+        "cum_at_ff",
+        F.max(
+            F.when(F.col("j") == F.col("first_fail"), F.col("cum_prev"))
+        ).over(wall),
+    )
+    r_tokens = F.col("budget_total") - F.col("cum_at_ff")
+    m_langs = F.col("n_langs") - F.col("first_fail") + 1
+    share_rank = F.col("j") - F.col("first_fail") + 1
+    # integer division only: double division truncated via cast loses
+    # exactness past 2^53 — DIV keeps the arithmetic bigint end-to-end
+    budget = F.when(
+        F.col("first_fail").isNull() | (F.col("j") < F.col("first_fail")),
+        F.col("cap_tokens"),
+    ).otherwise(
+        F.expr("(budget_total - cum_at_ff) DIV (n_langs - first_fail + 1)")
+        + (share_rank <= r_tokens % m_langs).cast("bigint")
+    )
+    return ff.withColumn("budget_tokens", budget).select(
+        "lang",
+        "available_tokens",
+        "cap_tokens",
+        "budget_tokens",
+        F.expr("budget_tokens * 1000000 DIV available_tokens").alias(
+            "epochs_ppm"
+        ),
+    )

@@ -682,3 +682,29 @@ def test_domain_quality_prior_broadcasts_totals(spark):
     # host is computed in the same projection as the score: no doc_id
     # self-join may appear
     assert "SortMergeJoin" not in p
+
+
+def test_unimax_corpus_agg_then_tiny_table(spark):
+    """UNIMAX's only corpus-sized work is the lang-keyed aggregation
+    (map-side combined: two HashAggregate levels); the waterfill
+    windows run on the bounded language table, JVM-side throughout."""
+    from pvsyst_pdf_parser_spark.training.sampling import unimax_budgets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(unimax_budgets(docs))
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_source_overlap_reuses_shingle_frame(spark):
+    """The distinct per-source shingle frame fans out to the self-join
+    sides and the sizes agg — it must be materialized once, and the
+    self-join is a shingle equi-join, never a cross join."""
+    from pvsyst_pdf_parser_spark.training.dedup import source_overlap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(source_overlap(docs))
+    assert p.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

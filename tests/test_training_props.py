@@ -1086,3 +1086,54 @@ def test_domain_quality_prior_shrinks_toward_global(spark, docs):
             r["n_docs"] + 5
         )
         assert abs(r["shrunk_q"] - expected) < 5e-3
+
+
+def test_unimax_budgets_waterfill_invariants(spark, docs):
+    """Budgets sum EXACTLY to min(B, sum caps); the capped set is a
+    prefix in ascending-cap order; no budget exceeds its cap; the
+    share region is even to within the 1-token remainder deal."""
+    from pvsyst_pdf_parser_spark.training.sampling import unimax_budgets
+
+    rows = sorted(
+        unimax_budgets(docs).collect(),
+        key=lambda r: (r["cap_tokens"], r["lang"]),
+    )
+    total_avail = sum(r["available_tokens"] for r in rows)
+    b = total_avail * 4 // 5
+    total_caps = sum(r["cap_tokens"] for r in rows)
+    assert sum(r["budget_tokens"] for r in rows) == min(b, total_caps)
+    for r in rows:
+        assert 0 <= r["budget_tokens"] <= r["cap_tokens"]
+    capped = [r["budget_tokens"] == r["cap_tokens"] for r in rows]
+    # prefix property: once a language enters the share region, every
+    # later (larger-cap) language is in it too
+    first_share = capped.index(False) if False in capped else len(rows)
+    assert all(capped[:first_share]) and not any(capped[first_share:])
+    share = [r["budget_tokens"] for r in rows[first_share:]]
+    if share:
+        assert max(share) - min(share) <= 1  # even split + remainder
+
+
+def test_source_overlap_pairs_replay(spark, docs):
+    """Every pair's n_shared/jaccard_ppm replays exactly from Python
+    shingle sets built the same way."""
+    from pvsyst_pdf_parser_spark.training.dedup import source_overlap
+
+    rows = source_overlap(docs).collect()
+    assert rows
+    sets: dict[str, set] = {}
+    for r in docs.select("doc_id", "source", "text").collect():
+        if r["doc_id"] % 2:
+            continue
+        toks = r["text"].lower().split(" ")
+        sets.setdefault(r["source"], set()).update(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+    for r in rows:
+        a, b = sets[r["source_a"]], sets[r["source_b"]]
+        inter = len(a & b)
+        assert r["source_a"] < r["source_b"]
+        assert (r["n_shared"], r["size_a"], r["size_b"]) == (
+            inter, len(a), len(b),
+        )
+        assert r["jaccard_ppm"] == inter * 1000000 // (len(a | b))
