@@ -444,3 +444,109 @@ def stream_ingest_stats(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# -- streaming per-host admission cap ----------------------------------
+
+DOMAINCAP_OUT_SCHEMA = "url string, host string, host_seq bigint, admitted int"
+_DOMAINCAP_STATE_SCHEMA = "n_seen bigint"
+
+
+def _domain_cap_state_func(key, pdfs, state, cap: int = 5,
+                           timeout_ms: int = 86_400_000):
+    """applyInPandasWithState body for streaming domain capping: a
+    per-host counter admits the first ``cap`` pages and flags the rest
+    — the online face of webclean.domain_cap_report (C4/RefinedWeb's
+    per-host frequency guard applied at INGEST, before storage is paid,
+    instead of at corpus-build time).
+
+    Online semantics are arrival-order; within one micro-batch the
+    arrival order is made deterministic by url sort so replays and
+    tests are stable.  State is ONE bigint per host seen inside the
+    timeout horizon — bounded by live-host cardinality, not stream
+    length — and processing-time timeout evicts idle hosts (a re-seen
+    evicted host starts a fresh budget: the cap is per-horizon, which
+    is what a crawl window wants)."""
+    import pandas as pd
+
+    host = key[0]
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n = state.get[0] if state.exists else 0
+    rows = []
+    for pdf in pdfs:
+        rows.extend(pdf.itertuples(index=False))
+    rows.sort(key=lambda r: r.url)
+    urls, seqs, adm = [], [], []
+    for row in rows:
+        n += 1
+        urls.append(row.url)
+        seqs.append(n)
+        adm.append(1 if n <= cap else 0)
+    state.update((n,))
+    state.setTimeoutDuration(timeout_ms)
+    yield pd.DataFrame(
+        {
+            "url": urls,
+            "host": [host] * len(urls),
+            "host_seq": pd.array(seqs, dtype="int64"),
+            "admitted": pd.array(adm, dtype="int32"),
+        }
+    )
+
+
+def domain_cap_stream(docs, cap: int = 5, timeout_ms: int = 86_400_000):
+    """Streaming per-host admission cap: (url, host, host_seq,
+    admitted) — admitted=0 pages are the ones a storage-frugal ingest
+    drops on the floor.
+
+    The host key is a ROW-LOCAL projection (the same host rules as
+    urlnorm/webclean), so the only stateful stage is the host-keyed
+    counter; at crawl scale the shuffle is host-keyed with live-host
+    state only."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from .training.webclean import host_of
+
+    keyed = docs.select(
+        "url",
+        F.regexp_replace(host_of(F.col("url")), r"^www\.", "").alias("host"),
+    ).filter(F.col("host") != "")
+    return keyed.groupBy("host").applyInPandasWithState(
+        functools.partial(_domain_cap_state_func, cap=cap,
+                          timeout_ms=timeout_ms),
+        outputStructType=DOMAINCAP_OUT_SCHEMA,
+        stateStructType=_DOMAINCAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+
+
+def stream_domain_cap(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    cap: int = 5,
+):
+    """File-source stream of (url, text) docs → streaming domain cap →
+    parquet sink.  maxFilesPerTrigger=1 forces same-host arrivals into
+    LATER micro-batches, exercising the cross-batch counter."""
+    docs = (
+        spark.readStream.schema(NEARDUP_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    return (
+        domain_cap_stream(docs, cap=cap)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -458,3 +458,72 @@ def test_windowed_ingest_stats_finalize_and_late_drop(spark, tmp_path):
     # (3+2 tokens, 2 docs — not 3 docs / 9 tokens); the 12:20 window
     # stays open (watermark never passed 12:30) so it is absent
     assert got == {0: (2, 5)}
+
+
+def test_stream_domain_cap_across_batches(spark, tmp_path):
+    """The per-host admission counter persists ACROSS micro-batches: a
+    host that exhausts its cap in batch 0 gets every later page
+    rejected; an under-cap host keeps admitting; per-host admitted
+    totals equal min(cap, n_pages) — the batch domain_cap semantics
+    applied online."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pvsyst_pdf_parser_spark.streaming import stream_domain_cap
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    mtime = [1_700_000_000]
+
+    def write_docs(name, urls):
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "text": pa.array(["x"] * len(urls), pa.string()),
+                }
+            ),
+            str(docs_dir / f"{name}.parquet"),
+        )
+        # Pin strictly increasing mtimes so batch order == intended order.
+        mtime[0] += 10
+        os.utime(docs_dir / f"{name}.parquet", (mtime[0], mtime[0]))
+
+    write_docs("b0", [
+        "http://big.example.com/1", "http://big.example.com/2",
+        "http://WWW.Big.example.com:80/3",   # same host after norm rules
+        "http://small.example.com/1",
+    ])
+    write_docs("b1", [
+        "http://big.example.com/4",          # over cap=3: rejected
+        "http://big.example.com/5",          # rejected
+        "http://small.example.com/2",        # admitted
+    ])
+
+    out_dir = str(tmp_path / "out")
+    q = stream_domain_cap(
+        spark, str(docs_dir), out_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, cap=3,
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 7
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append(r)
+    assert sorted(by_host) == ["big.example.com", "small.example.com"]
+    big = sorted(by_host["big.example.com"], key=lambda r: r["host_seq"])
+    assert [r["host_seq"] for r in big] == [1, 2, 3, 4, 5]
+    assert [r["admitted"] for r in big] == [1, 1, 1, 0, 0]
+    # batch-1 arrivals continued the batch-0 counter (cross-batch state)
+    assert {r["url"] for r in big if r["admitted"] == 0} == {
+        "http://big.example.com/4", "http://big.example.com/5",
+    }
+    small = sorted(by_host["small.example.com"], key=lambda r: r["host_seq"])
+    assert [r["admitted"] for r in small] == [1, 1]
+    # per-host admitted totals == min(cap, n) — the batch semantics
+    assert sum(r["admitted"] for r in big) == 3
+    assert sum(r["admitted"] for r in small) == 2
