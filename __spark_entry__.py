@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_budgets": lambda s, d: SA.unimax_budgets(_docs(s, d)),
         # inter-source shingle overlap matrix (never verified)
         "source_overlap": lambda s, d: D.source_overlap(_docs(s, d)),
+        # per (source, lang) datasheet rollup (never verified)
+        "corpus_datasheet": lambda s, d: X.corpus_datasheet(_docs(s, d)),
         # REAL header decode: deterministic PNG/JPEG/GIF payloads whose
         # dimensions are read back from the encoded header fields (pure
         # public-spec byte parsing, no codec library); the oracle
@@ -911,13 +913,13 @@ def _gate_flags_ctes(carry: str = "doc_id, source, text, n_tokens") -> str:
     best = "greatest(" + ", ".join(f"h_{c}" for c, _ in LANG_MARKERS) + ")"
     stop = " + ".join(_count_sql("t", m) for m in (" the ", " and ", " a "))
     return f"""s AS (
-  SELECT doc_id, source, text, ' ' || lower(text) || ' ' AS t,
+  SELECT doc_id, source, lang, text, ' ' || lower(text) || ' ' AS t,
          len(string_split(text, ' ')) AS n_tokens,
          length(text) AS n_chars,
          len(list_distinct(string_split(text, ' '))) AS n_types
   FROM documents),
 h AS (
-  SELECT doc_id, source, text, n_tokens, {hit_exprs},
+  SELECT doc_id, source, lang, text, n_tokens, {hit_exprs},
          (n_chars - (n_tokens - 1)) / n_tokens AS mwl,
          n_types / n_tokens AS ttr,
          ({stop}) AS stop_hits,
@@ -925,7 +927,7 @@ h AS (
            AS symbol_hits
   FROM s),
 f AS (
-  SELECT doc_id, source, text, n_tokens, {best} AS best,
+  SELECT doc_id, source, lang, text, n_tokens, {best} AS best,
          ((mwl >= 3.0 AND mwl <= 10.0)::int + (stop_hits >= 2)::int
           + (symbol_hits * 10 <= n_tokens)::int + (ttr >= 0.2)::int
           + (n_tokens >= 50 AND n_tokens <= 100000)::int) AS q_flags
@@ -3769,6 +3771,21 @@ FROM w
 """,
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "cleaning_funnel": _cleaning_funnel_sql(),
+        "corpus_datasheet": f"""
+WITH {_gate_flags_ctes(carry="doc_id, source, lang, text, n_tokens")},
+d AS (
+  SELECT source, lang, n_tokens, pass_lang, pass_quality,
+         (row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1)::int
+           AS is_dup
+  FROM gf)
+SELECT source, lang, count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       sum(pass_lang)::BIGINT AS pass_lang_docs,
+       sum(pass_quality)::BIGINT AS pass_quality_docs,
+       sum(is_dup)::BIGINT AS n_exact_dupes,
+       (sum(is_dup) * 1000000 // count(*))::BIGINT AS dup_ppm
+FROM d GROUP BY source, lang
+""",
         "dsir_importance": _dsir_importance_sql(),
         "c4_line_filters": _c4_line_filters_sql(),
         "funnel_attribution": _funnel_attribution_sql(),

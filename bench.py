@@ -151,6 +151,7 @@ HEADLINE = [
     "domain_quality_prior",
     "unimax_budgets",
     "source_overlap",
+    "corpus_datasheet",
 ]
 
 

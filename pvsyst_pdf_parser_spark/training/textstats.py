@@ -947,3 +947,42 @@ def trigram_backoff_scores(
         )
         .orderBy("doc_id")
     )
+
+
+def corpus_datasheet(docs: DataFrame) -> DataFrame:
+    """Per (source, lang) corpus datasheet: (source, lang, n_docs,
+    total_tokens, pass_lang_docs, pass_quality_docs, n_exact_dupes,
+    dup_ppm) — the composition table a "datasheet for datasets"
+    release card publishes (Gebru et al. 2021) and a mixing run reads
+    before setting source weights.
+
+    ONE pass over the corpus: the stateless gates ride the projection
+    (cleaning_gate_exprs — the same arithmetic as the funnel and the
+    streaming cleaner), exact-duplicate flags come from the one
+    text-keyed window, and everything lands in one map-side-combined
+    (source, lang) aggregation.  Counts are exact integers; dup_ppm is
+    integer DIV.  Shuffle profile at 10^12 docs = the cleaning
+    funnel's: one text-keyed exchange + one tiny-key agg."""
+    from pyspark.sql import Window
+
+    pass_lang, pass_quality = cleaning_gate_exprs()
+    w = Window.partitionBy("text").orderBy("doc_id")
+    per = docs.select(
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), r" ", -1)).alias("n_tokens"),
+        pass_lang.alias("pass_lang"),
+        pass_quality.alias("pass_quality"),
+        (F.row_number().over(w) > 1).cast("int").alias("is_dup"),
+    )
+    return (
+        per.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("pass_lang").cast("bigint").alias("pass_lang_docs"),
+            F.sum("pass_quality").cast("bigint").alias("pass_quality_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_exact_dupes"),
+        )
+        .withColumn("dup_ppm", F.expr("n_exact_dupes * 1000000 DIV n_docs"))
+    )

@@ -708,3 +708,17 @@ def test_source_overlap_reuses_shingle_frame(spark):
     assert p.count("InMemoryTableScan") >= 3
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_corpus_datasheet_one_window_one_agg(spark):
+    """The datasheet must cost the cleaning funnel's shuffle profile:
+    ONE text-keyed window + one map-side-combined (source, lang) agg,
+    all JVM-side."""
+    from pvsyst_pdf_parser_spark.training.textstats import corpus_datasheet
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(corpus_datasheet(docs))
+    assert p.count("Window") == 1
+    assert p.count("HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

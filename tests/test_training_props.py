@@ -1137,3 +1137,25 @@ def test_source_overlap_pairs_replay(spark, docs):
             inter, len(a), len(b),
         )
         assert r["jaccard_ppm"] == inter * 1000000 // (len(a | b))
+
+
+def test_corpus_datasheet_partitions_and_totals(spark, docs):
+    """The datasheet partitions the corpus exactly: (source, lang) cell
+    counts sum to the corpus size, token totals to the corpus token
+    count, dupe totals to the corpus duplicate count, and every gate
+    count is bounded by its cell size."""
+    from pvsyst_pdf_parser_spark.training.textstats import corpus_datasheet
+
+    rows = corpus_datasheet(docs).collect()
+    n = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n
+    tok = docs.selectExpr(
+        "sum(size(split(text, ' '))) AS t"
+    ).first()["t"]
+    assert sum(r["total_tokens"] for r in rows) == tok
+    n_dupes = n - docs.select("text").distinct().count()
+    assert sum(r["n_exact_dupes"] for r in rows) == n_dupes
+    for r in rows:
+        assert 0 <= r["pass_lang_docs"] <= r["n_docs"]
+        assert 0 <= r["pass_quality_docs"] <= r["n_docs"]
+        assert r["dup_ppm"] == r["n_exact_dupes"] * 1000000 // r["n_docs"]
