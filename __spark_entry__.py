@@ -203,6 +203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": lambda s, d: D.source_overlap(_docs(s, d)),
         # per (source, lang) datasheet rollup (never verified)
         "corpus_datasheet": lambda s, d: X.corpus_datasheet(_docs(s, d)),
+        # MinHash estimate-vs-exact calibration (never verified)
+        "minhash_calibration": lambda s, d: D.minhash_estimate_calibration(
+            _docs(s, d)
+        ),
         # REAL header decode: deterministic PNG/JPEG/GIF payloads whose
         # dimensions are read back from the encoded header fields (pure
         # public-spec byte parsing, no codec library); the oracle
@@ -614,6 +618,48 @@ SELECT doc_a, doc_b,
 FROM common JOIN {vsizes} za ON za.doc_id = doc_a
 JOIN {vsizes} zb ON zb.doc_id = doc_b
 WHERE round(n_common / (za.n + zb.n - n_common), 4) >= 0.01
+"""
+
+
+def _minhash_calibration_sql(n_perms: int = 64,
+                             min_exact_ppm: int = 10_000) -> str:
+    """DuckDB replay of dedup.minhash_estimate_calibration: same
+    shingles, same (a·h+b) mod P signature mins, exact integer ppm."""
+    params = perm_params(n_perms)
+    h = _H56.format(expr="shingle")
+    mh_cols = ", ".join(
+        f"min(({a} * hm + {b}) % {MERSENNE_P}) AS mh{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    match_terms = " + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END"
+        for j in range(n_perms)
+    )
+    return f"""
+WITH {_shingle_cte(5)},
+  h AS (SELECT doc_id, ({h} % {MERSENNE_P}) AS hm FROM sh),
+  sig AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id),
+  pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+  ex AS (
+    SELECT doc_a, doc_b,
+           (n_common * 1000000 // (za.n + zb.n - n_common))::BIGINT
+             AS exact_ppm
+    FROM pairs JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE n_common * 1000000 // (za.n + zb.n - n_common)
+          >= {min_exact_ppm}),
+  m AS (
+    SELECT doc_a, doc_b, exact_ppm, ({match_terms})::BIGINT AS n_matches
+    FROM ex JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, n_matches,
+       (n_matches * 1000000 // {n_perms})::BIGINT AS est_ppm,
+       exact_ppm,
+       abs(n_matches * 1000000 // {n_perms} - exact_ppm)::BIGINT AS err_ppm
+FROM m
 """
 
 
@@ -3771,6 +3817,7 @@ FROM w
 """,
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "cleaning_funnel": _cleaning_funnel_sql(),
+        "minhash_calibration": _minhash_calibration_sql(),
         "corpus_datasheet": f"""
 WITH {_gate_flags_ctes(carry="doc_id, source, lang, text, n_tokens")},
 d AS (

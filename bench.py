@@ -152,6 +152,7 @@ HEADLINE = [
     "unimax_budgets",
     "source_overlap",
     "corpus_datasheet",
+    "minhash_calibration",
 ]
 
 

@@ -66,7 +66,10 @@ def bitext_mine(
     ``margin_mnx`` is the neighborhood difference margin
     ``n·cos − Σcos`` in the same units (bigint, order-free).
     """
-    page_key = (F.col("doc_id") / pages_per_site).cast("bigint")
+    # integer DIV, not double division: exact for any id width (the
+    # oracle's // is integer floor; both truncate identically on the
+    # non-negative ids)
+    page_key = F.expr(f"doc_id DIV {pages_per_site}")
     src = docs.filter(F.col("lang") == "en").select(
         F.col("doc_id").alias("src_id"), page_key.alias("page_key")
     )

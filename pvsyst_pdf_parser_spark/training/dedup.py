@@ -1040,3 +1040,78 @@ def source_overlap(docs: DataFrame, n: int = 3,
             ).alias("jaccard_ppm"),
         )
     )
+
+
+def minhash_estimate_calibration(
+    docs: DataFrame, n_perms: int = 64, sample_mod: int = 5,
+    min_exact_ppm: int = 10_000,
+) -> DataFrame:
+    """MinHash estimator calibration: per co-shingled pair, the
+    signature-agreement estimate vs the exact Jaccard — (doc_a, doc_b,
+    n_matches, est_ppm, exact_ppm, err_ppm).
+
+    The property the whole MinHash-LSH stack rests on is
+    E[matches/perms] = J(A, B) (Broder 1997); this report MEASURES the
+    estimator's error on real pairs, which is how an operator picks
+    n_perms before committing a trillion-document sweep (the ±1/√k
+    standard error is visible directly in err_ppm).
+
+    Shape at scale: the exact side reuses the bounded co-shingle
+    self-join (cap it with capped_shingles for hot shingles); the
+    signature side is the same one-pass groupBy as minhash_signatures;
+    the estimate join touches only the surviving pairs.  All outputs
+    are exact integers (ppm via integer DIV) — bit-equal to the DuckDB
+    oracle."""
+    from functools import reduce
+    from operator import add
+
+    docs = docs.filter(F.col("doc_id") % sample_mod == 0)
+    sh = persist_tracked(doc_shingles(docs))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("n", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "size_b"), "doc_b")
+        .withColumn(
+            "exact_ppm",
+            F.expr("n_common * 1000000 DIV (size_a + size_b - n_common)"),
+        )
+        .filter(F.col("exact_ppm") >= min_exact_ppm)
+    )
+    sig = _signatures_from_shingles(sh, n_perms=n_perms)
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(n_perms)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(n_perms)],
+    )
+    n_matches = reduce(
+        add,
+        [
+            (F.col(f"a_mh{j}") == F.col(f"b_mh{j}")).cast("int")
+            for j in range(n_perms)
+        ],
+    ).cast("bigint")
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("n_matches", n_matches)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_matches",
+            F.expr(f"n_matches * 1000000 DIV {n_perms}").alias("est_ppm"),
+            "exact_ppm",
+            F.expr(
+                f"abs(n_matches * 1000000 DIV {n_perms} - exact_ppm)"
+            ).alias("err_ppm"),
+        )
+    )

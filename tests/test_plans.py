@@ -722,3 +722,18 @@ def test_corpus_datasheet_one_window_one_agg(spark):
     assert p.count("HashAggregate") >= 2  # partial + final
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_minhash_calibration_shares_one_shingle_frame(spark):
+    """Exact pairs, sizes, AND signatures all derive from ONE
+    materialized shingle frame; the pair join is a shingle equi-join,
+    JVM-side throughout."""
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        minhash_estimate_calibration,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(minhash_estimate_calibration(docs))
+    assert p.count("InMemoryTableScan") >= 4
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

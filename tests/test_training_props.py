@@ -1159,3 +1159,53 @@ def test_corpus_datasheet_partitions_and_totals(spark, docs):
         assert 0 <= r["pass_lang_docs"] <= r["n_docs"]
         assert 0 <= r["pass_quality_docs"] <= r["n_docs"]
         assert r["dup_ppm"] == r["n_exact_dupes"] * 1000000 // r["n_docs"]
+
+
+def test_minhash_calibration_full_python_replay(spark, docs):
+    """Every calibration row replays exactly from Python: exact Jaccard
+    from shingle sets, n_matches from a hashlib/perm_params signature
+    replay, ppm via integer //; and the estimator behaves (mean error
+    across pairs well inside the k=64 sampling noise envelope)."""
+    import hashlib
+
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        minhash_estimate_calibration,
+    )
+    from pvsyst_pdf_parser_spark.training.hashing import (
+        MERSENNE_P,
+        perm_params,
+    )
+
+    rows = minhash_estimate_calibration(docs).collect()
+    assert rows
+    shingle_sets: dict[int, set] = {}
+    for r in docs.select("doc_id", "text").collect():
+        if r["doc_id"] % 5:
+            continue
+        toks = r["text"].lower().split(" ")
+        shingle_sets[r["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    def signature(shingles):
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:14], 16) % MERSENNE_P
+            for s in shingles
+        ]
+        return [min((a * h + b) % MERSENNE_P for h in hs)
+                for a, b in perm_params(64)]
+
+    errs = []
+    for r in rows:
+        a, b = shingle_sets[r["doc_a"]], shingle_sets[r["doc_b"]]
+        exact = len(a & b) * 1000000 // len(a | b)
+        assert r["exact_ppm"] == exact >= 10_000
+        sa, sb = signature(a), signature(b)
+        n_match = sum(x == y for x, y in zip(sa, sb))
+        assert r["n_matches"] == n_match
+        assert r["est_ppm"] == n_match * 1000000 // 64
+        assert r["err_ppm"] == abs(r["est_ppm"] - r["exact_ppm"])
+        errs.append(r["err_ppm"])
+    # k=64 MinHash has per-pair std <= 1e6/(2*sqrt(64)) = 62500 ppm;
+    # the mean abs error across pairs must sit inside a loose 2x of it
+    assert sum(errs) / len(errs) <= 125_000
