@@ -207,6 +207,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": lambda s, d: D.minhash_estimate_calibration(
             _docs(s, d)
         ),
+        # daily-increment pair plan, batch-identical labels (never
+        # verified)
+        "dedup_clusters_incremental": lambda s, d: (
+            D.incremental_cluster_labels(_docs(s, d))
+        ),
         # REAL header decode: deterministic PNG/JPEG/GIF payloads whose
         # dimensions are read back from the encoded header fields (pure
         # public-spec byte parsing, no codec library); the oracle
@@ -4168,4 +4173,8 @@ FROM '{_SMOKE_GOLDENS}'
     # identical fixpoint, different distributed algorithm on the Spark
     # side (min-label propagation vs Kiveris star contraction)
     out["dedup_clusters_stars"] = out["dedup_clusters"]
+    # identical labels, different PAIR-STAGE plan on the Spark side:
+    # stored existing edges ∪ new×all increment join (the daily-crawl
+    # plan that never recomputes existing×existing)
+    out["dedup_clusters_incremental"] = out["dedup_clusters"]
     return out

@@ -1115,3 +1115,89 @@ def minhash_estimate_calibration(
             ).alias("err_ppm"),
         )
     )
+
+
+def incremental_near_dup_pairs(
+    docs: DataFrame, threshold: float = 0.02, sample_mod: int = 5,
+    split_mod: int = 2,
+) -> DataFrame:
+    """Near-dup pairs under the DAILY-INCREMENT plan: the corpus is an
+    'existing' snapshot whose pair edges are already stored plus a
+    'new' increment, and the expensive shingle self-join runs ONLY
+    new×all — existing×existing is never recomputed.  Per pair:
+    (doc_a, doc_b, n_common, jaccard, pair_source∈{stored,increment}).
+
+    This is the plan shape that makes near-dup dedup affordable as a
+    recurring job at 10^12 docs: each day's pairs stage costs
+    O(new·all / shingle-bucketing) instead of O(all²), while the edge
+    UNION feeds the same connected-components step, so labels are
+    IDENTICAL to a from-scratch batch run (new edges can merge two
+    old clusters through a bridging document — handled by the CC, not
+    by label patching).  Here the 'stored' side is computed from the
+    existing half (standing in for the persisted pair table a real
+    deployment reads back); the split is deterministic:
+    (doc_id DIV sample_mod) % split_mod == 0 → existing.
+    """
+    docs = docs.filter(F.col("doc_id") % sample_mod == 0)
+    sh = persist_tracked(doc_shingles(docs))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    is_new = F.expr(f"(doc_id DIV {sample_mod}) % {split_mod} != 0")
+    sh_exist = sh.filter(~is_new)
+    sh_new = sh.filter(is_new)
+    stored = (
+        sh_exist.alias("a")
+        .join(sh_exist.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .withColumn("pair_source", F.lit("stored"))
+    )
+    incr = (
+        sh_new.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            "shingle",
+        )
+        .distinct()  # new-new pairs arrive in both orders; exist side once
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+        .withColumn("pair_source", F.lit("increment"))
+    )
+    return (
+        stored.unionByName(incr)
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard", "pair_source")
+    )
+
+
+def incremental_cluster_labels(
+    docs: DataFrame, threshold: float = 0.02, sample_mod: int = 5,
+    split_mod: int = 2,
+) -> DataFrame:
+    """(doc_id, cluster_rep) — connected components over the stored ∪
+    increment edge union of :func:`incremental_near_dup_pairs`.
+    Labels are provably identical to the from-scratch batch
+    :func:`dedup_cluster_reps` (the pair SETS are equal: every pair is
+    either existing×existing — stored — or touches a new doc —
+    increment), pinned by test_training_props and by sharing the batch
+    query's DuckDB oracle verbatim."""
+    pairs = incremental_near_dup_pairs(
+        docs, threshold=threshold, sample_mod=sample_mod,
+        split_mod=split_mod,
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs)

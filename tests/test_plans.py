@@ -737,3 +737,16 @@ def test_minhash_calibration_shares_one_shingle_frame(spark):
     assert p.count("InMemoryTableScan") >= 4
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_incremental_pairs_shingle_keyed_no_cartesian(spark):
+    """The daily-increment pair plan must keep both the stored
+    (exist×exist) and increment (new×all) joins shingle-keyed — never
+    cartesian — and run every shingle reference off the ONE persisted
+    shingle frame (5 refs: stored×2, incr×2, sizes)."""
+    from pvsyst_pdf_parser_spark.training import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(D.incremental_near_dup_pairs(docs))
+    assert "CartesianProduct" not in p
+    assert p.count("InMemoryTableScan") >= 5

@@ -1209,3 +1209,47 @@ def test_minhash_calibration_full_python_replay(spark, docs):
     # k=64 MinHash has per-pair std <= 1e6/(2*sqrt(64)) = 62500 ppm;
     # the mean abs error across pairs must sit inside a loose 2x of it
     assert sum(errs) / len(errs) <= 125_000
+
+
+def test_incremental_pairs_partition_batch_edge_set(spark, docs):
+    """The daily-increment pair plan must produce EXACTLY the batch
+    edge set, partitioned by pair_source: a pair is 'stored' iff both
+    endpoints are existing docs, 'increment' iff at least one is new —
+    with identical n_common/jaccard either way."""
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        incremental_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    batch = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    inc_rows = incremental_near_dup_pairs(docs, threshold=0.0).collect()
+    inc = {(r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+           for r in inc_rows}
+    assert inc == batch, "pair values diverge from the batch plan"
+    assert {r["pair_source"] for r in inc_rows} == {"stored", "increment"}
+    for r in inc_rows:
+        # split rule: (doc_id DIV sample_mod) % split_mod == 0 → existing
+        a_new = (r["doc_a"] // 5) % 2 != 0
+        b_new = (r["doc_b"] // 5) % 2 != 0
+        want = "increment" if (a_new or b_new) else "stored"
+        assert r["pair_source"] == want, (r["doc_a"], r["doc_b"])
+
+
+def test_incremental_cluster_labels_match_batch(spark, docs):
+    """Label identity: CC over stored ∪ increment edges == CC over the
+    from-scratch batch pairs (the claim that makes the incremental
+    plan safe — new edges may bridge two old clusters, and the CC,
+    not label patching, resolves it)."""
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        dedup_cluster_reps,
+        incremental_cluster_labels,
+    )
+
+    batch = {(r["doc_id"], r["cluster_rep"])
+             for r in dedup_cluster_reps(docs, threshold=0.02).collect()}
+    inc = {(r["doc_id"], r["cluster_rep"])
+           for r in incremental_cluster_labels(docs, threshold=0.02).collect()}
+    assert inc == batch
