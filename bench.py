@@ -153,6 +153,8 @@ HEADLINE = [
     "source_overlap",
     "corpus_datasheet",
     "minhash_calibration",
+    # round-5i operators
+    "dedup_clusters_incremental",
 ]
 
 

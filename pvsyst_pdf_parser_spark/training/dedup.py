@@ -1152,17 +1152,19 @@ def incremental_near_dup_pairs(
         .agg(F.count("*").alias("n_common"))
         .withColumn("pair_source", F.lit("stored"))
     )
+    # ONE shingle-keyed join, no dedup exchange: a new×new pair would
+    # arrive in both orders, so keep only a<b when BOTH sides are new;
+    # a new×exist (pair, shingle) row arrives exactly once already.
+    b_is_new = F.expr(f"(b.doc_id DIV {sample_mod}) % {split_mod} != 0")
     incr = (
         sh_new.alias("a")
         .join(sh.alias("b"), "shingle")
         .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .select(
+        .filter(~b_is_new | (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-            "shingle",
         )
-        .distinct()  # new-new pairs arrive in both orders; exist side once
-        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
         .withColumn("pair_source", F.lit("increment"))
     )
@@ -1195,9 +1197,14 @@ def incremental_cluster_labels(
     :func:`dedup_cluster_reps` (the pair SETS are equal: every pair is
     either existing×existing — stored — or touches a new doc —
     increment), pinned by test_training_props and by sharing the batch
-    query's DuckDB oracle verbatim."""
+    query's DuckDB oracle verbatim.  Components come from the
+    size-dispatched CC (:func:`connected_components_auto`): a daily
+    increment's near-dup graph is usually broadcast-class, where the
+    driver union-find skips the per-round job latency the iterative
+    propagation pays; giant spam components still route to star
+    contraction."""
     pairs = incremental_near_dup_pairs(
         docs, threshold=threshold, sample_mod=sample_mod,
         split_mod=split_mod,
     ).select("doc_a", "doc_b")
-    return connected_components(pairs)
+    return connected_components_auto(pairs)
