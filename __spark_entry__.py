@@ -212,6 +212,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_incremental": lambda s, d: (
             D.incremental_cluster_labels(_docs(s, d))
         ),
+        # SoftDeDup inverse-commonness reweighting (never verified —
+        # the keep-everything-but-downweight dedup posture)
+        "dedup_soft_weights": lambda s, d: D.soft_dedup_weights(_docs(s, d)),
+        # DoReMi EG domain-weight update over closed-form KL excess
+        # loss (never verified — third mixing recipe beside
+        # temperature and UNIMAX)
+        "doremi_weights": lambda s, d: SA.doremi_weights(_docs(s, d)),
+        # length-bucketed batching ladder with exact padding-waste
+        # accounting (never verified — the padding counterpart to
+        # sequence packing)
+        "length_bucket_batches": lambda s, d: SA.length_bucket_batch_stats(
+            _docs(s, d)
+        ),
         # REAL header decode: deterministic PNG/JPEG/GIF payloads whose
         # dimensions are read back from the encoded header fields (pure
         # public-spec byte parsing, no codec library); the oracle
@@ -3823,6 +3836,86 @@ FROM w
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "cleaning_funnel": _cleaning_funnel_sql(),
         "minhash_calibration": _minhash_calibration_sql(),
+        # SoftDeDup (dedup.soft_dedup_weights): same distinct-3-gram
+        # shingle universe as the other dedup oracles, per-shingle NLL
+        # rounded ONCE to integer micro-nats, exact integer means; only
+        # the final capped exp runs in doubles (identical operands)
+        "dedup_soft_weights": f"""
+WITH {_shingle_cte(1)},
+dfq AS (SELECT shingle, count(*)::bigint AS df FROM sh GROUP BY 1),
+tot AS (SELECT sum(df)::bigint AS total FROM dfq),
+lp AS (SELECT shingle, round(-ln(df / total) * 1000000)::bigint AS nll
+       FROM dfq CROSS JOIN tot),
+pd AS (SELECT doc_id, count(*)::bigint AS n_shingles,
+              (sum(nll) // count(*))::bigint AS doc_nll
+       FROM sh JOIN lp USING (shingle) GROUP BY 1),
+m AS (SELECT (sum(doc_nll) // count(*))::bigint AS mean_nll FROM pd)
+SELECT d.doc_id, d.source,
+       coalesce(pd.n_shingles, 0)::bigint AS n_shingles,
+       coalesce(pd.doc_nll, 0)::bigint AS doc_nll_unats,
+       coalesce(
+         round(least(exp((pd.doc_nll - m.mean_nll) / 1000000.0), 4.0), 9),
+         1.0) AS weight
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN m
+""",
+        # DoReMi (sampling.doremi_weights): per-(source, token) KL
+        # contributions rounded ONCE to integer micro-nats and
+        # bigint-summed; clamp BEFORE the integer division (Spark DIV
+        # truncates, DuckDB // floors — nonneg operands agree); final
+        # exp/normalize in doubles from identical integers
+        "doremi_weights": """
+WITH tk AS (
+  SELECT source,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+           AS token
+  FROM documents),
+st AS (SELECT source, token, count(*)::bigint AS cnt FROM tk GROUP BY 1, 2),
+tm AS (SELECT token, sum(cnt)::bigint AS cnt_t FROM st GROUP BY 1),
+stot AS (SELECT source, sum(cnt)::bigint AS t_s FROM st GROUP BY 1),
+g AS (SELECT sum(t_s)::bigint AS t_all FROM stot),
+co AS (
+  SELECT st.source, stot.t_s,
+         round(st.cnt * (ln(st.cnt / stot.t_s) - ln(tm.cnt_t / g.t_all))
+               * 1000000)::bigint AS kp
+  FROM st JOIN tm USING (token) JOIN stot USING (source) CROSS JOIN g),
+ps AS (SELECT source, t_s AS n_tokens,
+              (greatest(sum(kp), 0) // t_s)::bigint AS kl_unats
+       FROM co GROUP BY source, t_s),
+t2 AS (SELECT sum(n_tokens)::bigint AS t_all, count(*)::bigint AS k FROM ps),
+raw AS (SELECT source, n_tokens, kl_unats, t_all, k,
+               (n_tokens / t_all) * exp(1.0 * kl_unats / 1000000.0) AS a_raw
+        FROM ps CROSS JOIN t2),
+z AS (SELECT sum(a_raw) AS z FROM raw)
+SELECT source, n_tokens, kl_unats,
+       round(n_tokens / t_all, 9) AS alpha0,
+       round(a_raw / z, 9) AS alpha_eg,
+       round(0.99 * a_raw / z + 0.01 / k, 9) AS alpha_smoothed
+FROM raw CROSS JOIN z
+""",
+        # length-bucketed batching (sampling.length_bucket_batch_stats):
+        # fixed seqlen ladder, closed-form batch count, bigint padding
+        # arithmetic end-to-end
+        "length_bucket_batches": """
+WITH t AS (
+  SELECT len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::bigint
+           AS nt
+  FROM documents),
+b AS (
+  SELECT CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+              WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+              WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+              WHEN nt <= 1024 THEN 1024 WHEN nt <= 2048 THEN 2048
+              ELSE 4096 END::bigint AS bucket_cap,
+         least(nt, 4096)::bigint AS used
+  FROM t)
+SELECT bucket_cap, count(*)::bigint AS n_docs,
+       ((count(*) + 7) // 8)::bigint AS n_batches,
+       sum(used)::bigint AS sum_tokens,
+       (bucket_cap * count(*) - sum(used))::bigint AS pad_tokens,
+       ((bucket_cap * count(*) - sum(used)) * 1000000
+        // (bucket_cap * count(*)))::bigint AS pad_ppm
+FROM b GROUP BY bucket_cap
+""",
         "corpus_datasheet": f"""
 WITH {_gate_flags_ctes(carry="doc_id, source, lang, text, n_tokens")},
 d AS (

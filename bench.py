@@ -155,6 +155,9 @@ HEADLINE = [
     "minhash_calibration",
     # round-5i operators
     "dedup_clusters_incremental",
+    "dedup_soft_weights",
+    "doremi_weights",
+    "length_bucket_batches",
 ]
 
 

@@ -609,3 +609,179 @@ def unimax_budgets(docs: DataFrame, budget_num: int = 4,
             "epochs_ppm"
         ),
     )
+
+
+def doremi_weights(
+    docs: DataFrame, eta: float = 1.0, smooth_ppm: int = 10_000
+) -> DataFrame:
+    """DoReMi domain-weight update (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    one exponentiated-gradient step over per-domain EXCESS LOSS,
+    producing the next-round sampling mixture — the third public
+    mixing recipe this module covers, beside temperature mixing
+    (:func:`source_mixture_stats`, w ∝ n^α) and the UNIMAX waterfill
+    (:func:`unimax_budgets`).
+
+    DoReMi's excess loss is ℓ_proxy − ℓ_ref per domain.  Without a
+    trained proxy model in this sandbox the same quantity exists in
+    closed form over unigram LMs: cross-entropy of the domain's tokens
+    under the CORPUS unigram LM minus cross-entropy under the domain's
+    OWN unigram LM = KL(domain ‖ corpus) ≥ 0 — exactly "how much worse
+    the shared reference model fits this domain than a domain-fitted
+    one", which is the signal DoReMi's EG step consumes.  Domains that
+    diverge from the corpus average get up-weighted.
+
+    Arithmetic discipline (Spark ≡ DuckDB bit-for-bit): every
+    per-(domain, token) KL contribution ``cnt·(ln p_s − ln p)`` is
+    rounded ONCE to integer micro-nats and bigint-summed (order-free,
+    exact — the dsir.py pattern); the per-token KL is an integer
+    ``DIV``; only the final exp/normalize runs in doubles, computed
+    from identical integers on both engines and rounded to 9 places.
+
+    EG step: α'_s ∝ α⁰_s · exp(η · KL_s) with α⁰_s = token share, then
+    the paper's uniform smoothing α_s = (1−c)·α'_s + c/k
+    (``smooth_ppm`` = c in parts-per-million, default 1%).
+
+    Distributed shape at 10^12 documents: ONE corpus-wide shuffle — the
+    (source, token) aggregation (map-side combined; same profile as the
+    unigram-LM quality ops in textstats.py).  Everything after runs on
+    vocabulary-sized aggregates: the token-marginal table joins back
+    token-keyed (two vocab-sized sides, corpus-row-independent), and
+    the per-domain table is O(#sources) rows where single-partition
+    math is correct by design."""
+    toks = F.expr("filter(split(lower(text), ' ', -1), t -> t <> '')")
+    st = (
+        docs.select(F.col("source"), F.explode(toks).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tok_marg = st.groupBy("token").agg(F.sum("cnt").alias("cnt_t"))
+    src_tot = st.groupBy("source").agg(F.sum("cnt").alias("t_s"))
+    grand = src_tot.agg(F.sum("t_s").alias("t_all"))
+    contrib = (
+        st.join(tok_marg, "token")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "t_s",
+            F.round(
+                F.col("cnt")
+                * (
+                    F.log(F.col("cnt") / F.col("t_s"))
+                    - F.log(F.col("cnt_t") / F.col("t_all"))
+                )
+                * F.lit(1_000_000.0),
+                0,
+            )
+            .cast("bigint")
+            .alias("kl_part_unats"),
+        )
+    )
+    per_src = contrib.groupBy("source", "t_s").agg(
+        F.sum("kl_part_unats").alias("kl_scaled")
+    ).select(
+        "source",
+        F.col("t_s").alias("n_tokens"),
+        # clamp BEFORE the integer division: KL >= 0 mathematically but
+        # per-term rounding can leave the scaled sum marginally
+        # negative, and Spark's DIV truncates toward zero while
+        # DuckDB's // floors — nonneg operands make the engines agree
+        F.expr("greatest(kl_scaled, CAST(0 AS bigint)) DIV t_s").alias(
+            "kl_unats"
+        ),
+    )
+    # O(#sources) rows from here down — broadcast scalar joins only
+    tot2 = per_src.agg(
+        F.sum("n_tokens").alias("t_all"), F.count("*").alias("k")
+    )
+    raw = per_src.crossJoin(F.broadcast(tot2)).select(
+        "source",
+        "n_tokens",
+        "kl_unats",
+        "t_all",
+        "k",
+        (
+            (F.col("n_tokens") / F.col("t_all"))
+            * F.exp(F.lit(eta) * F.col("kl_unats") / F.lit(1_000_000.0))
+        ).alias("a_raw"),
+    )
+    z = raw.agg(F.sum("a_raw").alias("z"))
+    c = smooth_ppm / 1_000_000.0
+    return raw.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        "kl_unats",
+        F.round(F.col("n_tokens") / F.col("t_all"), 9).alias("alpha0"),
+        F.round(F.col("a_raw") / F.col("z"), 9).alias("alpha_eg"),
+        F.round(
+            F.lit(1.0 - c) * F.col("a_raw") / F.col("z")
+            + F.lit(c) / F.col("k"),
+            9,
+        ).alias("alpha_smoothed"),
+    )
+
+
+# fixed seqlen ladder — the public bucketed-batching practice pads each
+# example to the smallest ladder rung that fits (fairseq/T5-style
+# length-bucketed batching); a CASE chain over literals is portable to
+# any engine, unlike next-pow2 bit tricks whose zero-padding semantics
+# differ between Spark bin() and DuckDB bin()
+SEQLEN_LADDER = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def length_bucket_batch_stats(
+    docs: DataFrame, batch_size: int = 8
+) -> DataFrame:
+    """Length-bucketed batching profile — the OTHER public answer to
+    variable-length training examples, beside the concat-and-chunk
+    packing already covered by :func:`sequence_pack_stats`: pad each
+    document up to the smallest rung of the fixed :data:`SEQLEN_LADDER`
+    that fits, batch within a rung, and account for the padding the
+    ladder wastes (packing wastes nothing but splits documents;
+    bucketed padding keeps documents intact but burns pad tokens — this
+    report is the input to that trade-off decision).
+
+    Per rung: (bucket_cap, n_docs, n_batches, sum_tokens, pad_tokens,
+    pad_ppm) with n_batches = ⌈n_docs / batch_size⌉ in closed form —
+    batch membership within a rung is deterministic by construction
+    (any stable order deals identical batch COUNTS and identical
+    per-rung padding, because every doc in a rung pads to the same
+    cap), so no window function is needed at any scale.  Documents
+    longer than the top rung are TRUNCATED to it, the standard
+    practice, and report zero padding for the truncated part.
+
+    Distributed shape at 10^12 documents: one row-local token count +
+    CASE projection, then ONE bucket-keyed aggregation with at most
+    ``len(SEQLEN_LADDER)`` groups — map-side combine does nearly all
+    the work; no shuffle grows with the corpus.  All arithmetic is
+    bigint (pad_ppm via integer DIV), exact on both engines."""
+    t = F.size(F.expr("filter(split(lower(text), ' ', -1), t -> t <> '')"))
+    cap_expr = F.lit(SEQLEN_LADDER[-1])
+    for rung in reversed(SEQLEN_LADDER):
+        cap_expr = F.when(t <= rung, F.lit(rung)).otherwise(cap_expr)
+    per_doc = docs.select(
+        cap_expr.cast("bigint").alias("bucket_cap"),
+        F.least(t, F.lit(SEQLEN_LADDER[-1])).cast("bigint").alias("used"),
+    )
+    return (
+        per_doc.groupBy("bucket_cap")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("used").alias("sum_tokens"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            F.expr(f"(n_docs + {batch_size} - 1) DIV {batch_size}").alias(
+                "n_batches"
+            ),
+            "sum_tokens",
+            (F.col("bucket_cap") * F.col("n_docs") - F.col("sum_tokens"))
+            .alias("pad_tokens"),
+            F.expr(
+                "(bucket_cap * n_docs - sum_tokens) * 1000000"
+                " DIV (bucket_cap * n_docs)"
+            ).alias("pad_ppm"),
+        )
+    )

@@ -2319,3 +2319,133 @@ def test_jl_recall_report_matches_numpy_replay(spark):
     # projection onto 16 ±1 planes must do real work but not destroy
     # neighborhoods: recall strictly between 0 and 1 on this corpus
     assert 0.0 < row["recall"] < 1.0
+
+
+def test_soft_dedup_weights_downweights_common_docs(spark):
+    """SoftDeDup (He 2024): integer micro-nat NLLs equal a pure-Python
+    replay of the shingle-df arithmetic; boilerplate-duplicate docs get
+    weight < 1, rare-content docs weight > 1 (capped at 4.0); docs too
+    short to shingle get the neutral 1.0."""
+    import math
+
+    from pvsyst_pdf_parser_spark.training.dedup import soft_dedup_weights
+
+    boiler = "click here to accept cookies and continue to the site"
+    rows = [(i, boiler, "web") for i in range(6)]  # common template
+    rows += [
+        (10, "quantum chromodynamics lattice gauge ensembles converge", "web"),
+        (11, "volcanic ash stratigraphy dates the bronze age eruption", "web"),
+        (12, "to be", "web"),  # < 3 tokens: no shingles
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in soft_dedup_weights(docs).collect()}
+    assert set(got) == {r[0] for r in rows}
+
+    # pure-Python replay of the integer arithmetic
+    sh = {}
+    for doc_id, text, _ in rows:
+        toks = text.lower().split(" ")
+        sh[doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    df = {}
+    for s in sh.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    total = sum(df.values())
+    nll = {g: _round_half_away(-math.log(c / total) * 1e6)
+           for g, c in df.items()}
+    doc_nll = {d: sum(nll[g] for g in s) // len(s)
+               for d, s in sh.items() if s}
+    mean_nll = sum(doc_nll.values()) // len(doc_nll)
+    for d, v in doc_nll.items():
+        assert got[d]["n_shingles"] == len(sh[d]), d
+        assert got[d]["doc_nll_unats"] == v, d
+        expect_w = min(math.exp((v - mean_nll) / 1e6), 4.0)
+        assert abs(got[d]["weight"] - expect_w) < 1e-8, d
+    # the posture: common template down-weighted, rare content up
+    assert got[0]["weight"] < 1.0 < got[10]["weight"]
+    assert all(got[d]["weight"] <= 4.0 for d in got)
+    assert got[12]["n_shingles"] == 0 and got[12]["weight"] == 1.0
+
+
+def test_doremi_weights_upweights_divergent_domain(spark):
+    """DoReMi EG step: the domain whose unigram distribution diverges
+    from the corpus carries the larger KL and gains mixture share over
+    its token-share prior; weights replay exactly in integer micro-nats
+    and the smoothed mixture sums to 1."""
+    import math
+
+    from pvsyst_pdf_parser_spark.training.sampling import doremi_weights
+
+    common = "the cat sat on the mat and the dog ran fast today"
+    rows = [(i, common, "news") for i in range(8)]
+    rows += [(100 + i, "tensor manifold gradient spectral eigenvalue "
+              "holonomy functor sheaf cohomology", "math")
+             for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in doremi_weights(docs).collect()}
+    assert set(got) == {"news", "math"}
+
+    # replay: per-(source, token) counts -> rounded KL contributions
+    st, tm, ts = {}, {}, {}
+    for _, text, src in rows:
+        for t in text.lower().split(" "):
+            if t:
+                st[(src, t)] = st.get((src, t), 0) + 1
+                tm[t] = tm.get(t, 0) + 1
+                ts[src] = ts.get(src, 0) + 1
+    t_all = sum(ts.values())
+    kl_scaled = {}
+    for (src, t), c in st.items():
+        part = _round_half_away(
+            c * (math.log(c / ts[src]) - math.log(tm[t] / t_all)) * 1e6
+        )
+        kl_scaled[src] = kl_scaled.get(src, 0) + part
+    kl = {s: max(v, 0) // ts[s] for s, v in kl_scaled.items()}
+    a_raw = {s: (ts[s] / t_all) * math.exp(kl[s] / 1e6) for s in ts}
+    z = sum(a_raw.values())
+    for s in ts:
+        assert got[s]["n_tokens"] == ts[s]
+        assert got[s]["kl_unats"] == kl[s], s
+        assert abs(got[s]["alpha_eg"] - a_raw[s] / z) < 1e-8
+        assert abs(
+            got[s]["alpha_smoothed"] - (0.99 * a_raw[s] / z + 0.01 / 2)
+        ) < 1e-8
+    # the math domain diverges from the corpus far more than news does
+    assert got["math"]["kl_unats"] > got["news"]["kl_unats"]
+    # and the EG step moves share toward it relative to its prior
+    assert got["math"]["alpha_eg"] > got["math"]["alpha0"]
+    assert abs(sum(r["alpha_smoothed"] for r in got.values()) - 1.0) < 1e-8
+
+
+def test_length_bucket_batches_ladder_exact(spark):
+    """Fixed seqlen ladder: rung assignment, closed-form batch count,
+    exact bigint padding, and top-rung truncation for overlong docs."""
+    from pvsyst_pdf_parser_spark.training.sampling import (
+        SEQLEN_LADDER,
+        length_bucket_batch_stats,
+    )
+
+    def doc(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    # 10 docs of 20 tokens (rung 32), 3 of 16 (rung 16, zero pad),
+    # 1 of 5000 (truncated to the 4096 rung)
+    rows = [(i, doc(20), "s") for i in range(10)]
+    rows += [(20 + i, doc(16), "s") for i in range(3)]
+    rows += [(30, doc(5000), "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["bucket_cap"]: r
+           for r in length_bucket_batch_stats(docs, batch_size=8).collect()}
+    assert set(got) == {16, 32, 4096}
+    assert SEQLEN_LADDER[0] == 16 and SEQLEN_LADDER[-1] == 4096
+
+    r32 = got[32]
+    assert (r32["n_docs"], r32["n_batches"]) == (10, 2)  # ceil(10/8)
+    assert r32["sum_tokens"] == 200 and r32["pad_tokens"] == 32 * 10 - 200
+    assert r32["pad_ppm"] == (32 * 10 - 200) * 1_000_000 // (32 * 10)
+    r16 = got[16]
+    assert (r16["n_docs"], r16["pad_tokens"], r16["pad_ppm"]) == (3, 0, 0)
+    rtop = got[4096]
+    assert rtop["sum_tokens"] == 4096 and rtop["pad_tokens"] == 0

@@ -750,3 +750,41 @@ def test_incremental_pairs_shingle_keyed_no_cartesian(spark):
     p = _plan(D.incremental_near_dup_pairs(docs))
     assert "CartesianProduct" not in p
     assert p.count("InMemoryTableScan") >= 5
+
+
+def test_soft_dedup_scalar_frames_broadcast_no_cartesian(spark):
+    """SoftDeDup: the shingle-df join stays shingle-keyed (never
+    cartesian — only the two ONE-ROW scalar frames re-enter as
+    broadcast nested loop), and no window runs over the corpus."""
+    from pvsyst_pdf_parser_spark.training import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(D.soft_dedup_weights(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the scalar total/mean rows
+    assert "Window" not in p
+
+
+def test_doremi_one_corpus_shuffle_then_vocab_tables(spark):
+    """DoReMi: the per-(source, token) aggregation is the only
+    corpus-wide stage; the marginal joins are hash/broadcast keyed,
+    never cartesian, and nothing windows over the corpus."""
+    from pvsyst_pdf_parser_spark.training import sampling as SA
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(SA.doremi_weights(docs))
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    # scalar grand-total / normalizer frames enter as broadcast
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_length_bucket_batches_single_agg_no_window(spark):
+    """Length-bucket profile: one ladder-keyed aggregate (map-side
+    combined), no window, no join of any kind."""
+    from pvsyst_pdf_parser_spark.training import sampling as SA
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(SA.length_bucket_batch_stats(docs))
+    assert "Join" not in p and "Window" not in p
+    assert p.count("HashAggregate") <= 4  # partial+final, nothing more
