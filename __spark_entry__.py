@@ -225,6 +225,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucket_batches": lambda s, d: SA.length_bucket_batch_stats(
             _docs(s, d)
         ),
+        # HITS hub/authority over the same link graph as PageRank
+        # (never verified — the directory-vs-content split a crawl
+        # scheduler uses for seed lists)
+        "link_hits": lambda s, d: CR.link_hits(_docs(s, d)),
+        # reliability-diagram / ECE binning of the frozen quality model
+        # vs its weak rule-gate label (never verified)
+        "quality_reliability": lambda s, d: (
+            lambda m: QM.quality_reliability_report(
+                _docs(s, d), m["weights"], m["bias"]
+            )
+        )(_quality_model()),
+        # T5 span-corruption masking profile, hash-deterministic spans
+        # with T5's merge-adjacent-sentinels rule (never verified)
+        "span_corruption": lambda s, d: SA.span_corruption_stats(_docs(s, d)),
         # REAL header decode: deterministic PNG/JPEG/GIF payloads whose
         # dimensions are read back from the encoded header fields (pure
         # public-spec byte parsing, no codec library); the oracle
@@ -3077,6 +3091,64 @@ SELECT {out_dim} AS out_dim, {n_queries} AS n_queries, {k} AS k,
 """
 
 
+def _quality_reliability_sql(n_bins: int = 10) -> str:
+    """DuckDB replay of qualitymodel.quality_reliability_report: the
+    SAME weak-label and frozen-weight score CTEs as the model oracle,
+    score rounded ONCE to integer ppm, bin + every aggregate in exact
+    bigint arithmetic (Guo 2017 ECE binning)."""
+    m = _quality_model()
+    nb = m["n_buckets"]
+    warr = "[" + ", ".join(repr(float(x)) for x in m["weights"]) + "]::DOUBLE[]"
+    bias = repr(float(m["bias"]))
+    stop = " + ".join(_count_sql("t", x) for x in (" the ", " and ", " a "))
+    bucket = "((('0x' || substr(md5(x), 1, 14))::bigint) % " + str(nb) + ")::int"
+    return f"""
+WITH s AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS t,
+         string_split(lower(text), ' ') AS ltoks,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_distinct(string_split(text, ' '))) AS n_types
+  FROM documents),
+h AS (
+  SELECT doc_id, ltoks, n_tokens,
+         (n_chars - (n_tokens - 1)) / n_tokens AS mwl,
+         n_types / n_tokens AS ttr,
+         ({stop}) AS stop_hits,
+         ({_count_sql("t", "#")} + {_count_sql("t", "...")}) AS symbol_hits
+  FROM s),
+lab AS (
+  SELECT doc_id, ltoks,
+         (((mwl >= 3.0 AND mwl <= 10.0)::int + (stop_hits >= 2)::int
+           + (symbol_hits * 10 <= n_tokens)::int + (ttr >= 0.2)::int
+           + (n_tokens >= 50 AND n_tokens <= 100000)::int) >= 4)::int
+           AS label
+  FROM h),
+sc AS (
+  SELECT label,
+         round((1.0 / (1.0 + exp(-({bias}
+           + list_sum(list_transform(ltoks,
+               x -> ({warr})[{bucket} + 1])) / len(ltoks)))))
+           * 1000000)::bigint AS s_ppm
+  FROM lab),
+b AS (
+  SELECT label, s_ppm,
+         least(s_ppm * {n_bins} // 1000000, {n_bins - 1})::int AS bin
+  FROM sc),
+g AS (
+  SELECT bin, count(*)::bigint AS n_docs, sum(label)::bigint AS n_pos,
+         sum(s_ppm)::bigint AS sum_ppm
+  FROM b GROUP BY bin)
+SELECT bin, n_docs, n_pos,
+       (sum_ppm // n_docs)::bigint AS conf_ppm,
+       (n_pos * 1000000 // n_docs)::bigint AS acc_ppm,
+       abs(sum_ppm // n_docs - n_pos * 1000000 // n_docs)::bigint AS gap_ppm,
+       (abs(sum_ppm // n_docs - n_pos * 1000000 // n_docs)
+        * n_docs)::bigint AS ece_part_ppm_docs
+FROM g
+"""
+
+
 def _quality_model_sql(tau: float = 0.5) -> str:
     """DuckDB replay of qualitymodel.quality_model_report with the SAME
     frozen fixture weights as array literals: weak label = the 5-rule
@@ -3187,6 +3259,47 @@ pr{i + 1} AS (
 SELECT doc_id, round(pr * n, 8) AS rank_x_n
 FROM pr{iters}, nn
 ORDER BY rank_x_n DESC, doc_id
+LIMIT {top_k}
+""")
+    return "".join(parts)
+
+
+def _hits_sql(iters: int = 3, top_k: int = 20) -> str:
+    """Unrolled fixed-iteration HITS over the same deterministic edge
+    CTE as the PageRank oracle — UNNORMALIZED rounds (no order-
+    dependent global float normalizer), one max-scaled rounding at the
+    end, top-k sorted on the ROUNDED authority (crawl.link_hits)."""
+    parts = ["""
+WITH nn AS (SELECT count(*)::double AS n FROM documents),
+ids AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * a + b) % n::bigint AS dst
+    FROM documents, nn, (VALUES (7, 1), (13, 3), (31, 5)) t(a, b)) e
+  WHERE src % 10 != 0 AND src != dst),
+h0 AS (SELECT doc_id, 1.0 AS h FROM ids)"""]
+    for i in range(iters):
+        parts.append(f""",
+a{i + 1} AS (
+  SELECT i.doc_id, coalesce(s.a, 0.0) AS a
+  FROM ids i LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(h.h) AS a
+    FROM edges e JOIN h{i} h ON h.doc_id = e.src GROUP BY e.dst) s
+  USING (doc_id)),
+h{i + 1} AS (
+  SELECT i.doc_id, coalesce(s.h, 0.0) AS h
+  FROM ids i LEFT JOIN (
+    SELECT e.src AS doc_id, sum(a.a) AS h
+    FROM edges e JOIN a{i + 1} a ON a.doc_id = e.dst GROUP BY e.src) s
+  USING (doc_id))""")
+    parts.append(f""",
+mx AS (SELECT max(a) AS amax FROM a{iters}),
+mh AS (SELECT max(h) AS hmax FROM h{iters})
+SELECT a.doc_id,
+       round(a.a / mx.amax, 8) AS auth_norm,
+       round(h.h / mh.hmax, 8) AS hub_norm
+FROM a{iters} a JOIN h{iters} h USING (doc_id), mx, mh
+ORDER BY auth_norm DESC, doc_id
 LIMIT {top_k}
 """)
     return "".join(parts)
@@ -3915,6 +4028,42 @@ SELECT bucket_cap, count(*)::bigint AS n_docs,
        ((bucket_cap * count(*) - sum(used)) * 1000000
         // (bucket_cap * count(*)))::bigint AS pad_ppm
 FROM b GROUP BY bucket_cap
+""",
+        "link_hits": _hits_sql(),
+        "quality_reliability": _quality_reliability_sql(),
+        # T5 span corruption (sampling.span_corruption_stats): same
+        # md5-derived span starts, same merge-adjacent mask, all 0/1
+        # integer arithmetic after the hash decision
+        "span_corruption": """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents),
+st AS (
+  SELECT doc_id, len(toks)::bigint AS n,
+         list_transform(generate_series(1, len(toks)),
+           i -> CASE WHEN (('0x' || substr(md5(doc_id::varchar || ':'
+                                           || i::varchar), 1, 14))::bigint)
+                          % 7 = 0
+                     THEN 1 ELSE 0 END) AS starts
+  FROM tk),
+mk AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(1, n::int),
+           i -> CASE WHEN len(list_filter(generate_series(greatest(1, i - 2),
+                                                          i),
+                                          j -> starts[j] = 1)) > 0
+                     THEN 1 ELSE 0 END) AS masked
+  FROM st)
+SELECT doc_id, n AS n_tokens,
+       len(list_filter(generate_series(1, n::int),
+                       i -> masked[i] = 1
+                            AND (i = 1 OR masked[i - 1] = 0)))::bigint
+         AS n_spans,
+       coalesce(list_sum(masked), 0)::bigint AS masked_tokens,
+       (CASE WHEN n = 0 THEN 0
+             ELSE coalesce(list_sum(masked), 0) * 1000000 // n END)::bigint
+         AS masked_ppm
+FROM mk
 """,
         "corpus_datasheet": f"""
 WITH {_gate_flags_ctes(carry="doc_id, source, lang, text, n_tokens")},

@@ -158,6 +158,9 @@ HEADLINE = [
     "dedup_soft_weights",
     "doremi_weights",
     "length_bucket_batches",
+    "link_hits",
+    "quality_reliability",
+    "span_corruption",
 ]
 
 

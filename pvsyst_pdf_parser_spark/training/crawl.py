@@ -516,3 +516,72 @@ def frontier_slots_report(docs: DataFrame, n_slots: int = 8) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("fetch_seq"),
         F.count("*").over(wc).cast("bigint").alias("n_host_pages"),
     )
+
+
+def link_hits(docs: DataFrame, iters: int = 3, top_k: int = 20) -> DataFrame:
+    """Top-k pages by HITS authority (Kleinberg 1999, "Authoritative
+    sources in a hyperlinked environment") after a FIXED number of
+    mutual-reinforcement rounds over the same deterministic link graph
+    as :func:`link_pagerank` — the hub/authority complement to
+    PageRank's single prestige score: a page can matter as a DIRECTORY
+    (hub — links to good content) without being content itself, the
+    distinction a crawl scheduler uses to pick seed lists vs fetch
+    targets.
+
+        auth'(v) = Σ_{u→v} hub(u)        hub'(u) = Σ_{u→v} auth'(v)
+
+    NO per-round normalization: the classic L2 normalizer is a
+    corpus-wide float sum whose accumulation order differs between
+    engines, so instead scores grow unnormalized through ``iters``
+    rounds (bounded by (max_degree²)^iters — fine in doubles for fixed
+    small iters) and are normalized ONCE at the end by the corpus MAX
+    (order-free), rounded to 8 places BEFORE the top-k sort so float
+    noise can never flip boundary membership — the same discipline as
+    link_pagerank's rounded rank sort.
+
+    Distributed shape per round: two edge-keyed join+groupBy passes
+    (the Pregel cost shape, partial aggregation map-side); the edge
+    frame is computed once and persisted; per-round localCheckpoint
+    truncates the growing lineage exactly as the PageRank and
+    star-contraction loops do.  No collect anywhere; the two one-row
+    max frames re-enter as broadcasts."""
+    n_docs = docs.count()  # bounded job; the oracle's COUNT(*) twin
+    ids = docs.select("doc_id")
+    edges = synthetic_link_edges(docs, n_docs).persist()
+    hub = ids.select("doc_id", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(iters):
+        auth = (
+            edges.join(hub.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = (
+            ids.join(auth, "doc_id", "left")
+            .select("doc_id", F.coalesce("a", F.lit(0.0)).alias("a"))
+            .localCheckpoint()
+        )
+        hub = (
+            edges.join(auth.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = (
+            ids.join(hub, "doc_id", "left")
+            .select("doc_id", F.coalesce("h", F.lit(0.0)).alias("h"))
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    amax = auth.agg(F.max("a").alias("amax"))
+    hmax = hub.agg(F.max("h").alias("hmax"))
+    scored = (
+        auth.join(hub, "doc_id")
+        .crossJoin(F.broadcast(amax))
+        .crossJoin(F.broadcast(hmax))
+        .select(
+            "doc_id",
+            F.round(F.col("a") / F.col("amax"), 8).alias("auth_norm"),
+            F.round(F.col("h") / F.col("hmax"), 8).alias("hub_norm"),
+        )
+    )
+    return scored.orderBy(F.col("auth_norm").desc(), "doc_id").limit(top_k)

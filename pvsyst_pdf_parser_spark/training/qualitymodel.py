@@ -189,3 +189,72 @@ def quality_model_report(
 
 def sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))
+
+
+def quality_reliability_report(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram / calibration report for the frozen
+    hashed-BoW quality model (the standard ECE binning of Guo et al.
+    2017, "On Calibration of Modern Neural Networks"): bucket documents
+    by predicted score into ``n_bins`` equal-width bins and compare the
+    bin's mean confidence against its observed positive rate under the
+    weak rule-gate label — the report a data pipeline consults before
+    trusting model scores as sampling weights or thresholds (an
+    uncalibrated gate silently shifts the corpus mix).
+
+    Per bin: (bin, n_docs, n_pos, conf_ppm, acc_ppm, gap_ppm,
+    ece_part_ppm_docs) where conf is the bin-mean score, acc the
+    empirical positive rate, gap = |conf − acc|, and ece_part = gap·n
+    so ECE = Σ ece_part / Σ n falls out of the rows by exact integer
+    arithmetic.  The per-document score is rounded ONCE to integer
+    parts-per-million; every aggregate after that is a bigint sum or
+    integer DIV, so both engines agree bit-for-bit (binning runs on
+    the SAME integer ppm score — no float boundary can flip a bin).
+
+    Distributed shape at 10^12 documents: one row-local score
+    projection (token fold over frozen broadcast-literal weights — the
+    same expression the model gate itself runs) and ONE aggregation
+    with ``n_bins`` groups, map-side combined.  No join, no window."""
+    labeled = weak_quality_label(docs)
+    score_ppm = F.round(
+        hashed_bow_score(F.col("text"), weights, bias) * 1_000_000.0, 0
+    ).cast("bigint")
+    binned = labeled.select(
+        "label",
+        score_ppm.alias("s_ppm"),
+    ).select(
+        "label",
+        "s_ppm",
+        F.least(
+            F.expr(f"s_ppm * {n_bins} DIV 1000000"), F.lit(n_bins - 1)
+        ).cast("int").alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+            F.sum("s_ppm").alias("sum_ppm"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.expr("sum_ppm DIV n_docs").alias("conf_ppm"),
+            F.expr("n_pos * 1000000 DIV n_docs").alias("acc_ppm"),
+            F.abs(
+                F.expr("sum_ppm DIV n_docs") - F.expr("n_pos * 1000000 DIV n_docs")
+            ).alias("gap_ppm"),
+            (
+                F.abs(
+                    F.expr("sum_ppm DIV n_docs")
+                    - F.expr("n_pos * 1000000 DIV n_docs")
+                )
+                * F.col("n_docs")
+            ).alias("ece_part_ppm_docs"),
+        )
+    )

@@ -785,3 +785,89 @@ def length_bucket_batch_stats(
             ).alias("pad_ppm"),
         )
     )
+
+
+# row-local span-corruption mask arithmetic (T5-style); {p} = span
+# start period, {L} = span length.  starts/masked are 0/1 int arrays;
+# every guard exists because sequence(1, 0) DESCENDS in Spark while
+# the oracle's generate_series(1, 0) is empty
+_SPAN_STARTS = """
+CASE WHEN size(__toks) >= 1 THEN
+  transform(sequence(1, size(__toks)),
+            i -> IF(cast(conv(substring(md5(concat(cast(doc_id AS string),
+                                                   ':', cast(i AS string))),
+                              1, 14), 16, 10) AS bigint) % {p} = 0, 1, 0))
+ELSE array() END
+"""
+_SPAN_MASKED = """
+CASE WHEN size(__starts) >= 1 THEN
+  transform(sequence(1, size(__starts)),
+            i -> IF(exists(sequence(greatest(1, i - {Lm1}), i),
+                           j -> element_at(__starts, j) = 1), 1, 0))
+ELSE array() END
+"""
+
+
+def span_corruption_stats(
+    docs: DataFrame, span_period: int = 7, span_len: int = 3
+) -> DataFrame:
+    """Span-corruption masking profile (the T5 denoising objective,
+    Raffel 2020 §3.1.4): deterministic span starts — token position i
+    opens a span iff md5_56(doc_id ':' i) % span_period == 0, the
+    hash-as-randomness discipline every sampler in this module uses
+    instead of rand() — each span masks ``span_len`` tokens, and
+    overlapping or adjacent spans MERGE into one sentinel (exactly the
+    T5 rule that consecutive corrupted tokens share a sentinel).  The
+    report per document: how many sentinels the example will carry and
+    the realized corruption rate, the two numbers that size
+    encoder/decoder lengths when preparing a denoising dataset (the
+    expected rate is span_len/span_period ≈ 43% here at defaults;
+    merging pulls the realized rate below it).
+
+    (doc_id, n_tokens, n_spans, masked_tokens, masked_ppm) with
+    n_spans = count of maximal masked runs (mask rises 0→1) and
+    masked_ppm an integer DIV — everything from the hash decision down
+    is 0/1 integer arithmetic, bit-identical on both engines.
+
+    Distributed shape at 10^12 documents: entirely ROW-LOCAL (split +
+    nested HOFs over the token index — no UDF, no shuffle of any
+    kind); the output is a pure projection of the corpus."""
+    toks = F.expr("filter(split(text, ' ', -1), t -> t <> '')")
+    base = docs.select("doc_id", toks.alias("__toks"))
+    with_starts = base.select(
+        "doc_id",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.expr(_SPAN_STARTS.format(p=span_period)).alias("__starts"),
+    )
+    with_mask = with_starts.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(_SPAN_MASKED.format(Lm1=span_len - 1)).alias("__masked"),
+    )
+    return with_mask.select(
+        "doc_id",
+        "n_tokens",
+        # the n_tokens >= 1 guard matters twice over: sequence(1, 0)
+        # DESCENDS in Spark ([1, 0]) and ANSI element_at throws on both
+        # index 0 and out-of-range probes into the empty __masked array
+        F.expr(
+            "CASE WHEN n_tokens >= 1 THEN"
+            " cast(size(filter(sequence(1, cast(n_tokens AS int)),"
+            " i -> element_at(__masked, i) = 1"
+            " AND (i = 1 OR element_at(__masked, i - 1) = 0))) AS bigint)"
+            " ELSE cast(0 AS bigint) END"
+        ).alias("n_spans"),
+        F.expr(
+            "cast(aggregate(__masked, 0, (acc, x) -> acc + x) AS bigint)"
+        ).alias("masked_tokens"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        "masked_tokens",
+        F.when(F.col("n_tokens") > 0,
+               F.expr("masked_tokens * 1000000 DIV n_tokens"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("masked_ppm"),
+    )

@@ -2449,3 +2449,120 @@ def test_length_bucket_batches_ladder_exact(spark):
     assert (r16["n_docs"], r16["pad_tokens"], r16["pad_ppm"]) == (3, 0, 0)
     rtop = got[4096]
     assert rtop["sum_tokens"] == 4096 and rtop["pad_tokens"] == 0
+
+
+def test_link_hits_mutual_reinforcement_replay(spark):
+    """HITS (Kleinberg 1999): unnormalized fixed-iteration hub/auth
+    scores match a pure-Python replay of the deterministic edge graph;
+    dangling pages (every 10th, no out-links) can still hold authority
+    but have zero hub score."""
+    from pvsyst_pdf_parser_spark.training.crawl import link_hits
+
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, "t", "s") for i in range(n)], "doc_id long, text string, source string"
+    )
+    got = [(r["doc_id"], r["auth_norm"], r["hub_norm"])
+           for r in link_hits(docs, iters=3, top_k=40).collect()]
+
+    edges = set()
+    for src in range(n):
+        if src % 10 == 0:
+            continue
+        for a, b in ((7, 1), (13, 3), (31, 5)):
+            dst = (src * a + b) % n
+            if dst != src:
+                edges.add((src, dst))
+    hub = {v: 1.0 for v in range(n)}
+    for _ in range(3):
+        auth = {v: 0.0 for v in range(n)}
+        for s, d in edges:
+            auth[d] += hub[s]
+        hub = {v: 0.0 for v in range(n)}
+        for s, d in edges:
+            hub[s] += auth[d]
+    amax, hmax = max(auth.values()), max(hub.values())
+    expect = sorted(
+        ((v, round(auth[v] / amax, 8), round(hub[v] / hmax, 8))
+         for v in range(n)),
+        key=lambda t: (-t[1], t[0]),
+    )[:40]
+    assert got == expect
+    dangling = [t for t in got if t[0] % 10 == 0]
+    assert dangling and all(h == 0.0 for _, _, h in dangling)
+    assert any(a > 0.0 for _, a, _ in dangling)
+
+
+def test_quality_reliability_bins_partition_and_ece(spark):
+    """Reliability report: bins partition the corpus, integer ppm
+    identities hold per bin (conf = sum DIV n, acc = pos*1e6 DIV n,
+    ece_part = gap*n), and bin indices follow the integer-ppm score."""
+    from pvsyst_pdf_parser_spark.training.qualitymodel import (
+        quality_reliability_report,
+        weak_quality_label,
+        hashed_bow_score,
+    )
+    from pyspark.sql import functions as F
+
+    import json
+    with open("fixtures/quality_model.json") as f:
+        m = json.load(f)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = {r["bin"]: r for r in quality_reliability_report(
+        docs, m["weights"], m["bias"]).collect()}
+
+    assert sum(r["n_docs"] for r in rep.values()) == docs.count()
+    for b, r in rep.items():
+        assert 0 <= b <= 9
+        assert r["acc_ppm"] == r["n_pos"] * 1_000_000 // r["n_docs"]
+        assert r["gap_ppm"] == abs(r["conf_ppm"] - r["acc_ppm"])
+        assert r["ece_part_ppm_docs"] == r["gap_ppm"] * r["n_docs"]
+        # bin bounds hold for the bin's mean confidence
+        assert b * 100_000 <= r["conf_ppm"] <= (b + 1) * 100_000 or b == 9
+
+    # per-doc spot check: the bin really is least(s_ppm*10 DIV 1e6, 9)
+    sp = docs.select(
+        F.round(hashed_bow_score(F.col("text"), m["weights"], m["bias"])
+                * 1_000_000.0, 0).cast("bigint").alias("s_ppm")
+    ).collect()
+    from collections import Counter
+    c = Counter(min(r["s_ppm"] * 10 // 1_000_000, 9) for r in sp)
+    assert {b: r["n_docs"] for b, r in rep.items()} == dict(c)
+    _ = weak_quality_label  # imported to assert the symbol exists
+
+
+def test_span_corruption_merge_rule_replay(spark):
+    """T5 span corruption: hash-deterministic starts, span_len cover,
+    adjacent/overlapping spans merge into ONE counted span; exact
+    Python replay of the integer arithmetic; empty doc yields zeros."""
+    import hashlib
+
+    from pvsyst_pdf_parser_spark.training.sampling import span_corruption_stats
+
+    rows = [(i, " ".join(f"w{j}" for j in range(30 + i)), "s")
+            for i in range(8)] + [(99, "", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in span_corruption_stats(docs).collect()}
+
+    def h56(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    for doc_id, text, _ in rows:
+        toks = [t for t in text.split(" ") if t]
+        n = len(toks)
+        starts = [1 if h56(f"{doc_id}:{i}") % 7 == 0 else 0
+                  for i in range(1, n + 1)]
+        masked = [1 if any(starts[j - 1]
+                           for j in range(max(1, i - 2), i + 1)) else 0
+                  for i in range(1, n + 1)]
+        n_spans = sum(1 for i in range(n)
+                      if masked[i] and (i == 0 or not masked[i - 1]))
+        mt = sum(masked)
+        assert got[doc_id]["n_tokens"] == n
+        assert got[doc_id]["n_spans"] == n_spans, doc_id
+        assert got[doc_id]["masked_tokens"] == mt
+        assert got[doc_id]["masked_ppm"] == (mt * 1_000_000 // n if n else 0)
+    assert got[99]["n_tokens"] == 0 and got[99]["n_spans"] == 0
+    # the corpus must actually mask something, or the replay is vacuous
+    assert sum(r["masked_tokens"] for r in got.values()) > 0

@@ -788,3 +788,42 @@ def test_length_bucket_batches_single_agg_no_window(spark):
     p = _plan(SA.length_bucket_batch_stats(docs))
     assert "Join" not in p and "Window" not in p
     assert p.count("HashAggregate") <= 4  # partial+final, nothing more
+
+
+def test_link_hits_checkpointed_rounds_no_cartesian(spark):
+    """HITS: the per-round localCheckpoints truncate lineage, so the
+    FINAL plan must join two ExistingRDD round results (not a
+    re-execution of the whole iteration tree), and the only
+    nested-loop joins are the two one-row max broadcasts."""
+    from pvsyst_pdf_parser_spark.training import crawl as CR
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(CR.link_hits(docs, iters=2))
+    assert "CartesianProduct" not in p
+    assert p.count("ExistingRDD") >= 2  # checkpointed auth + hub
+    assert "BroadcastNestedLoopJoin" in p  # the one-row max frames
+
+
+def test_quality_reliability_single_agg_no_join(spark):
+    """Reliability binning: one score projection + one n_bins-group
+    aggregate — no join, no window, nothing corpus-wide after the agg."""
+    import json
+
+    from pvsyst_pdf_parser_spark.training import qualitymodel as QM
+
+    with open("fixtures/quality_model.json") as f:
+        m = json.load(f)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(QM.quality_reliability_report(docs, m["weights"], m["bias"]))
+    assert "Join" not in p and "Window" not in p
+
+
+def test_span_corruption_zero_shuffle_projection(spark):
+    """Span corruption is entirely row-local: the executed plan may not
+    contain ANY exchange, join, window, or aggregate."""
+    from pvsyst_pdf_parser_spark.training import sampling as SA
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(SA.span_corruption_stats(docs))
+    for op in ("Exchange", "Join", "Window", "HashAggregate"):
+        assert op not in p, op
