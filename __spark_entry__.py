@@ -239,6 +239,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # T5 span-corruption masking profile, hash-deterministic spans
         # with T5's merge-adjacent-sentinels rule (never verified)
         "span_corruption": lambda s, d: SA.span_corruption_stats(_docs(s, d)),
+        # interpolated Kneser-Ney bigram NLL/ppl — the KenLM smoothing,
+        # completing the LM ladder (never verified)
+        "text_kneser_ney": lambda s, d: X.kneser_ney_scores(_docs(s, d)),
+        # feature-hashed doc embedding (Weinberger 2009): text -> exact
+        # integer ANN-ready vectors, zero shuffle (never verified)
+        "hashed_embedding": lambda s, d: S.hashed_doc_embedding(_docs(s, d)),
         # REAL header decode: deterministic PNG/JPEG/GIF payloads whose
         # dimensions are read back from the encoded header fields (pure
         # public-spec byte parsing, no codec library); the oracle
@@ -1503,6 +1509,70 @@ scored AS (
 SELECT doc_id, count(*)::bigint AS n_bigrams,
        round(avg(nll), 4) AS avg_nll
 FROM scored GROUP BY doc_id
+"""
+
+
+def _kneser_ney_sql(discount: float = 0.75, top_m: int = 4096) -> str:
+    """DuckDB replay of textstats.kneser_ney_scores: same pruned c12
+    table (count desc, w1, w2 tie-break), same exact-integer
+    continuation counts, per-pair NLL rounded ONCE to micro-nats."""
+    d = repr(float(discount))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM base, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+bif AS (SELECT w1, w2, count(*)::bigint AS c12 FROM pairs GROUP BY w1, w2),
+lft AS (SELECT w1, sum(c12)::bigint AS c1, count(*)::bigint AS n1f
+        FROM bif GROUP BY w1),
+rgt AS (SELECT w2, count(*)::bigint AS n1p FROM bif GROUP BY w2),
+nbt AS (SELECT count(*)::bigint AS nbt FROM bif),
+bi AS (SELECT w1, w2, c12 FROM bif ORDER BY c12 DESC, w1, w2 LIMIT {top_m}),
+sc AS (
+  SELECT p.doc_id,
+         round(-ln(greatest(coalesce(b.c12, 0) - {d}, 0.0) / l.c1
+                   + ({d} * l.n1f / l.c1) * (r.n1p / nbt.nbt))
+               * 1000000)::bigint AS nll
+  FROM pairs p
+  JOIN lft l ON l.w1 = p.w1
+  JOIN rgt r ON r.w2 = p.w2
+  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2, nbt)
+SELECT doc_id, count(*)::bigint AS n_bigrams,
+       (sum(nll) // count(*))::bigint AS nll_unats,
+       round(exp((sum(nll) // count(*)) / 1000000.0), 4) AS ppl
+FROM sc GROUP BY doc_id
+"""
+
+
+def _hashed_embedding_sql(n_dims: int = 8) -> str:
+    """DuckDB replay of simsearch.hashed_doc_embedding: same md5-parity
+    ±1 signs per (token '|' dim), exact bigint dimension sums, norm
+    from those integers."""
+    dim_exprs = ",\n         ".join(
+        "coalesce(list_sum(list_transform(toks,"
+        f" x -> CASE WHEN (('0x' || substr(md5(x || '|' || '{j}'), 1, 14))"
+        "::bigint) % 2 = 0 THEN 1 ELSE -1 END)), 0)::bigint"
+        f" AS d{j}"
+        for j in range(n_dims)
+    )
+    sumsq = " + ".join(f"d{j} * d{j}" for j in range(n_dims))
+    cols = ", ".join(f"d{j}" for j in range(n_dims))
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+  FROM documents),
+e AS (
+  SELECT doc_id, len(toks)::bigint AS n_tokens,
+         {dim_exprs}
+  FROM tk)
+SELECT doc_id, n_tokens, {cols},
+       round(sqrt(({sumsq})::double), 4) AS l2_norm
+FROM e
 """
 
 
@@ -4031,6 +4101,8 @@ FROM b GROUP BY bucket_cap
 """,
         "link_hits": _hits_sql(),
         "quality_reliability": _quality_reliability_sql(),
+        "text_kneser_ney": _kneser_ney_sql(),
+        "hashed_embedding": _hashed_embedding_sql(),
         # T5 span corruption (sampling.span_corruption_stats): same
         # md5-derived span starts, same merge-adjacent mask, all 0/1
         # integer arithmetic after the hash decision

@@ -161,6 +161,8 @@ HEADLINE = [
     "link_hits",
     "quality_reliability",
     "span_corruption",
+    "text_kneser_ney",
+    "hashed_embedding",
 ]
 
 

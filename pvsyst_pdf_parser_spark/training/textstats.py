@@ -986,3 +986,107 @@ def corpus_datasheet(docs: DataFrame) -> DataFrame:
         )
         .withColumn("dup_ppm", F.expr("n_exact_dupes * 1000000 DIV n_docs"))
     )
+
+
+def kneser_ney_scores(
+    docs: DataFrame, discount: float = 0.75, top_m: int = 4096
+) -> DataFrame:
+    """Per-document mean bigram NLL under an interpolated KNESER-NEY
+    model (Kneser & Ney 1995; the smoothing KenLM — and therefore the
+    CCNet quality stage — actually ships, completing this module's LM
+    ladder: add-alpha unigram → add-alpha bigram → Stupid Backoff
+    trigram → KN bigram):
+
+        P(w2|w1) = max(c(w1w2) − D, 0)/c(w1) + λ(w1)·Pcont(w2)
+        λ(w1)    = D·N1+(w1,·)/c(w1)
+        Pcont(w2) = N1+(·,w2)/N1+(··)
+
+    where the N1+ terms are DISTINCT-continuation counts — the KN
+    insight that "york" is frequent but only ever follows "new", so
+    its continuation probability should be tiny regardless of its raw
+    count.  The c(w1w2) lookup table is pruned to ``top_m`` (the
+    production KenLM prune; outside the table the max() term is 0 and
+    the score is pure continuation mass), which is what keeps it
+    broadcastable at a trillion-bigram corpus; the w1- and w2-keyed
+    continuation tables are vocab-sized, same broadcast class as the
+    unigram model.
+
+    Arithmetic parity: every count entering P is an exact integer on
+    both engines, so P is the same double; the per-pair NLL is rounded
+    ONCE to integer micro-nats and bigint-summed per doc (order-free —
+    stronger than the round-4 float avg the add-alpha bigram op uses),
+    then ppl = exp of the integer mean.
+
+    Distributed shape at 10^12 documents: bigram pairs built
+    ROW-LOCALLY (sequence + element_at, no self-join); corpus-wide
+    aggregations are the (w1,w2) count and the two vocab-keyed
+    continuation counts; the scoring join broadcasts all three model
+    tables plus the one-row N1+(··) total, so the trillion-pair side
+    shuffles only for its own doc-keyed fold."""
+    toks_arr = F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
+    base = docs.select("doc_id", toks_arr.alias("t"))
+    pairs = base.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+
+    bi_full = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # left context table: raw count + distinct continuations of w1
+    left = bi_full.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    # continuation table: distinct left-contexts of w2, + the global
+    # distinct-bigram-type total as a one-row broadcast
+    right = bi_full.groupBy("w2").agg(F.count("*").alias("n1p"))
+    nbt = bi_full.agg(F.count("*").alias("nbt"))
+    bi = (
+        bi_full.orderBy(F.col("c12").desc(), "w1", "w2").limit(top_m)
+    )
+
+    d = float(discount)
+    scored = (
+        pairs.join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .join(F.broadcast(bi), ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    F.greatest(
+                        F.coalesce(F.col("c12"), F.lit(0)) - F.lit(d),
+                        F.lit(0.0),
+                    )
+                    / F.col("c1")
+                    + (F.lit(d) * F.col("n1f") / F.col("c1"))
+                    * (F.col("n1p") / F.col("nbt"))
+                )
+                * F.lit(1_000_000.0),
+                0,
+            )
+            .cast("bigint")
+            .alias("nll_unats"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.expr("sum(nll_unats) DIV count(*)").alias("nll_unats"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_unats",
+            F.round(F.exp(F.col("nll_unats") / F.lit(1_000_000.0)), 4)
+            .alias("ppl"),
+        )
+    )

@@ -2566,3 +2566,85 @@ def test_span_corruption_merge_rule_replay(spark):
     assert got[99]["n_tokens"] == 0 and got[99]["n_spans"] == 0
     # the corpus must actually mask something, or the replay is vacuous
     assert sum(r["masked_tokens"] for r in got.values()) > 0
+
+
+def test_kneser_ney_matches_python_replay(spark):
+    """Interpolated KN (Kneser & Ney 1995): integer micro-nat NLLs
+    equal a pure-Python replay of the discount + continuation-count
+    formula, and the KN insight holds in-sample: a high-frequency
+    token locked to ONE context ('york' after 'new') carries less
+    continuation mass than a token seen after many contexts."""
+    import math
+
+    from pvsyst_pdf_parser_spark.training.textstats import kneser_ney_scores
+
+    rows = [(i, "new york " * 10 + "the cat sat", "s") for i in range(3)]
+    rows += [(10, "a dog ran b dog sat c dog ate d dog slept", "s"),
+             (11, "xx", "s")]  # single token: no bigrams, absent from output
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in kneser_ney_scores(docs).collect()}
+    assert 11 not in got
+
+    bif, pairs_by_doc = {}, {}
+    for doc_id, text, _ in rows:
+        toks = [t for t in text.lower().split(" ") if t]
+        ps = list(zip(toks, toks[1:]))
+        pairs_by_doc[doc_id] = ps
+        for p in ps:
+            bif[p] = bif.get(p, 0) + 1
+    c1, n1f, n1p = {}, {}, {}
+    for (w1, w2), c in bif.items():
+        c1[w1] = c1.get(w1, 0) + c
+        n1f[w1] = n1f.get(w1, 0) + 1
+        n1p[w2] = n1p.get(w2, 0) + 1
+    nbt = len(bif)
+    D = 0.75
+
+    def nll(w1, w2):
+        p = (max(bif.get((w1, w2), 0) - D, 0.0) / c1[w1]
+             + (D * n1f[w1] / c1[w1]) * (n1p[w2] / nbt))
+        return _round_half_away(-math.log(p) * 1e6)
+
+    for doc_id, ps in pairs_by_doc.items():
+        if not ps:
+            continue
+        vals = [nll(*p) for p in ps]
+        want = sum(vals) // len(vals)
+        assert got[doc_id]["n_bigrams"] == len(ps)
+        assert got[doc_id]["nll_unats"] == want, doc_id
+        assert got[doc_id]["ppl"] == round(math.exp(want / 1e6), 4)
+    # continuation counts: 'york' follows only 'new' (n1p=1) while
+    # 'dog' follows four distinct contexts (n1p=4)
+    assert n1p["york"] == 1 and n1p["dog"] == 4
+
+
+def test_hashed_doc_embedding_exact_and_multiset_invariant(spark):
+    """Feature hashing (Weinberger 2009): dimension sums replay exactly
+    from md5 parity; permuting a document's tokens (same multiset)
+    yields the IDENTICAL embedding; empty docs embed to the origin."""
+    import hashlib
+    import math
+
+    from pvsyst_pdf_parser_spark.training.simsearch import hashed_doc_embedding
+
+    rows = [(0, "the cat sat on the mat", "s"),
+            (1, "mat the on sat cat the", "s"),   # same multiset, permuted
+            (2, "completely different words here now", "s"),
+            (3, "", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in hashed_doc_embedding(docs).collect()}
+
+    def sign(tok, j):
+        h = int(hashlib.md5(f"{tok}|{j}".encode()).hexdigest()[:14], 16)
+        return 1 if h % 2 == 0 else -1
+
+    for doc_id, text, _ in rows:
+        toks = [t for t in text.lower().split(" ") if t]
+        dims = [sum(sign(t, j) for t in toks) for j in range(8)]
+        assert [got[doc_id][f"d{j}"] for j in range(8)] == dims, doc_id
+        assert got[doc_id]["n_tokens"] == len(toks)
+        assert got[doc_id]["l2_norm"] == round(
+            math.sqrt(sum(d * d for d in dims)), 4)
+    assert [got[1][f"d{j}"] for j in range(8)] == \
+           [got[0][f"d{j}"] for j in range(8)]
+    assert got[3]["l2_norm"] == 0.0

@@ -827,3 +827,28 @@ def test_span_corruption_zero_shuffle_projection(spark):
     p = _plan(SA.span_corruption_stats(docs))
     for op in ("Exchange", "Join", "Window", "HashAggregate"):
         assert op not in p, op
+
+
+def test_kneser_ney_model_tables_broadcast(spark):
+    """KN scoring: all three model tables (pruned c12, left context,
+    continuation) plus the one-row type total must BROADCAST into the
+    pair side — a sort-merge join would shuffle the trillion-pair
+    corpus once per table."""
+    from pvsyst_pdf_parser_spark.training import textstats as X
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(X.kneser_ney_scores(docs))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_hashed_embedding_zero_shuffle_projection(spark):
+    """The hashing-trick embedding is one map pass: no exchange, no
+    join, no aggregate anywhere in the executed plan."""
+    from pvsyst_pdf_parser_spark.training import simsearch as S
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(S.hashed_doc_embedding(docs))
+    for op in ("Exchange", "Join", "HashAggregate", "Window"):
+        assert op not in p, op
