@@ -245,6 +245,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # feature-hashed doc embedding (Weinberger 2009): text -> exact
         # integer ANN-ready vectors, zero shuffle (never verified)
         "hashed_embedding": lambda s, d: S.hashed_doc_embedding(_docs(s, d)),
+        # C4/Dolma-style fuzzy-exact dedup on the normalized-text key
+        # (never verified)
+        "dedup_normalized": lambda s, d: D.normalized_exact_dedup(_docs(s, d)),
+        # one-row Zipf slope + Heaps exponent corpus-law diagnostics
+        # (never verified)
+        "zipf_heaps": lambda s, d: X.zipf_heaps_report(_docs(s, d)),
         # REAL header decode: deterministic PNG/JPEG/GIF payloads whose
         # dimensions are read back from the encoded header fields (pure
         # public-spec byte parsing, no codec library); the oracle
@@ -1549,14 +1555,14 @@ FROM sc GROUP BY doc_id
 
 
 def _hashed_embedding_sql(n_dims: int = 8) -> str:
-    """DuckDB replay of simsearch.hashed_doc_embedding: same md5-parity
-    ±1 signs per (token '|' dim), exact bigint dimension sums, norm
+    """DuckDB replay of simsearch.hashed_doc_embedding: ONE md5-56 per
+    token, ±1 sign from bit j of that hash (same single-digest
+    optimization as the Spark side), exact bigint dimension sums, norm
     from those integers."""
     dim_exprs = ",\n         ".join(
-        "coalesce(list_sum(list_transform(toks,"
-        f" x -> CASE WHEN (('0x' || substr(md5(x || '|' || '{j}'), 1, 14))"
-        "::bigint) % 2 = 0 THEN 1 ELSE -1 END)), 0)::bigint"
-        f" AS d{j}"
+        "coalesce(list_sum(list_transform(hs,"
+        f" h -> CASE WHEN (h >> {j}) % 2 = 0 THEN 1 ELSE -1 END)), 0)"
+        f"::bigint AS d{j}"
         for j in range(n_dims)
     )
     sumsq = " + ".join(f"d{j} * d{j}" for j in range(n_dims))
@@ -1566,10 +1572,15 @@ WITH tk AS (
   SELECT doc_id,
          list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
   FROM documents),
-e AS (
+hk AS (
   SELECT doc_id, len(toks)::bigint AS n_tokens,
+         list_transform(toks,
+           x -> ('0x' || substr(md5(x), 1, 14))::bigint) AS hs
+  FROM tk),
+e AS (
+  SELECT doc_id, n_tokens,
          {dim_exprs}
-  FROM tk)
+  FROM hk)
 SELECT doc_id, n_tokens, {cols},
        round(sqrt(({sumsq})::double), 4) AS l2_norm
 FROM e
@@ -4020,18 +4031,21 @@ FROM w
         "cleaning_funnel": _cleaning_funnel_sql(),
         "minhash_calibration": _minhash_calibration_sql(),
         # SoftDeDup (dedup.soft_dedup_weights): same distinct-3-gram
-        # shingle universe as the other dedup oracles, per-shingle NLL
-        # rounded ONCE to integer micro-nats, exact integer means; only
-        # the final capped exp runs in doubles (identical operands)
+        # shingle universe as the other dedup oracles, shingles hashed
+        # to the portable 56-bit md5 BEFORE the df agg (mirrors the
+        # Spark side's 8-byte exchange key), per-shingle NLL rounded
+        # ONCE to integer micro-nats, exact integer means; only the
+        # final capped exp runs in doubles (identical operands)
         "dedup_soft_weights": f"""
 WITH {_shingle_cte(1)},
-dfq AS (SELECT shingle, count(*)::bigint AS df FROM sh GROUP BY 1),
+shh AS (SELECT doc_id, {_H56.format(expr="shingle")} AS shingle FROM sh),
+dfq AS (SELECT shingle, count(*)::bigint AS df FROM shh GROUP BY 1),
 tot AS (SELECT sum(df)::bigint AS total FROM dfq),
 lp AS (SELECT shingle, round(-ln(df / total) * 1000000)::bigint AS nll
        FROM dfq CROSS JOIN tot),
 pd AS (SELECT doc_id, count(*)::bigint AS n_shingles,
               (sum(nll) // count(*))::bigint AS doc_nll
-       FROM sh JOIN lp USING (shingle) GROUP BY 1),
+       FROM shh JOIN lp USING (shingle) GROUP BY 1),
 m AS (SELECT (sum(doc_nll) // count(*))::bigint AS mean_nll FROM pd)
 SELECT d.doc_id, d.source,
        coalesce(pd.n_shingles, 0)::bigint AS n_shingles,
@@ -4103,6 +4117,43 @@ FROM b GROUP BY bucket_cap
         "quality_reliability": _quality_reliability_sql(),
         "text_kneser_ney": _kneser_ney_sql(),
         "hashed_embedding": _hashed_embedding_sql(),
+        # normalized-key exact dedup (dedup.normalized_exact_dedup):
+        # same casefold/strip/collapse normalization ('g' flag — DuckDB
+        # replaces first match only by default), same md5 key, same
+        # lowest-doc_id keeper
+        "dedup_normalized": """
+WITH k AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_key
+  FROM documents)
+SELECT doc_id, norm_key,
+       count(*) OVER (PARTITION BY norm_key)::bigint AS group_size,
+       (row_number() OVER (PARTITION BY norm_key ORDER BY doc_id) = 1)::int
+         AS keep
+FROM k
+""",
+        # corpus-law diagnostics (textstats.zipf_heaps_report): same
+        # deterministic (count desc, token) top-k, same closed-form
+        # normal equation, round-4 absorbs double association order
+        "zipf_heaps": """
+WITH tk AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents),
+c AS (SELECT tok, count(*)::bigint AS c FROM tk GROUP BY tok),
+t AS (SELECT sum(c)::bigint AS n_tokens, count(*)::bigint AS n_types FROM c),
+top AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+        FROM c ORDER BY c DESC, tok LIMIT 256),
+rk AS (SELECT ln(r::double) AS x, ln(c::double) AS y FROM top),
+reg AS (SELECT count(*)::double AS k, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM rk)
+SELECT n_tokens, n_types, k::bigint AS top_k,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope,
+       round(ln(n_types::double) / ln(n_tokens::double), 4) AS heaps_exponent
+FROM reg, t
+""",
         # T5 span corruption (sampling.span_corruption_stats): same
         # md5-derived span starts, same merge-adjacent mask, all 0/1
         # integer arithmetic after the hash decision

@@ -163,6 +163,8 @@ HEADLINE = [
     "span_corruption",
     "text_kneser_ney",
     "hashed_embedding",
+    "dedup_normalized",
+    "zipf_heaps",
 ]
 
 

@@ -1247,18 +1247,47 @@ def soft_dedup_weights(docs: DataFrame, n: int = 3) -> DataFrame:
     all; this is training-data-layer machinery mandated by the build
     brief."""
     cap = 4.0
-    sh = doc_shingles(docs, n=n)
-    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # small-input dispatch (the connected_components_auto philosophy,
+    # applied to scan parallelism): this op's CPU is the full-corpus
+    # shingle HOF, and a small SF's documents.parquet is ONE unsplit
+    # row group, so without help the whole chain runs on one core.
+    # When the scan's partition count is degenerate vs the cluster,
+    # one cheap exchange of the raw docs buys full parallelism; at
+    # 10^12 docs the input is already ~10^6 splits and this branch
+    # never fires (an unconditional repartition there would be a
+    # pointless corpus-wide shuffle).  getNumPartitions is metadata —
+    # no job.
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        docs = docs.repartition(sc.defaultParallelism, "doc_id")
+    # the shingle frame feeds BOTH the df aggregation and the scoring
+    # join — persist it once (the module's shared-shingle-frame rule),
+    # and hash each shingle to the portable 56-bit md5 FIRST so both
+    # corpus-wide exchanges (df agg, scoring join) move an 8-byte key
+    # instead of a ~25-char three-word string (this op runs UNSAMPLED
+    # over the whole corpus, unlike the pair queries, so exchange bytes
+    # are the cost driver; a 56-bit hash collision merges two shingles'
+    # df — harmless to a corpus-frequency estimate and identical in the
+    # oracle, which applies the same hash)
+    sh = persist_tracked(
+        doc_shingles(docs, n=n).select(
+            "doc_id", md5_56(F.col("shingle")).alias("sh_h")
+        )
+    )
+    df_tbl = sh.groupBy("sh_h").agg(F.count("*").alias("df"))
     total = df_tbl.agg(F.sum("df").alias("total"))
     # -ln(df/total) >= 0; rounded once to integer micro-nats
     logp = df_tbl.crossJoin(F.broadcast(total)).select(
-        "shingle",
+        "sh_h",
         F.round(-F.log(F.col("df") / F.col("total")) * 1_000_000.0, 0)
         .cast("bigint")
         .alias("nll_unats"),
     )
-    per_doc = (
-        sh.join(logp, "shingle")
+    # per_doc feeds BOTH the corpus-mean aggregate and the weight
+    # projection: persist it (one row per doc) or the shingle join+agg
+    # chain above executes twice
+    per_doc = persist_tracked(
+        sh.join(logp, "sh_h")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
@@ -1294,4 +1323,45 @@ def soft_dedup_weights(docs: DataFrame, n: int = 3) -> DataFrame:
             .alias("doc_nll_unats"),
             F.coalesce("weight", F.lit(1.0)).alias("weight"),
         )
+    )
+
+
+def normalized_exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup on a NORMALIZED text key — the "fuzzy-exact" middle
+    ground between byte-identical dedup and MinHash that C4/Dolma-class
+    pipelines run as a cheap first pass: casefold, strip everything but
+    [a-z0-9 ], collapse whitespace runs, trim — so re-encoded mirrors,
+    punctuation/markup variants and case-shuffled copies of one page
+    collapse to a single key while true near-dups (reworded text) are
+    left for the MinHash stage.
+
+    Per doc: (doc_id, norm_key = md5 hex of the normalized text,
+    group_size, keep) with the keeper = lowest doc_id in the key group
+    (the deterministic arbitrary-winner rule exact dedup uses; the
+    length-based winner only makes sense once texts DIFFER, which by
+    construction they don't within a key group here).
+
+    Distributed shape at 10^12 documents: the normalization is a pure
+    projection; the ONE corpus-wide shuffle is the norm_key window —
+    the exact-dedup shuffle profile on a coarser key (normalization
+    only merges groups).  Hashing the normalized text to a fixed-width
+    md5 BEFORE the shuffle keeps the exchanged key 32 bytes instead of
+    a full document."""
+    from pyspark.sql import Window
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    keyed = docs.select("doc_id", F.md5(norm).alias("norm_key"))
+    w = Window.partitionBy("norm_key").orderBy("doc_id")
+    wall = Window.partitionBy("norm_key")
+    return keyed.select(
+        "doc_id",
+        "norm_key",
+        F.count("*").over(wall).cast("bigint").alias("group_size"),
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
     )

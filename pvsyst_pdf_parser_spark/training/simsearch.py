@@ -1369,12 +1369,14 @@ def jl_recall_report(
 
 
 # row-local signed feature-hash fold for one embedding dimension:
-# Σ over tokens of ±1 by md5 parity of (token '|' dim)
+# Σ over a doc's token HASHES of ±1 by bit j of the 56-bit md5 — ONE
+# md5 per token (hashed once into __hs), 8 sign bits read from it,
+# instead of 8 md5 evaluations per token (measured 8x less hash work
+# at the same statistical contract: md5 bits are independent)
 _FH_DIM = """
-cast(aggregate(__toks, 0L,
-     (acc, x) -> acc + IF(cast(conv(substring(md5(concat(x, '|', '{j}')),
-                                    1, 14), 16, 10) AS bigint) % 2 = 0,
-                          1L, -1L)) AS bigint)
+cast(aggregate(__hs, 0L,
+     (acc, h) -> acc + IF(shiftright(h, {j}) % 2 = 0, 1L, -1L))
+     AS bigint)
 """
 
 
@@ -1382,8 +1384,11 @@ def hashed_doc_embedding(docs: DataFrame, n_dims: int = 8) -> DataFrame:
     """Deterministic FEATURE-HASHED document embedding (Weinberger et
     al. 2009, "Feature Hashing for Large Scale Multitask Learning" —
     the hashing-trick sign construction): dimension j of a document is
-    Σ over token occurrences of ±1, the sign drawn from the md5 parity
-    of (token '|' j).  This is the bridge that turns the TEXT corpus
+    Σ over token occurrences of ±1, the sign drawn from BIT j of the
+    token's 56-bit md5 (one hash per token; md5 bits are independent,
+    so 8 bits of one digest cost 1/8th of 8 digests and keep the
+    unbiased-inner-product contract).  This is the bridge that turns
+    the TEXT corpus
     into ANN-ready vectors with NO trained model and NO external
     embedding table — the unbiased-inner-product guarantee of the
     hashing trick means cosine over these columns approximates token-
@@ -1402,15 +1407,19 @@ def hashed_doc_embedding(docs: DataFrame, n_dims: int = 8) -> DataFrame:
     embedding step of a corpus pipeline should cost exactly one map
     pass; this one does."""
     toks = F.expr("filter(split(lower(text), ' ', -1), t -> t <> '')")
-    base = docs.select("doc_id", toks.alias("__toks"))
+    hashes = F.expr(
+        "transform(__toks,"
+        " x -> cast(conv(substring(md5(x), 1, 14), 16, 10) AS bigint))"
+    )
+    base = docs.select("doc_id", toks.alias("__toks")).select(
+        "doc_id",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        hashes.alias("__hs"),
+    )
     dims = [
         F.expr(_FH_DIM.format(j=j)).alias(f"d{j}") for j in range(n_dims)
     ]
-    with_dims = base.select(
-        "doc_id",
-        F.size("__toks").cast("bigint").alias("n_tokens"),
-        *dims,
-    )
+    with_dims = base.select("doc_id", "n_tokens", *dims)
     norm_sq = None
     for j in range(n_dims):
         term = F.col(f"d{j}") * F.col(f"d{j}")

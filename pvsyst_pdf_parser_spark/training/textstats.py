@@ -1090,3 +1090,66 @@ def kneser_ney_scores(
             .alias("ppl"),
         )
     )
+
+
+def zipf_heaps_report(docs: DataFrame, top_k: int = 256) -> DataFrame:
+    """One-row corpus-law diagnostics for the datasheet: the ZIPF
+    rank-frequency slope (least-squares fit of ln(count) on ln(rank)
+    over the top-``top_k`` tokens — natural language sits near −1;
+    spam/template corpora and token salad drift far from it) and the
+    HEAPS vocabulary-growth exponent (ln V / ln N — how fast new types
+    appear; ~0.4-0.6 for natural text, →1 for gibberish).  Both are
+    single numbers a release card quotes next to the per-source
+    datasheet rows, and a cheap whole-corpus drift alarm between
+    snapshots.
+
+    (n_tokens, n_types, top_k, zipf_slope, heaps_exponent) — slope
+    from the closed-form normal equation over exactly ``top_k`` rows
+    selected by the deterministic (count desc, token) order; the
+    regression sums run over a BOUNDED table so the plan's only
+    corpus-wide stage is the token count aggregation (map-side
+    combined).  Values are rounded to 4 places — the regression sums
+    are O(top_k) doubles built from identical integer counts on both
+    engines, so rounding absorbs association-order noise."""
+    toks = F.explode(
+        F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
+    ).alias("tok")
+    counts = docs.select(toks).groupBy("tok").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.col("c").desc(), "tok").limit(top_k)
+    ranked = top.select(
+        F.log(F.row_number().over(
+            Window.orderBy(F.col("c").desc(), "tok")
+        ).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    reg = ranked.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return (
+        reg.crossJoin(F.broadcast(totals))
+        .select(
+            "n_tokens",
+            "n_types",
+            F.col("k").cast("bigint").alias("top_k"),
+            F.round(
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                4,
+            ).alias("zipf_slope"),
+            F.round(
+                F.log(F.col("n_types").cast("double"))
+                / F.log(F.col("n_tokens").cast("double")),
+                4,
+            ).alias("heaps_exponent"),
+        )
+    )

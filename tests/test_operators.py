@@ -2635,8 +2635,8 @@ def test_hashed_doc_embedding_exact_and_multiset_invariant(spark):
     got = {r["doc_id"]: r for r in hashed_doc_embedding(docs).collect()}
 
     def sign(tok, j):
-        h = int(hashlib.md5(f"{tok}|{j}".encode()).hexdigest()[:14], 16)
-        return 1 if h % 2 == 0 else -1
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:14], 16)
+        return 1 if (h >> j) % 2 == 0 else -1
 
     for doc_id, text, _ in rows:
         toks = [t for t in text.lower().split(" ") if t]
@@ -2648,3 +2648,71 @@ def test_hashed_doc_embedding_exact_and_multiset_invariant(spark):
     assert [got[1][f"d{j}"] for j in range(8)] == \
            [got[0][f"d{j}"] for j in range(8)]
     assert got[3]["l2_norm"] == 0.0
+
+
+def test_normalized_exact_dedup_collapses_variants(spark):
+    """Fuzzy-exact dedup: case/punctuation/whitespace variants of one
+    page collapse to a single md5 key with the lowest doc_id as
+    keeper; genuinely different text stays apart; the md5 replays."""
+    import hashlib
+    import re
+
+    from pvsyst_pdf_parser_spark.training.dedup import normalized_exact_dedup
+
+    rows = [
+        (0, "Hello, World! This is a TEST page.", "s"),
+        (1, "hello world this is a test page", "s"),
+        (2, "Hello   world -- this is a test page...", "s"),
+        (3, "a completely different document", "s"),
+        (4, "a completely different document", "s"),  # byte-identical dup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in normalized_exact_dedup(docs).collect()}
+
+    def norm_key(t):
+        n = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", t.lower())).strip()
+        return hashlib.md5(n.encode()).hexdigest()
+
+    for doc_id, text, _ in rows:
+        assert got[doc_id]["norm_key"] == norm_key(text), doc_id
+    assert got[0]["norm_key"] == got[1]["norm_key"] == got[2]["norm_key"]
+    assert got[3]["norm_key"] != got[0]["norm_key"]
+    assert [got[i]["group_size"] for i in range(5)] == [3, 3, 3, 2, 2]
+    assert [got[i]["keep"] for i in range(5)] == [1, 0, 0, 1, 0]
+
+
+def test_zipf_heaps_report_regression_replay(spark):
+    """Corpus-law report: the least-squares Zipf slope and the Heaps
+    exponent replay from a Python fit over the same deterministic
+    top-k order; a near-Zipfian synthetic corpus fits near -1."""
+    import math
+
+    from pvsyst_pdf_parser_spark.training.textstats import zipf_heaps_report
+
+    # token t_r appears ~C/r times: a synthetic Zipf corpus
+    toks = []
+    for r in range(1, 41):
+        toks += [f"t{r:02d}"] * max(1, 400 // r)
+    text = " ".join(toks)
+    docs = spark.createDataFrame(
+        [(0, text, "s")], "doc_id long, text string, source string"
+    )
+    row = zipf_heaps_report(docs, top_k=40).collect()[0]
+
+    counts = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:40]
+    xs = [math.log(i + 1) for i in range(len(top))]
+    ys = [math.log(c) for _, c in top]
+    k = float(len(top))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert row["n_tokens"] == len(toks) and row["n_types"] == 40
+    assert row["top_k"] == 40
+    assert abs(row["zipf_slope"] - round(slope, 4)) <= 1e-4
+    assert -1.2 < row["zipf_slope"] < -0.8  # near-Zipfian by construction
+    assert row["heaps_exponent"] == round(
+        math.log(40) / math.log(len(toks)), 4)

@@ -852,3 +852,27 @@ def test_hashed_embedding_zero_shuffle_projection(spark):
     p = _plan(S.hashed_doc_embedding(docs))
     for op in ("Exchange", "Join", "HashAggregate", "Window"):
         assert op not in p, op
+
+
+def test_normalized_dedup_one_shuffle_window(spark):
+    """Normalized-key dedup must cost ONE corpus-wide shuffle (the
+    md5-key window) — the exact-dedup profile on the 32-byte hashed
+    key, never a self-join."""
+    from pvsyst_pdf_parser_spark.training import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(D.normalized_exact_dedup(docs))
+    assert "Join" not in p
+    assert p.count("Exchange") == 1
+
+
+def test_zipf_heaps_bounded_topk_no_sortmerge(spark):
+    """Corpus-law report: top-k selection must be a distributed
+    TakeOrdered (never a global sort of the vocabulary), the regression
+    runs on the bounded table, and the scalar totals broadcast."""
+    from pvsyst_pdf_parser_spark.training import textstats as X
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(X.zipf_heaps_report(docs))
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
