@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from .dedup import doc_shingles
+from .dedup import doc_shingles, ensure_scan_parallelism
 
 
 def benchmark_overlap(
@@ -50,7 +50,10 @@ def benchmark_overlap(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    corpus_sh = doc_shingles(docs, n=n)
+    # the corpus-side shingle explode is the op's CPU; on a degenerate
+    # scan (one row group) it would run single-core — the benchmark
+    # side stays as-is (tiny by contract)
+    corpus_sh = doc_shingles(ensure_scan_parallelism(docs), n=n)
     per_doc = (
         corpus_sh.join(F.broadcast(bench_sh), "shingle", "left")
         .groupBy("doc_id")

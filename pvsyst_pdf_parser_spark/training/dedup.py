@@ -43,6 +43,21 @@ N_PERMS = 8
 N_BANDS = 4  # 2 rows per band
 
 
+def ensure_scan_parallelism(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Small-input dispatch for full-corpus row-local heavy ops
+    (shingle/HOF chains): when the scan's partition count is degenerate
+    vs the cluster — a small SF's parquet is ONE unsplittable row
+    group, so the whole chain would run on one core — one cheap
+    exchange of the raw docs buys full parallelism.  At 10^12 docs the
+    input is already ~10^6 splits and this never fires (an
+    unconditional repartition there would be a pointless corpus-wide
+    shuffle).  ``getNumPartitions`` is metadata — no job runs."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        return docs.repartition(sc.defaultParallelism, key)
+    return docs
+
+
 def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """(id, shingle) — distinct word n-gram shingles per document."""
@@ -1249,17 +1264,8 @@ def soft_dedup_weights(docs: DataFrame, n: int = 3) -> DataFrame:
     cap = 4.0
     # small-input dispatch (the connected_components_auto philosophy,
     # applied to scan parallelism): this op's CPU is the full-corpus
-    # shingle HOF, and a small SF's documents.parquet is ONE unsplit
-    # row group, so without help the whole chain runs on one core.
-    # When the scan's partition count is degenerate vs the cluster,
-    # one cheap exchange of the raw docs buys full parallelism; at
-    # 10^12 docs the input is already ~10^6 splits and this branch
-    # never fires (an unconditional repartition there would be a
-    # pointless corpus-wide shuffle).  getNumPartitions is metadata —
-    # no job.
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism // 2:
-        docs = docs.repartition(sc.defaultParallelism, "doc_id")
+    # shingle HOF — see ensure_scan_parallelism
+    docs = ensure_scan_parallelism(docs)
     # the shingle frame feeds BOTH the df aggregation and the scoring
     # join — persist it once (the module's shared-shingle-frame rule),
     # and hash each shingle to the portable 56-bit md5 FIRST so both

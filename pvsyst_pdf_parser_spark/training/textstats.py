@@ -712,10 +712,15 @@ def winnowing_fingerprints(docs: DataFrame, k: int = WINNOW_K,
     Output: (doc_id, n_grams, n_selected, fp_hash) where fp_hash is
     the md5 of the selected hashes joined in position order — the
     whole fingerprint set byte-verified across engines."""
+    from .dedup import ensure_scan_parallelism
+
     toks = F.filter(F.split("text", " ", -1), lambda x: x != "")
-    base = docs.select("doc_id", toks.alias("toks")).filter(
-        F.size("toks") >= k
-    )
+    # O(n·w) row-local work per doc: on a degenerate one-row-group scan
+    # this would run single-core — buy full parallelism with one cheap
+    # exchange (no-op at real split counts)
+    base = ensure_scan_parallelism(docs).select(
+        "doc_id", toks.alias("toks")
+    ).filter(F.size("toks") >= k)
     grams = F.transform(
         F.sequence(F.lit(0), F.size("toks") - k),
         lambda i: F.conv(

@@ -277,7 +277,10 @@ def test_robots_rules_broadcast_url_side_single_window_exchange(spark):
 
 def test_winnowing_is_pure_projection_no_join_no_python(spark):
     """Winnowing is row-local end to end: no joins, no Python eval;
-    the only exchange is the final presentation sort."""
+    the only exchanges are the final presentation sort plus (on a
+    degenerate one-row-group scan only) the small-input parallelism
+    dispatch — at real split counts the dispatch is a no-op and the
+    sort exchange is the single one left."""
     from pvsyst_pdf_parser_spark.training.textstats import (
         winnowing_fingerprints,
     )
@@ -286,7 +289,14 @@ def test_winnowing_is_pure_projection_no_join_no_python(spark):
     p = _plan(winnowing_fingerprints(docs))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Join" not in p
-    assert p.count("Exchange") <= 1, p  # rangepartitioning for the sort
+    assert p.count("Exchange") <= 2, p  # dispatch + sort
+    # the dispatch must vanish when the scan is already parallel:
+    # a many-partition in-memory frame keeps the plan at sort-only
+    wide = docs.repartition(64, "doc_id")
+    pw = _plan(winnowing_fingerprints(wide))
+    # input repartition(64) + presentation sort — winnowing itself
+    # must not add a third
+    assert pw.count("Exchange") <= 2, pw
 
 
 def test_sequence_pack_chunks_bounded_exchanges_no_python(spark):
