@@ -298,7 +298,11 @@ def layout_column_report(docs: DataFrame) -> DataFrame:
 def layout_grid_report(docs: DataFrame) -> DataFrame:
     """Per doc: reconstructed table shape + an order-pinned md5 over
     the (row, col, cell) grid."""
-    g = table_grid(cluster_lines(synth_word_boxes(docs)))
+    from ..training.dedup import ensure_scan_parallelism
+
+    g = table_grid(cluster_lines(synth_word_boxes(
+        ensure_scan_parallelism(docs)
+    )))
     cell = F.concat_ws(
         ":",
         F.col("line_id").cast("string"),

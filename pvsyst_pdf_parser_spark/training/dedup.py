@@ -906,9 +906,9 @@ def exact_substring_dedup_report(docs: DataFrame, k: int = EXSUB_K) -> DataFrame
     from pyspark.sql import Window
 
     toks = F.filter(F.split("text", " ", -1), lambda x: x != "")
-    base = docs.select("doc_id", toks.alias("toks")).filter(
-        F.size("toks") > 0
-    )
+    base = ensure_scan_parallelism(docs).select(
+        "doc_id", toks.alias("toks")
+    ).filter(F.size("toks") > 0)
     # guard: sequence(0, size-k) DESCENDS when size < k (ANSI throws
     # downstream) — same crash class as doc_shingles/repetition_stats
     win_keys = F.when(

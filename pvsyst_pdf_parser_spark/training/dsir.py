@@ -68,10 +68,11 @@ def dsir_importance_report(
     are not selected.
     """
     toks = F.expr("filter(split(lower(text), ' ', -1), t -> t <> '')")
+    from .dedup import ensure_scan_parallelism
     from .textstats import cleaning_gate_exprs
 
     _, pass_quality = cleaning_gate_exprs()
-    base = docs.select(
+    base = ensure_scan_parallelism(docs).select(
         "doc_id",
         "source",
         toks.alias("__toks"),

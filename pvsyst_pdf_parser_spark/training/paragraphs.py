@@ -140,7 +140,9 @@ def dedup_sentence_spans_report(
     component sentences are dropped from the later copy.
 
     Returns (doc_id, n_sents, n_removed, clean_text)."""
-    base = docs.select(
+    from .dedup import ensure_scan_parallelism
+
+    base = ensure_scan_parallelism(docs).select(
         "doc_id", _doc_sentences_col("text", sent_tokens).alias("sents")
     )
     # span index list 0..n-span_sents (empty when the doc is shorter —

@@ -852,7 +852,9 @@ def trigram_backoff_scores(
     toks_arr = F.filter(
         F.split(F.lower("text"), " ", -1), lambda x: x != ""
     )
-    base = docs.select("doc_id", toks_arr.alias("t"))
+    from .dedup import ensure_scan_parallelism
+
+    base = ensure_scan_parallelism(docs).select("doc_id", toks_arr.alias("t"))
     toku = base.select("doc_id", F.explode("t").alias("tok"))
     uni = toku.groupBy("tok").agg(F.count("*").alias("c1"))
     tot = uni.agg(F.sum("c1").cast("double").alias("n_total"))
