@@ -189,6 +189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pvsyst_extract_smoke": _pvsyst_extract_smoke,
         # north-rule span sink (never yet verified - run early)
         "pvsyst_field_spans": _pvsyst_field_spans,
+        # Unicode-script detection over the synthesized multiscript
+        # fixture (never verified - run early)
+        "text_script_detect": lambda s, d: X.script_mix_report(_docs(s, d)),
         # web-scale url canonicalization over synthesized messy urls
         "url_canonicalize": lambda s, d: U.canonical_url_stats(_docs(s, d)),
         # bitext mining: URL-pattern candidates + embedding-margin
@@ -1717,6 +1720,61 @@ s{i} AS (
         for i in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY step"
+
+
+def _script_mix_sql() -> str:
+    """DuckDB replay of textstats.script_mix_report: same synthesized
+    multiscript fixture (profile = doc_id % 6, repeat 1 + doc_id % 4,
+    'd<doc_id>' tail), same per-script char counts via RE2
+    \\p{Script} classes, same integer-DIV ppm and first-wins majority
+    argmax."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        SCRIPT_CLASSES,
+        SCRIPT_DOMINANT_PPM,
+        _SCRIPT_PHRASES,
+    )
+
+    phrase_case = "CASE doc_id % 6 " + " ".join(
+        f"WHEN {i} THEN '{p}'" for i, (p, _) in enumerate(_SCRIPT_PHRASES)
+    ) + " END"
+    label_case = "CASE doc_id % 6 " + " ".join(
+        f"WHEN {i} THEN '{lab}'" for i, (_, lab) in enumerate(_SCRIPT_PHRASES)
+    ) + " END"
+    count_sel = ", ".join(
+        f"length(regexp_replace(text, '[^\\p{{{name.capitalize()}}}]', '', 'g'))"
+        f" AS n_{name}"
+        for name, _ in SCRIPT_CLASSES
+    )
+    ppm_sel = ", ".join(
+        f"n_{name} * 1000000 // n_chars AS {name}_ppm"
+        for name, _ in SCRIPT_CLASSES
+    )
+    best = "greatest(" + ", ".join(
+        f"{name}_ppm" for name, _ in SCRIPT_CLASSES
+    ) + ")"
+    argmax = "CASE " + " ".join(
+        f"WHEN {name}_ppm = {best} THEN '{name}'"
+        for name, _ in SCRIPT_CLASSES
+    ) + " END"
+    return f"""
+WITH synth AS (
+  SELECT doc_id, {label_case} AS script_label,
+         repeat({phrase_case} || ' ', cast(1 + doc_id % 4 AS int))
+           || 'd' || doc_id::varchar AS text
+  FROM documents),
+base AS (
+  SELECT doc_id, script_label,
+         length(regexp_replace(text, '\\s', '', 'g')) AS n_chars,
+         {count_sel}
+  FROM synth),
+scored AS (
+  SELECT doc_id, script_label, n_chars, {ppm_sel} FROM base)
+SELECT doc_id, script_label, n_chars,
+       {', '.join(f'{name}_ppm' for name, _ in SCRIPT_CLASSES)},
+       CASE WHEN {best} > {SCRIPT_DOMINANT_PPM} THEN {argmax}
+            ELSE 'mixed' END AS dominant
+FROM scored
+"""
 
 
 def _char_entropy_sql() -> str:
@@ -4298,6 +4356,7 @@ SELECT lang,
        min(avg_nll) AS min_nll, max(avg_nll) AS max_nll
 FROM nt GROUP BY lang, tercile
 """,
+        "text_script_detect": _script_mix_sql(),
         "url_canonicalize": r"""
 WITH r AS (
   SELECT doc_id,

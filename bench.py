@@ -165,6 +165,8 @@ HEADLINE = [
     "hashed_embedding",
     "dedup_normalized",
     "zipf_heaps",
+    # round-5k operators
+    "text_script_detect",
 ]
 
 

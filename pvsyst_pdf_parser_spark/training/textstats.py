@@ -660,6 +660,104 @@ def type_token_ratio_stats(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Unicode-script detection: the five script classes cover the major
+# writing systems a Common-Crawl-style corpus actually mixes; digits /
+# punctuation / space are Unicode-Common and deliberately belong to no
+# class (their mass shows up only in the denominator).  Spark's Java
+# regex spells a script \p{IsLatin}; DuckDB's RE2 spells it \p{Latin} —
+# the probe-verified pair per class.
+SCRIPT_CLASSES = [
+    ("latin", "IsLatin"),
+    ("cyrillic", "IsCyrillic"),
+    ("han", "IsHan"),
+    ("arabic", "IsArabic"),
+    ("greek", "IsGreek"),
+]
+_SCRIPT_PHRASES = [
+    ("the quick brown fox jumps over the lazy dog", "latin"),
+    ("съешь же ещё этих мягких французских булок", "cyrillic"),
+    ("天地玄黄宇宙洪荒日月盈昃辰宿列张", "han"),
+    ("النص العربي المستخدم في اختبار الكشف عن النظام", "arabic"),
+    ("αλφα βητα γαμμα δελτα εψιλον ζητα ητα", "greek"),
+    # balanced so NEITHER script reaches the strict majority at ANY
+    # repeat count: per repeat latin = 13 (+1 overall for the 'd'
+    # tail) and cyrillic = 13 of 26 letters, so with the >=1
+    # Common-script digit in the tail each side's ppm is <= 500000
+    # and the strict-majority rule always lands on 'mixed'
+    ("mixed текст with слова plus еще", "mixed"),
+]
+SCRIPT_DOMINANT_PPM = 500_000  # strict majority of non-space chars
+
+
+def synth_script_text(docs: DataFrame) -> DataFrame:
+    """Deterministic multiscript fixture: (doc_id, script_label, text).
+    Profile = doc_id % 6 picks one of five single-script phrases or a
+    Latin/Cyrillic mix; the phrase repeats 1 + doc_id % 4 times and a
+    'd<doc_id>' tail varies length (digits are script-Common, so the
+    tail never shifts a script count — only the denominator).  The
+    documents table's own text is ASCII-only, so script detection
+    needs a synthesized input — same fixture pattern as
+    crawl.synthetic_snapshots / synthetic_link_edges."""
+    phrase_case = "CASE doc_id % 6 " + " ".join(
+        f"WHEN {i} THEN '{p}'" for i, (p, _) in enumerate(_SCRIPT_PHRASES)
+    ) + " END"
+    label_case = "CASE doc_id % 6 " + " ".join(
+        f"WHEN {i} THEN '{lab}'" for i, (_, lab) in enumerate(_SCRIPT_PHRASES)
+    ) + " END"
+    return docs.select(
+        "doc_id",
+        F.expr(label_case).alias("script_label"),
+        F.expr(
+            f"concat(repeat(concat({phrase_case}, ' '), "
+            "cast(1 + doc_id % 4 AS int)), 'd', cast(doc_id AS string))"
+        ).alias("text"),
+    )
+
+
+def script_mix_report(docs: DataFrame) -> DataFrame:
+    """Per-document Unicode-script mix over the synthesized multiscript
+    fixture — the script-detection gate multilingual pipelines run
+    BEFORE n-gram language ID (a Cyrillic page must never reach the
+    Latin-stopword scorer; CLD3-class identifiers use the same
+    script-first dispatch).
+
+    Output: (doc_id, script_label, n_chars, <script>_ppm × 5,
+    dominant) — per-script character mass in exact integer ppm of the
+    non-space characters, dominant = the first script in
+    SCRIPT_CLASSES order holding a strict majority
+    (> SCRIPT_DOMINANT_PPM), else 'mixed'.
+
+    Scale shape: one pure projection (five regexp_replace + length
+    per row, zero shuffle at any corpus size) + the presentation sort.
+    All arithmetic is integer DIV — bit-equal to the DuckDB oracle."""
+    synth = synth_script_text(docs)
+    n_chars = F.length(F.regexp_replace("text", r"\s", ""))
+    counts = [
+        F.length(
+            F.regexp_replace("text", rf"[^\p{{{java}}}]", "")
+        ).alias(f"n_{name}")
+        for name, java in SCRIPT_CLASSES
+    ]
+    base = synth.select(
+        "doc_id", "script_label", n_chars.alias("n_chars"), *counts
+    )
+    ppms = [
+        F.expr(f"n_{name} * 1000000 DIV n_chars").alias(f"{name}_ppm")
+        for name, _ in SCRIPT_CLASSES
+    ]
+    scored = base.select("doc_id", "script_label", "n_chars", *ppms)
+    best = F.greatest(*[F.col(f"{n}_ppm") for n, _ in SCRIPT_CLASSES])
+    dominant = F.lit("mixed")
+    for name, _ in reversed(SCRIPT_CLASSES):
+        dominant = F.when(
+            F.col(f"{name}_ppm") == best, F.lit(name)
+        ).otherwise(dominant)
+    dominant = F.when(
+        best > SCRIPT_DOMINANT_PPM, dominant
+    ).otherwise(F.lit("mixed"))
+    return scored.withColumn("dominant", dominant).orderBy("doc_id")
+
+
 def token_length_histogram(docs: DataFrame) -> DataFrame:
     """Per-source token-length histogram in power-of-two buckets — the
     length profile that sizes sequence packing, truncation limits, and

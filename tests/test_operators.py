@@ -2716,3 +2716,38 @@ def test_zipf_heaps_report_regression_replay(spark):
     assert -1.2 < row["zipf_slope"] < -0.8  # near-Zipfian by construction
     assert row["heaps_exponent"] == round(
         math.log(40) / math.log(len(toks)), 4)
+
+
+def test_script_mix_detection_properties(spark):
+    """Single-script profiles must be detected as their own script, the
+    Latin/Cyrillic mix must land on 'mixed', and the Python replay of
+    the synthesis pins n_chars and the Latin count exactly."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        _SCRIPT_PHRASES,
+        script_mix_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(24)], "doc_id bigint"
+    )
+    out = {r["doc_id"]: r for r in script_mix_report(docs).collect()}
+    assert len(out) == 24
+    for i, r in out.items():
+        phrase, label = _SCRIPT_PHRASES[i % 6]
+        # python replay of the deterministic synthesis
+        text = (phrase + " ") * (1 + i % 4) + f"d{i}"
+        assert r["script_label"] == label
+        assert r["n_chars"] == len(text.replace(" ", ""))
+        n_latin = sum(
+            1 for ch in text if ("a" <= ch <= "z") or ("A" <= ch <= "Z")
+        )
+        assert r["latin_ppm"] == n_latin * 1_000_000 // r["n_chars"]
+        if label == "mixed":
+            assert r["dominant"] == "mixed"  # no strict majority
+        else:
+            assert r["dominant"] == label
+        # ppm masses can never exceed the denominator
+        assert (
+            r["latin_ppm"] + r["cyrillic_ppm"] + r["han_ppm"]
+            + r["arabic_ppm"] + r["greek_ppm"]
+        ) <= 1_000_000

@@ -886,3 +886,16 @@ def test_zipf_heaps_bounded_topk_no_sortmerge(spark):
     p = _plan(X.zipf_heaps_report(docs))
     assert "TakeOrderedAndProject" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_script_mix_is_pure_projection(spark):
+    """Script detection is a map-only plan: five regexp-class counts +
+    integer ppm arithmetic per row, no exchange except the presentation
+    sort — free at 10^12 docs."""
+    from pvsyst_pdf_parser_spark.training.textstats import script_mix_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(script_mix_report(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    assert p.count("Exchange") <= 1, p  # rangepartitioning for the sort
