@@ -210,6 +210,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": lambda s, d: D.minhash_estimate_calibration(
             _docs(s, d)
         ),
+        # SimHash Hamming-vs-exact-cosine calibration (never verified -
+        # run early)
+        "simhash_calibration": lambda s, d: D.simhash_estimate_calibration(
+            _docs(s, d)
+        ),
         # daily-increment pair plan, batch-identical labels (never
         # verified)
         "dedup_clusters_incremental": lambda s, d: (
@@ -931,6 +936,61 @@ cand AS (
   WHERE a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, ({popcnt})::int AS hamming
 FROM cand WHERE ({popcnt}) <= {max_hamming}
+"""
+
+
+def _simhash_calibration_sql(max_hamming: int = 3, bits: int = 16,
+                             sample_mod: int = 10) -> str:
+    """DuckDB replay of dedup.simhash_estimate_calibration: same
+    pigeonhole candidates + popcount, same integer est lookup
+    (the table is generated by the SAME Python function), same
+    single rounded float division for the exact cosine."""
+    from pvsyst_pdf_parser_spark.training.dedup import simhash_cos_lookup_ppm
+
+    n_chunks = max_hamming + 1
+    width = bits // n_chunks
+    mask = (1 << width) - 1
+    popcnt = " + ".join(
+        f"((xor(sh_a, sh_b) >> {b}) & 1)" for b in range(bits)
+    )
+    lookup = ", ".join(str(v) for v in simhash_cos_lookup_ppm(bits))
+    return f"""
+WITH {_simhash_cte(sample_mod, bits)},
+ck AS (
+  SELECT doc_id, simhash, c AS chunk_idx,
+         ((simhash >> (c * {width})) & {mask}) AS chunk_key
+  FROM sh, unnest(generate_series(0, {n_chunks - 1})) AS t(c)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM ck a JOIN ck b USING (chunk_idx, chunk_key)
+  WHERE a.doc_id < b.doc_id),
+pr AS (
+  SELECT doc_a, doc_b, ({popcnt})::int AS hamming
+  FROM cand WHERE ({popcnt}) <= {max_hamming}),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+norms AS (SELECT doc_id, sum(c * c)::bigint AS n2 FROM tc GROUP BY doc_id),
+dots AS (
+  SELECT p.doc_a, p.doc_b, sum(a.c * b.c)::bigint AS dot
+  FROM pr p
+  JOIN tc a ON a.doc_id = p.doc_a
+  JOIN tc b ON b.doc_id = p.doc_b AND b.tok = a.tok
+  GROUP BY p.doc_a, p.doc_b)
+SELECT p.doc_a, p.doc_b, p.hamming,
+       ([{lookup}])[p.hamming + 1]::bigint AS est_cos_ppm,
+       cast(round(coalesce(d.dot, 0) * 1000000.0
+                  / sqrt(na.n2::double * nb.n2), 0) AS bigint)
+         AS exact_cos_ppm,
+       abs(([{lookup}])[p.hamming + 1]::bigint
+           - cast(round(coalesce(d.dot, 0) * 1000000.0
+                        / sqrt(na.n2::double * nb.n2), 0) AS bigint))
+         AS err_ppm
+FROM pr p
+LEFT JOIN dots d ON d.doc_a = p.doc_a AND d.doc_b = p.doc_b
+JOIN norms na ON na.doc_id = p.doc_a
+JOIN norms nb ON nb.doc_id = p.doc_b
 """
 
 
@@ -4088,6 +4148,7 @@ FROM w
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "cleaning_funnel": _cleaning_funnel_sql(),
         "minhash_calibration": _minhash_calibration_sql(),
+        "simhash_calibration": _simhash_calibration_sql(),
         # SoftDeDup (dedup.soft_dedup_weights): same distinct-3-gram
         # shingle universe as the other dedup oracles, shingles hashed
         # to the portable 56-bit md5 BEFORE the df agg (mirrors the

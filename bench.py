@@ -167,6 +167,7 @@ HEADLINE = [
     "zipf_heaps",
     # round-5k operators
     "text_script_detect",
+    "simhash_calibration",
 ]
 
 

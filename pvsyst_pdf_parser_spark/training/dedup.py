@@ -1132,6 +1132,115 @@ def minhash_estimate_calibration(
     )
 
 
+def simhash_cos_lookup_ppm(bits: int) -> list[int]:
+    """The SimHash estimator as an integer table: Charikar 2002's
+    P[bit agrees] = 1 - θ/π inverts to θ̂ = π·hamming/bits, so the
+    estimated cosine for each possible Hamming distance h ∈ [0, bits]
+    is cos(π·h/bits) — only bits+1 values exist, so both engines read
+    the SAME precomputed integer-ppm literal and the estimator side is
+    float-free."""
+    import math
+
+    return [
+        int(round(math.cos(math.pi * h / bits) * 1_000_000))
+        for h in range(bits + 1)
+    ]
+
+
+def simhash_estimate_calibration(
+    docs: DataFrame, bits: int = 16, max_hamming: int = 3,
+    sample_mod: int = 10,
+) -> DataFrame:
+    """SimHash estimator calibration — the Hamming-side twin of
+    :func:`minhash_estimate_calibration`, completing the sketch-QA
+    family: per pigeonhole-candidate pair, the cosine ESTIMATED from
+    the fingerprint's Hamming distance vs the EXACT cosine of the
+    token-count vectors (the vectors Charikar's random-hyperplane
+    argument is about):
+
+        (doc_a, doc_b, hamming, est_cos_ppm, exact_cos_ppm, err_ppm)
+
+    est_cos_ppm comes from the shared integer lookup
+    (:func:`simhash_cos_lookup_ppm`); exact_cos_ppm is
+    round(dot·10⁶ / √(‖a‖²·‖b‖²)) — the ONE float op, on identical
+    integer inputs in both engines (dot and the squared norms are
+    exact bigints), rounded once so it cannot drift.  This is the
+    report an operator reads to pick `bits` before trusting Hamming
+    thresholds at a trillion documents — the ±√(θ(π−θ)/bits)/π
+    binomial error is visible directly in err_ppm.
+
+    Shape at scale: candidate pairs come from the bounded pigeonhole
+    equi-join (never all-pairs); the dot products touch only candidate
+    pairs via two token-keyed joins of the persisted per-doc token
+    counts; the norms are one map-side-combined agg."""
+    # the 16-votes-per-token fingerprint explode and the token-count
+    # build both scan docs — parallelize a degenerate scan once
+    docs = ensure_scan_parallelism(docs)
+    pairs = simhash_neardup_pairs(
+        docs, max_hamming=max_hamming, bits=bits, sample_mod=sample_mod
+    ).select("doc_a", "doc_b", "hamming")
+    tc = persist_tracked(
+        docs.filter(F.col("doc_id") % sample_mod == 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ", -1)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    norms = tc.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    dots = (
+        pairs.join(
+            tc.select(
+                F.col("doc_id").alias("doc_a"), "token",
+                F.col("c").alias("ca"),
+            ),
+            "doc_a",
+        )
+        .join(
+            tc.select(
+                F.col("doc_id").alias("doc_b"), "token",
+                F.col("c").alias("cb"),
+            ),
+            ["doc_b", "token"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    lookup = F.array(
+        *[F.lit(v) for v in simhash_cos_lookup_ppm(bits)]
+    )
+    est = F.element_at(lookup, F.col("hamming") + 1).cast("bigint")
+    # a candidate pair always shares tokens in the near-dup regime,
+    # but a zero-overlap collision must score 0, not vanish
+    exact = F.round(
+        F.coalesce("dot", F.lit(0)) * F.lit(1_000_000.0)
+        / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b")),
+        0,
+    ).cast("bigint")
+    return (
+        pairs.join(dots, ["doc_a", "doc_b"], "left")
+        .join(norms.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n2").alias("n2_a")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n2").alias("n2_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            est.alias("est_cos_ppm"),
+            exact.alias("exact_cos_ppm"),
+        )
+        .withColumn(
+            "err_ppm", F.abs(F.col("est_cos_ppm") - F.col("exact_cos_ppm"))
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def incremental_near_dup_pairs(
     docs: DataFrame, threshold: float = 0.02, sample_mod: int = 5,
     split_mod: int = 2,

@@ -2751,3 +2751,64 @@ def test_script_mix_detection_properties(spark):
             r["latin_ppm"] + r["cyrillic_ppm"] + r["han_ppm"]
             + r["arabic_ppm"] + r["greek_ppm"]
         ) <= 1_000_000
+
+
+def test_simhash_calibration_python_replay(spark):
+    """Identical docs must calibrate to hamming 0 / est == exact == 1e6;
+    every reported pair's hamming, est lookup, and exact cosine must
+    match an exact Python replay of the fingerprint + token-count math."""
+    import hashlib
+    import math
+
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        simhash_cos_lookup_ppm,
+        simhash_estimate_calibration,
+    )
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta",
+        10: "alpha beta gamma delta epsilon zeta",       # exact dup of 0
+        20: "alpha beta gamma delta epsilon different",  # near dup
+        30: "totally unrelated words here now ok",
+        5: "sampled out because doc_id mod 10 is not zero",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in simhash_estimate_calibration(docs).collect()
+    }
+
+    def h56(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    def simhash16(text):
+        votes = [0] * 16
+        for tok in [t for t in text.lower().split(" ") if t]:
+            hv = h56(tok)
+            for b in range(16):
+                votes[b] += 1 if (hv >> b) & 1 else -1
+        return sum(1 << b for b in range(16) if votes[b] > 0)
+
+    def cos_ppm(ta, tb):
+        from collections import Counter
+
+        ca, cb = Counter(ta.lower().split()), Counter(tb.lower().split())
+        dot = sum(ca[t] * cb[t] for t in ca)
+        na2 = sum(v * v for v in ca.values())
+        nb2 = sum(v * v for v in cb.values())
+        return int(round(dot * 1_000_000.0 / math.sqrt(na2 * nb2)))
+
+    lookup = simhash_cos_lookup_ppm(16)
+    assert (0, 10) in out  # the exact dup always survives the blocking
+    for (a, b), r in out.items():
+        assert a % 10 == 0 and b % 10 == 0  # sample respected
+        expected_h = bin(simhash16(texts[a]) ^ simhash16(texts[b])).count("1")
+        assert r["hamming"] == expected_h
+        assert r["est_cos_ppm"] == lookup[expected_h]
+        assert r["exact_cos_ppm"] == cos_ppm(texts[a], texts[b])
+        assert r["err_ppm"] == abs(r["est_cos_ppm"] - r["exact_cos_ppm"])
+    r = out[(0, 10)]
+    assert (r["hamming"], r["est_cos_ppm"], r["exact_cos_ppm"],
+            r["err_ppm"]) == (0, 1_000_000, 1_000_000, 0)

@@ -899,3 +899,20 @@ def test_script_mix_is_pure_projection(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Join" not in p
     assert p.count("Exchange") <= 1, p  # rangepartitioning for the sort
+
+
+def test_simhash_calibration_bounded_joins_no_cartesian(spark):
+    """Calibration candidates must come from the pigeonhole equi-join
+    and the exact side must touch only candidate pairs via token-keyed
+    equi-joins of the persisted count frame — never a cartesian."""
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        simhash_estimate_calibration,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(simhash_estimate_calibration(docs))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the token-count frame is persisted and feeds norms + both dot
+    # sides from the cache
+    assert p.count("InMemoryTableScan") >= 3
