@@ -192,6 +192,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Unicode-script detection over the synthesized multiscript
         # fixture (never verified - run early)
         "text_script_detect": lambda s, d: X.script_mix_report(_docs(s, d)),
+        # round-5 final-session operators (never verified - run early):
+        # Levenshtein-verified near-dup pairs (Lee 2022 NearDup verify
+        # metric) over the shingle-blocked candidate set
+        "dedup_edit_similarity": lambda s, d: D.edit_similarity_pairs(
+            _docs(s, d)
+        ),
+        # C4 bad-words page filter with exact token-boundary semantics
+        # (sentinel blocklist; digest verifies the exact flag set)
+        "c4_badwords_filter": lambda s, d: W.badwords_filter_report(
+            _docs(s, d)
+        ),
+        # corpus-level distinct-1/distinct-2 diversity per source
+        # (Li 2016) — the per-SOURCE twin of the per-doc TTR gate
+        "text_distinct_ngrams": lambda s, d: X.distinct_ngram_diversity(
+            _docs(s, d)
+        ),
+        # greedy k-center (Gonzalez 1985) coreset trace over the
+        # embeddings — diversity-based data selection; oracle is the
+        # identical recursive-CTE farthest-point traversal
+        "kcenter_coreset": lambda s, d: S.kcenter_coreset_trace(_emb(s, d)),
         # web-scale url canonicalization over synthesized messy urls
         "url_canonicalize": lambda s, d: U.canonical_url_stats(_docs(s, d)),
         # bitext mining: URL-pattern candidates + embedding-margin
@@ -3877,6 +3897,92 @@ SELECT doc_a, doc_b, n_common,
 FROM pairs JOIN sizesc za ON za.doc_id = doc_a
 JOIN sizesc zb ON zb.doc_id = doc_b
 WHERE round(n_common / (za.n + zb.n - n_common), 4) >= 0.02
+""",
+        # Levenshtein verify over the same shingle-blocked candidates:
+        # identical blocking CTEs, DuckDB's identical levenshtein(), the
+        # same pushed |Δlen| lower bound
+        "dedup_edit_similarity": f"""
+WITH {_shingle_cte(5)},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (
+  SELECT doc_a, doc_b,
+         round(n_common / (za.n + zb.n - n_common), 4) AS jaccard
+  FROM pairs JOIN sizes za ON za.doc_id = doc_a
+  JOIN sizes zb ON zb.doc_id = doc_b
+  WHERE round(n_common / (za.n + zb.n - n_common), 4) >= 0.02),
+t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+s AS (
+  SELECT doc_a, doc_b, jaccard, ta.text AS text_a, tb.text AS text_b,
+         greatest(ta.len, tb.len) AS mx, abs(ta.len - tb.len) AS dl
+  FROM j JOIN t ta ON ta.doc_id = doc_a JOIN t tb ON tb.doc_id = doc_b),
+v AS (
+  SELECT doc_a, doc_b, jaccard,
+         levenshtein(text_a, text_b)::BIGINT AS lev, mx
+  FROM s WHERE 1.0 - dl / mx >= 0.25)
+SELECT doc_a, doc_b, jaccard, lev,
+       round(1.0 - lev / mx, 4) AS edit_sim
+FROM v WHERE round(1.0 - lev / mx, 4) >= 0.25
+""",
+        "c4_badwords_filter": """
+WITH f AS (
+  SELECT source, doc_id,
+         (len(list_intersect(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            ['dup', 'lorem', 'xxx'])) > 0)::INT AS flagged
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(flagged)::BIGINT AS n_flagged,
+       (count(*) - sum(flagged))::BIGINT AS n_kept,
+       round(sum(flagged) / count(*), 4) AS drop_rate,
+       md5(coalesce(string_agg(CASE WHEN flagged = 1 THEN doc_id END, ','
+                               ORDER BY doc_id), '')) AS flagged_digest
+FROM f GROUP BY source
+""",
+        "text_distinct_ngrams": """
+WITH base AS (
+  SELECT source, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+  FROM documents),
+uni AS (SELECT source, 1 AS n, u.gram FROM base, unnest(t) AS u(gram)),
+bi AS (
+  SELECT source, 2 AS n, t[i] || ' ' || t[i+1] AS gram
+  FROM base, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)),
+per AS (
+  SELECT source, n, gram, count(*) AS c FROM (
+    SELECT * FROM uni UNION ALL SELECT * FROM bi) GROUP BY 1, 2, 3),
+agg AS (
+  SELECT source, n, sum(c)::BIGINT AS total, count(*)::BIGINT AS distinct_grams
+  FROM per GROUP BY 1, 2)
+SELECT source, n::INT AS n, total, distinct_grams,
+       ((1000000 * distinct_grams) // total)::BIGINT AS distinct_ppm
+FROM agg
+""",
+        # the recursive-CTE farthest-point traversal: anchor is the
+        # min-vec_id seed (radius 0.0::DOUBLE — an unadorned 0.0 would
+        # type the column DECIMAL(2,1) and truncate every later radius),
+        # each step appends the argmax of the rounded min-distance to
+        # the selected set, ties to the smaller vec_id
+        "kcenter_coreset": """
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sel(step, vid, ids, radius) AS (
+  SELECT 1, (SELECT min(vec_id) FROM e),
+         [(SELECT min(vec_id) FROM e)], 0.0::DOUBLE
+  UNION ALL
+  SELECT sel.step + 1, nxt.vec_id, list_append(sel.ids, nxt.vec_id), nxt.d
+  FROM sel, LATERAL (
+    SELECT x.vec_id,
+           (SELECT min(round(1.0 - list_dot_product(x.v, c.v) /
+                    sqrt(list_dot_product(x.v, x.v) *
+                         list_dot_product(c.v, c.v)), 4))
+            FROM e c WHERE list_contains(sel.ids, c.vec_id)) AS d
+    FROM e x WHERE NOT list_contains(sel.ids, x.vec_id)
+    ORDER BY d DESC, x.vec_id LIMIT 1) nxt
+  WHERE sel.step < 8)
+SELECT step::INT AS step, vid::BIGINT AS vec_id, radius::DOUBLE AS radius
+FROM sel
 """,
         # transitive duplicate groups over the ngram pairs: recursive CTE
         # computes each node's component-min label (the Spark side runs

@@ -168,6 +168,11 @@ HEADLINE = [
     # round-5k operators
     "text_script_detect",
     "simhash_calibration",
+    # round-5l operators
+    "dedup_edit_similarity",
+    "c4_badwords_filter",
+    "text_distinct_ngrams",
+    "kcenter_coreset",
 ]
 
 

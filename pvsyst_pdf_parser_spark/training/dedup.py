@@ -1480,3 +1480,60 @@ def normalized_exact_dedup(docs: DataFrame) -> DataFrame:
         F.count("*").over(wall).cast("bigint").alias("group_size"),
         (F.row_number().over(w) == 1).cast("int").alias("keep"),
     )
+
+
+def edit_similarity_pairs(docs: DataFrame, threshold: float = 0.25,
+                          candidate_jaccard: float = 0.02,
+                          n: int = 3, sample_mod: int = 5,
+                          max_df: int | None = None) -> DataFrame:
+    """Edit-similarity-VERIFIED near-duplicate pairs — the NearDup
+    verify metric of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), char-level:
+
+        edit_sim(a, b) = 1 - lev(a, b) / max(len(a), len(b))
+
+    MinHash/shingle blocking finds CANDIDATES cheaply but its Jaccard
+    is order-blind (a shuffled bag of the same shingles scores 1.0);
+    the Levenshtein verify is order-SENSITIVE, so this pass separates
+    true copy-edits (high edit_sim) from same-vocabulary rewrites (low
+    edit_sim) within the candidate set.
+
+    Scale shape — the O(|a|·|b|) Levenshtein DP never touches the
+    quadratic pair space:
+    - candidates come from the same capped-shingle equi-join as the
+      Jaccard pass (``ngram_jaccard_pairs``: hot-shingle cap bounds
+      per-bucket work at O(max_df²));
+    - the free lower bound lev(a, b) >= |len(a)| - |len(b)|| is pushed
+      BELOW the DP: length-mismatched candidates fail
+      ``1 - |Δlen|/maxlen >= threshold`` and drop before the verify;
+    - the verify itself is Spark's built-in ``levenshtein`` — JVM-side
+      inside whole-stage codegen, no Python; for fixed-k edit-distance
+      workloads the 3-arg ``levenshtein(a, b, k)`` (Spark 3.5+) adds
+      banded early exit on top.
+
+    Output: (doc_a, doc_b, jaccard, lev, edit_sim) for verified pairs,
+    edit_sim rounded to 4 so the DuckDB oracle (same blocking CTEs +
+    its identical ``levenshtein``) hash-matches.
+    """
+    cands = ngram_jaccard_pairs(docs, threshold=candidate_jaccard,
+                                n=n, sample_mod=sample_mod, max_df=max_df)
+    texts = docs.select("doc_id", "text", F.length("text").alias("len"))
+    sized = (
+        cands
+        .join(texts.select(F.col("doc_id").alias("doc_a"),
+                           F.col("text").alias("text_a"),
+                           F.col("len").alias("len_a")), "doc_a")
+        .join(texts.select(F.col("doc_id").alias("doc_b"),
+                           F.col("text").alias("text_b"),
+                           F.col("len").alias("len_b")), "doc_b")
+    )
+    max_len = F.greatest("len_a", "len_b")
+    len_bound = F.lit(1.0) - F.abs(F.col("len_a") - F.col("len_b")) / max_len
+    return (
+        sized.filter(len_bound >= threshold)
+        .withColumn("lev", F.levenshtein("text_a", "text_b").cast("bigint"))
+        .withColumn("edit_sim",
+                    F.round(F.lit(1.0) - F.col("lev") / max_len, 4))
+        .filter(F.col("edit_sim") >= threshold)
+        .select("doc_a", "doc_b", "jaccard", "lev", "edit_sim")
+    )

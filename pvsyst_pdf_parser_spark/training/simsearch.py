@@ -1430,3 +1430,66 @@ def hashed_doc_embedding(docs: DataFrame, n_dims: int = 8) -> DataFrame:
         *[f"d{j}" for j in range(n_dims)],
         F.round(F.sqrt(norm_sq.cast("double")), 4).alias("l2_norm"),
     )
+
+
+def kcenter_coreset_trace(emb: DataFrame, k: int = 8) -> DataFrame:
+    """Greedy k-center coreset selection over the embedding column
+    (Gonzalez 1985 farthest-point traversal) — the geometric
+    diversity-based data-selection primitive: the k selected vectors
+    2-approximate the minimal covering radius, so a subset built this
+    way maximizes coverage of the embedding space instead of sampling
+    the dense center (the "prototypes" failure mode data-pruning work
+    warns about, e.g. Sorscher 2022's beyond-scaling-laws analysis).
+
+    Deterministic: the seed is min(vec_id); each round selects the
+    point with the MAX (rounded) cosine distance to the selected set,
+    ties broken by min vec_id.  Distances are round(1 - cos, 4) in
+    float64 so the DuckDB recursive-CTE oracle reproduces the exact
+    trajectory.
+
+    Returns the selection trace: (step, vec_id, radius) where radius
+    is the selected point's distance to the prior set — step k's
+    radius is the classic k-center coverage bound for the whole
+    corpus.
+
+    Distributed shape: k-1 bounded jobs, each ONE full scan + a
+    1-row argmax collect (TakeOrdered); the selected centers re-enter
+    as closure literals, exactly like the trained IVF centroids.  At
+    10^9 points the documented refinement is the standard incremental
+    form — persist a running min-dist column and fold in only the
+    NEWEST center each round (O(nk) total distance evals instead of
+    O(nk²)); at demo scale the recompute is cheaper than the cache
+    churn."""
+    seed = (
+        emb.orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .first()
+    )
+    centers = [(int(seed["vec_id"]), [float(x) for x in seed["embedding"]])]
+    trace = [(1, centers[0][0], 0.0)]
+    for step in range(2, k + 1):
+        dist_cols = [
+            F.round(
+                F.lit(1.0)
+                - cosine(
+                    F.col("embedding"),
+                    F.array(*[F.lit(x) for x in vec]),
+                ),
+                4,
+            )
+            for (_vid, vec) in centers
+        ]
+        d = F.least(*dist_cols) if len(dist_cols) > 1 else dist_cols[0]
+        chosen = (
+            emb.filter(~F.col("vec_id").isin([vid for vid, _ in centers]))
+            .select("vec_id", "embedding", d.alias("d"))
+            .orderBy(F.col("d").desc(), "vec_id")
+            .first()
+        )
+        centers.append(
+            (int(chosen["vec_id"]), [float(x) for x in chosen["embedding"]])
+        )
+        trace.append((step, int(chosen["vec_id"]), float(chosen["d"])))
+    return emb.sparkSession.createDataFrame(
+        trace, "step int, vec_id bigint, radius double"
+    )

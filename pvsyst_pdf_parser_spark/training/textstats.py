@@ -1258,3 +1258,55 @@ def zipf_heaps_report(docs: DataFrame, top_k: int = 256) -> DataFrame:
             ).alias("heaps_exponent"),
         )
     )
+
+
+def distinct_ngram_diversity(docs: DataFrame) -> DataFrame:
+    """Corpus-level distinct-n diversity per source (the distinct-1 /
+    distinct-2 metrics of Li et al. 2016, "A Diversity-Promoting
+    Objective Function"): distinct n-grams over total n-grams, n=1,2.
+    TTR (``type_token_ratio_stats``) is the per-DOCUMENT diversity
+    gate; this is the per-SOURCE corpus view — a source whose pages are
+    individually diverse but mutually templated (mirror farms, listing
+    sites) shows high TTR yet low distinct-2, which is exactly the
+    signal a mixing policy downweights.
+
+    Same two-level agg shape as TTR so both shuffles partial-aggregate
+    map-side: per-(source, n, gram) count, then per-(source, n) fold —
+    never a countDistinct over the raw gram stream.  Ratios are exact
+    integer ppm (``div(1e6·distinct, total)``), so the oracle compare
+    is integer-exact.  At 10^12 tokens the exact distinct count is the
+    one genuinely corpus-sized state here; the documented swap is
+    approx_count_distinct (HLL) per (source, n) — one pass, no
+    per-gram shuffle — once ±2% is acceptable."""
+    toks = F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
+    base = docs.select("source", toks.alias("t"))
+    uni = base.select("source", F.lit(1).alias("n"),
+                      F.explode("t").alias("gram"))
+    bi = base.filter(F.size("t") >= 2).select(
+        "source",
+        F.lit(2).alias("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    per = (
+        uni.unionByName(bi)
+        .groupBy("source", "n", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = per.groupBy("source", "n").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("distinct_grams"),
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("int").alias("n"),
+        "total",
+        "distinct_grams",
+        F.expr("div(1000000 * distinct_grams, total)").alias("distinct_ppm"),
+    )

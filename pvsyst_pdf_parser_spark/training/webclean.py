@@ -326,3 +326,69 @@ def domain_quality_prior(docs: DataFrame, pseudo_count: int = 5) -> DataFrame:
         ),
         F.round(num / den / 10000.0, 4).alias("shrunk_q"),
     )
+
+
+# Deterministic sentinel tokens standing in for the public bad-words
+# blocklist C4 uses (the "List of Dirty, Naughty, Obscene..." list is
+# not vendored here; the FILTER mechanics are what this operator
+# demonstrates).  'dup' is the fixture's planted duplicate marker, so
+# the flag rate is non-degenerate at every SF.
+BADWORD_SENTINELS = ("dup", "lorem", "xxx")
+
+
+def badwords_filter_report(
+    docs: DataFrame, blockwords: tuple[str, ...] = BADWORD_SENTINELS
+) -> DataFrame:
+    """C4's bad-words page filter (Raffel 2020 §2.2: drop any page
+    containing a blocklisted word), with exact token-boundary
+    semantics: the page is tokenized on non-alphanumeric runs and a
+    hit is an exact token match — the substring false-positive class
+    ('scunthorpe', 'bass') the naive contains() filter is famous for
+    is structurally excluded.
+
+    Per source: (source, n_docs, n_flagged, n_kept, drop_rate,
+    flagged_digest) where flagged_digest is the md5 of the
+    comma-joined ascending flagged doc_ids — both engines verify the
+    exact FLAG SET, not just its size.
+
+    Distributed shape at 10^12 documents: tokenize + array-overlap is
+    a pure projection against a literal array (a real 2k-word list
+    rides the closure the same way; a million-entry list would switch
+    to a broadcast join on the exploded token), then ONE source-keyed
+    groupBy with map-side partials.  The digest's collect_list is
+    per-(source, flagged) — bounded by the flag rate, and at real
+    scale the digest column is dropped or replaced by the xxhash64
+    bit_xor running checksum."""
+    toks = F.split(F.lower("text"), "[^a-z0-9]+", -1)
+    hit = F.arrays_overlap(
+        toks, F.array(*[F.lit(w) for w in blockwords])
+    ).cast("int")
+    per = docs.select("source", "doc_id", hit.alias("flagged"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("flagged").cast("bigint").alias("n_flagged"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(F.col("flagged") == 1, F.col("doc_id"))
+                            )
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("flagged_digest"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            (F.col("n_docs") - F.col("n_flagged")).cast("bigint").alias("n_kept"),
+            F.round(F.col("n_flagged") / F.col("n_docs"), 4).alias("drop_rate"),
+            "flagged_digest",
+        )
+    )

@@ -2812,3 +2812,131 @@ def test_simhash_calibration_python_replay(spark):
     r = out[(0, 10)]
     assert (r["hamming"], r["est_cos_ppm"], r["exact_cos_ppm"],
             r["err_ppm"]) == (0, 1_000_000, 1_000_000, 0)
+
+
+def test_edit_similarity_pairs_levenshtein_replay(spark):
+    """Levenshtein-verified pairs: a copy-edited near-dup passes the
+    verify with its exact Python-replayed distance; a same-vocabulary
+    shuffle that Jaccard blocks together is separated by the
+    order-sensitive edit metric; the |Δlen| pushdown never drops a
+    pair the final filter would keep."""
+    from pvsyst_pdf_parser_spark.training.dedup import edit_similarity_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    edited = base.replace("delta", "delka")  # 1 substitution
+    shuffled = " ".join(reversed(base.split()))  # same shingle vocab? no
+    rows = [
+        (0, base, "s"),
+        (5, edited, "s"),
+        (10, base + " extra tail words here", "s"),
+        (15, shuffled, "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in edit_similarity_pairs(
+            docs, threshold=0.25, candidate_jaccard=0.02, sample_mod=5
+        ).collect()
+    }
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    assert (0, 5) in got
+    r = got[(0, 5)]
+    assert r["lev"] == lev(base, edited) == 1
+    assert r["edit_sim"] == round(1 - 1 / len(base), 4)
+    # copy+append is also a high-edit-sim pair (suffix insertions only)
+    assert (0, 10) in got
+    assert got[(0, 10)]["lev"] == lev(base, rows[2][1])
+    for (a, b), row in got.items():
+        assert row["edit_sim"] >= 0.25, (a, b)
+
+
+def test_badwords_filter_token_boundary_and_digest(spark):
+    """The bad-words filter flags exact-token hits only (no substring
+    false positives) and the flagged digest replays from hashlib."""
+    import hashlib
+
+    from pvsyst_pdf_parser_spark.training.webclean import badwords_filter_report
+
+    rows = [
+        (0, "clean page about tables", "s0"),
+        (1, "this page has a dup marker", "s0"),
+        (2, "duplicated and duplicate only embed the marker", "s0"),
+        (3, "Lorem! ipsum block", "s0"),
+        (4, "all clean here", "s1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in badwords_filter_report(docs).collect()}
+    # doc 2: 'duplicate' contains 'dup' as substring but NOT as a token
+    # ('dup' only appears inside 'duplicate'); doc 3 hits via casefold
+    assert got["s0"]["n_flagged"] == 2
+    assert got["s0"]["n_kept"] == 2
+    assert got["s0"]["drop_rate"] == 0.5
+    assert got["s1"]["n_flagged"] == 0
+    assert got["s0"]["flagged_digest"] == hashlib.md5(b"1,3").hexdigest()
+    assert got["s1"]["flagged_digest"] == hashlib.md5(b"").hexdigest()
+
+
+def test_distinct_ngram_diversity_exact(spark):
+    """distinct-1/distinct-2 per source: exact totals and ppm on a
+    corpus where one source is templated (low distinct-2) and the
+    other diverse — the mirror-farm signal TTR misses."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        distinct_ngram_diversity,
+    )
+
+    rows = [
+        (0, "a b a b", "tmpl"),
+        (1, "a b a b", "tmpl"),
+        (2, "p q r s", "div"),
+        (3, "s r q p", "div"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["source"], r["n"]): r for r in distinct_ngram_diversity(docs).collect()}
+    # tmpl unigrams: 8 tokens, 2 distinct; bigrams: 6 total, 2 distinct
+    assert got[("tmpl", 1)]["total"] == 8
+    assert got[("tmpl", 1)]["distinct_grams"] == 2
+    assert got[("tmpl", 1)]["distinct_ppm"] == 250000
+    assert got[("tmpl", 2)]["total"] == 6
+    assert got[("tmpl", 2)]["distinct_grams"] == 2
+    # div unigrams: 8 tokens, 4 distinct; bigrams: 6 total, 6 distinct
+    assert got[("div", 1)]["distinct_grams"] == 4
+    assert got[("div", 2)]["distinct_ppm"] == 1000000
+
+
+def test_kcenter_coreset_trace_properties(spark):
+    """Farthest-point traversal invariants: the seed is min(vec_id)
+    with radius 0, selected ids are distinct, radii are non-increasing
+    after the seed (each selection shrinks the max-min distance), and
+    on a planted 3-cluster corpus the first 3 selections land in 3
+    different clusters (the diversity guarantee)."""
+    from pvsyst_pdf_parser_spark.training.simsearch import kcenter_coreset_trace
+
+    # three tight clusters along distinct axes, 6 points each
+    rows = []
+    for c, axis in enumerate([0, 1, 2]):
+        for j in range(6):
+            v = [0.0] * 8
+            v[axis] = 1.0
+            v[3 + axis] = 0.01 * j  # tiny within-cluster spread
+            rows.append((c * 100 + j, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    trace = kcenter_coreset_trace(emb, k=5).collect()
+    assert [r["step"] for r in trace] == [1, 2, 3, 4, 5]
+    assert trace[0]["vec_id"] == 0 and trace[0]["radius"] == 0.0
+    ids = [r["vec_id"] for r in trace]
+    assert len(set(ids)) == 5
+    radii = [r["radius"] for r in trace[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    first3_clusters = {vid // 100 for vid in ids[:3]}
+    assert first3_clusters == {0, 1, 2}
