@@ -1460,11 +1460,13 @@ def kcenter_coreset_trace(emb: DataFrame, k: int = 8) -> DataFrame:
     NEWEST center each round (O(nk) total distance evals instead of
     O(nk²)); at demo scale the recompute is cheaper than the cache
     churn."""
-    seed = (
-        emb.orderBy("vec_id")
-        .select("vec_id", "embedding")
-        .first()
-    )
+    from .cache import persist_tracked
+
+    # one materialized scan shared by all k rounds (the parquet decode
+    # would otherwise re-run per round; the centers change, the data
+    # never does)
+    emb = persist_tracked(emb.select("vec_id", "embedding"))
+    seed = emb.orderBy("vec_id").first()
     centers = [(int(seed["vec_id"]), [float(x) for x in seed["embedding"]])]
     trace = [(1, centers[0][0], 0.0)]
     for step in range(2, k + 1):
