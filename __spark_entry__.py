@@ -212,6 +212,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings — diversity-based data selection; oracle is the
         # identical recursive-CTE farthest-point traversal
         "kcenter_coreset": lambda s, d: S.kcenter_coreset_trace(_emb(s, d)),
+        # round-5 closing operators (never verified - run early):
+        # per-cell simplified silhouette over the IVF cells — the
+        # quantizer-drift audit for IVF/SemDeDup deployments
+        "cluster_silhouette": lambda s, d: S.cluster_silhouette_report(
+            _emb(s, d)
+        ),
+        # Hill MLE tail index of the document-size distribution — the
+        # skew audit that decides size-aware packing vs plain hashing
+        "hill_tail_index": lambda s, d: X.hill_tail_index(_docs(s, d)),
+        # per-source stopword-ratio-vs-length regression — boilerplate
+        # drift detector (closed-form moments, one groupBy)
+        "stopword_drift": lambda s, d: X.stopword_drift_regression(
+            _docs(s, d)
+        ),
         # web-scale url canonicalization over synthesized messy urls
         "url_canonicalize": lambda s, d: U.canonical_url_stats(_docs(s, d)),
         # bitext mining: URL-pattern candidates + embedding-margin
@@ -3017,6 +3031,95 @@ FROM ranked
 """
 
 
+def _silhouette_sql(n_cells: int = 8) -> str:
+    """Mirror of simsearch.cluster_silhouette_report: rank-1/rank-2
+    cells from the IVF rank CTE, squared L2 per vector against both
+    centroids (list_dot_product matches Spark's sequential fold), s
+    rounded to 6 dp before the per-cell aggregate."""
+    cells = " UNION ALL ".join(
+        f"SELECT {c} AS cell, {_CENTROID.format(cb=(c + 101) * 40503)} AS centroid"
+        for c in range(n_cells)
+    )
+
+    def sq_l2(cent: str) -> str:
+        return (
+            "round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])"
+            f" - 2.0 * list_dot_product(e.embedding::DOUBLE[], {cent}::DOUBLE[])"
+            f" + list_dot_product({cent}::DOUBLE[], {cent}::DOUBLE[]), 6)"
+        )
+
+    return f"""
+WITH {_ivf_rank_cte(n_cells)},
+own AS (SELECT vec_id, cell FROM r WHERE rk = 1),
+oth AS (SELECT vec_id, cell AS cell2 FROM r WHERE rk = 2),
+cl AS ({cells}),
+m AS (
+  SELECT e.vec_id, own.cell,
+         {sq_l2("c1.centroid")} AS a2,
+         {sq_l2("c2.centroid")} AS b2
+  FROM embeddings e
+  JOIN own USING (vec_id) JOIN oth USING (vec_id)
+  JOIN cl c1 ON c1.cell = own.cell
+  JOIN cl c2 ON c2.cell = oth.cell2),
+sil AS (
+  SELECT cell,
+         CASE WHEN greatest(a2, b2) <= 0.0 THEN 0.0
+              ELSE round((b2 - a2) / greatest(a2, b2), 6) END AS s
+  FROM m)
+SELECT cell, count(*) AS n_vectors, round(avg(s), 4) AS mean_sil,
+       min(s) AS min_sil, max(s) AS max_sil
+FROM sil GROUP BY cell
+"""
+
+
+def _hill_sql(ks: tuple = (16, 32, 64)) -> str:
+    """Mirror of textstats.hill_tail_index: top-(k+1) order statistics
+    of n_chars with (size desc, doc_id) ties, Hill MLE per k."""
+    klist = ", ".join(str(k) for k in ks)
+    return f"""
+WITH ranked AS (
+  SELECT n_chars::DOUBLE AS x,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents),
+ks AS (SELECT unnest([{klist}]) AS k),
+j AS (SELECT k, x, rk FROM ks JOIN ranked ON rk <= k + 1),
+a AS (
+  SELECT k,
+         min(CASE WHEN rk = k + 1 THEN x END) AS cut,
+         sum(CASE WHEN rk <= k THEN ln(x) END) AS sum_log
+  FROM j GROUP BY k)
+SELECT k, cut::BIGINT AS tail_cut,
+       round(k / (sum_log - k * ln(cut)), 4) AS hill_alpha
+FROM a
+"""
+
+
+def _stopword_drift_sql() -> str:
+    """Mirror of textstats.stopword_drift_regression: per-source
+    population moments of (x = n_tokens, y = stop_hits / n_tokens)."""
+    stop = " + ".join(_count_sql("t", m) for m in (" the ", " and ", " a "))
+    return f"""
+WITH s AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tokens,
+         ' ' || lower(text) || ' ' AS t
+  FROM documents),
+p AS (
+  SELECT source, n_tokens::DOUBLE AS x,
+         ({stop})::DOUBLE / len_tokens AS y
+  FROM (SELECT source, n_tokens, t, n_tokens AS len_tokens FROM s)),
+m AS (
+  SELECT source, count(*) AS n_docs,
+         covar_pop(y, x) AS cxy, var_pop(x) AS vx,
+         avg(y) AS my, avg(x) AS mx, corr(x, y) AS r
+  FROM p GROUP BY source)
+SELECT source, n_docs,
+       round(1000.0 * cxy / vx, 4) AS slope_per_1k,
+       round(my - (cxy / vx) * mx, 4) AS intercept,
+       round(r, 4) AS pearson_r
+FROM m
+"""
+
+
 def _ivf_topk_sql(n_queries: int = 5, k: int = 3, n_probe: int = 2) -> str:
     return f"""
 WITH {_ivf_rank_cte()},
@@ -4083,6 +4186,9 @@ FROM r WHERE rk = 1 GROUP BY cell
         "ann_ivf_recall": _ivf_recall_sql(),
         "ann_ivf_trained_recall": _ivf_trained_recall_ab_sql(),
         "semdedup_keepers": _semdedup_sql(),
+        "cluster_silhouette": _silhouette_sql(),
+        "hill_tail_index": _hill_sql(),
+        "stopword_drift": _stopword_drift_sql(),
         "ann_recall": _ann_recall_sql(),
         "dedup_embedding_cosine": f"""
 WITH bb AS ({_multiband_bucket_sql()}),

@@ -173,6 +173,10 @@ HEADLINE = [
     "c4_badwords_filter",
     "text_distinct_ngrams",
     "kcenter_coreset",
+    # round-5m operators
+    "cluster_silhouette",
+    "hill_tail_index",
+    "stopword_drift",
 ]
 
 

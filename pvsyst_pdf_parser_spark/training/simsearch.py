@@ -1495,3 +1495,97 @@ def kcenter_coreset_trace(emb: DataFrame, k: int = 8) -> DataFrame:
     return emb.sparkSession.createDataFrame(
         trace, "step int, vec_id bigint, radius double"
     )
+
+
+def cluster_silhouette_report(
+    emb: DataFrame,
+    dim: int = 64,
+    n_cells: int = N_CELLS,
+    centroids: list | None = None,
+) -> DataFrame:
+    """Per-cell simplified silhouette (Kaufman & Rousseeuw 1990; the
+    centroid form popularized for k-means audits by Hruschka et al.
+    2004): for each vector, a = squared L2 distance to its OWN cell
+    centroid, b = squared L2 distance to the nearest OTHER centroid,
+    s = (b - a) / max(a, b) in [-1, 1].  A cell whose mean silhouette
+    drifts toward 0 is overlapping its neighbor — the audit that tells
+    an IVF/SemDeDup deployment its coarse quantizer needs retraining
+    before recall silently decays.
+
+    (cell, n_vectors, mean_sil, min_sil, max_sil) — per-vector s is
+    rounded to 6 dp before the aggregate so cross-engine ulp drift
+    cannot flip a min/max pick; the mean is rounded to 4.
+
+    Distributed shape at 10^12 vectors: cell assignment is the same
+    one-map-stage matmul as :func:`ivf_assign` (n_probe=2 gives own +
+    nearest-other in one pass); distances are a pure projection against
+    the broadcast centroid table (n_cells rows); the only shuffle is
+    the final n_cells-row aggregate with map-side combine.  Trained
+    centroids plug in via ``centroids`` exactly as in
+    :func:`semdedup_keepers`."""
+    spark = emb.sparkSession
+    if centroids is None:
+        cents = [centroid_values(dim, c) for c in range(n_cells)]
+    else:
+        cents, n_cells = centroids, len(centroids)
+    cells = spark.createDataFrame(
+        [(c, cents[c]) for c in range(n_cells)],
+        "cell int, centroid array<double>",
+    )
+
+    assign = ivf_assign(emb, dim, n_cells, n_probe=2, centroids=centroids)
+    own = assign.filter(F.col("cell_rank") == 1).select("vec_id", "cell")
+    other = assign.filter(F.col("cell_rank") == 2).select(
+        "vec_id", F.col("cell").alias("cell2")
+    )
+
+    # squared L2 via the sequential fold (_dot matches DuckDB's
+    # list_dot_product association order): ||e - c||^2 =
+    # e.e - 2 e.c + c.c, each term bit-comparable across engines
+    def _sq_l2(c_col):
+        e = F.col("embedding")
+        return F.round(
+            _dot(e, e) - F.lit(2.0) * _dot(e, c_col) + _dot(c_col, c_col), 6
+        )
+
+    m = (
+        emb.select("vec_id", "embedding")
+        .join(own, "vec_id")
+        .join(other, "vec_id")
+        .join(F.broadcast(cells), "cell")
+        .join(
+            F.broadcast(
+                cells.select(
+                    F.col("cell").alias("cell2"),
+                    F.col("centroid").alias("centroid2"),
+                )
+            ),
+            "cell2",
+        )
+        .select(
+            "vec_id",
+            "cell",
+            _sq_l2(F.col("centroid")).alias("a2"),
+            _sq_l2(F.col("centroid2")).alias("b2"),
+        )
+    )
+    sil = m.select(
+        "vec_id",
+        "cell",
+        F.when(F.greatest("a2", "b2") <= F.lit(0.0), F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("b2") - F.col("a2")) / F.greatest("a2", "b2"), 6
+            )
+        )
+        .alias("s"),
+    )
+    return (
+        sil.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("s"), 4).alias("mean_sil"),
+            F.min("s").alias("min_sil"),
+            F.max("s").alias("max_sil"),
+        )
+    )

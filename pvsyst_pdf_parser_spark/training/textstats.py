@@ -1310,3 +1310,113 @@ def distinct_ngram_diversity(docs: DataFrame) -> DataFrame:
         "distinct_grams",
         F.expr("div(1000000 * distinct_grams, total)").alias("distinct_ppm"),
     )
+
+
+def hill_tail_index(docs: DataFrame, ks: tuple = (16, 32, 64)) -> DataFrame:
+    """Hill (1975) maximum-likelihood tail-index estimates of the
+    DOCUMENT SIZE distribution — the skew audit that decides whether a
+    corpus needs size-aware packing before partition sizes are chosen.
+    For the top-k order statistics x_1 >= ... >= x_{k+1} of n_chars,
+    alpha_k = k / sum_{i<=k} ln(x_i / x_{k+1}); alpha <= 2 means the
+    size distribution has infinite variance (a handful of giant docs
+    dominate every partition they land in — the straggler regime the
+    extraction pipeline's giant-packing stage exists for), while large
+    alpha means sizes are light-tailed and plain hash partitioning is
+    safe.  Reported at several k because Hill plots (alpha vs k) are
+    how the estimate's stability is judged in practice.
+
+    (k, tail_cut, hill_alpha): tail_cut = x_{k+1}.  Deterministic —
+    order statistics of integer sizes with (size desc, doc_id) ties;
+    ln of an exact integer ratio rounds identically at 4 dp on both
+    engines.
+
+    Shape at 10^12 docs: ONE top-(max k + 1) aggregate (TakeOrdered —
+    no full sort), then arithmetic over a <=65-row bounded frame; the
+    k-grid expansion is a broadcast cross join against that bounded
+    frame, never against the corpus."""
+    from pyspark.sql import Window
+
+    kmax = max(ks)
+    top = (
+        docs.select(F.col("n_chars").cast("double").alias("x"), "doc_id")
+        .orderBy(F.col("x").desc(), "doc_id")
+        .limit(kmax + 1)
+    )
+    ranked = top.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.col("x").desc(), "doc_id"))
+        .alias("rk"),
+    )
+    kdf = docs.sparkSession.createDataFrame([(k,) for k in ks], "k int")
+    joined = F.broadcast(kdf).join(
+        ranked, F.col("rk") <= F.col("k") + 1, "inner"
+    )
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.min(F.when(F.col("rk") == F.col("k") + 1, F.col("x"))).alias(
+                "cut"
+            ),
+            F.sum(
+                F.when(F.col("rk") <= F.col("k"), F.log(F.col("x")))
+            ).alias("sum_log"),
+        )
+        .select(
+            "k",
+            F.col("cut").cast("bigint").alias("tail_cut"),
+            F.round(
+                F.col("k")
+                / (F.col("sum_log") - F.col("k") * F.log(F.col("cut"))),
+                4,
+            ).alias("hill_alpha"),
+        )
+    )
+
+
+def stopword_drift_regression(docs: DataFrame) -> DataFrame:
+    """Per-source least-squares regression of the stopword ratio on
+    document length (token count): (source, n_docs, slope_per_1k,
+    intercept, pearson_r).  The drift detector behind a quality gate:
+    a source whose stopword density FALLS as documents grow is
+    accumulating boilerplate/listing tails (navigation, link farms,
+    tables) that per-doc threshold filters miss until the docs are
+    already long enough to dominate token counts — slope and r localize
+    the problem to a source before anyone reads samples.
+
+    x = n_tokens (exact integer in both engines), y = stop_hits /
+    n_tokens (one integer division — bit-identical); the closed-form
+    moments (covar_pop / var_pop / corr) are then rounded to 4 dp,
+    absorbing association-order ulp noise.  slope is scaled per 1000
+    tokens so the number is legible.
+
+    Shape at 10^12 docs: one projection + one groupBy(source) with
+    map-side-combined moment aggregates — the same cost as a count."""
+    text = F.col("text")
+    toks = F.split(text, r" ", -1)
+    n_tokens = F.size(toks)
+    spaced = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop_hits = sum(_count_occurrences(spaced, m) for m in EN_MARKERS)
+    per = docs.select(
+        "source",
+        n_tokens.cast("double").alias("x"),
+        (stop_hits.cast("double") / n_tokens).alias("y"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.lit(1000.0)
+                * F.covar_pop("y", "x")
+                / F.var_pop("x"),
+                4,
+            ).alias("slope_per_1k"),
+            F.round(
+                F.avg("y")
+                - (F.covar_pop("y", "x") / F.var_pop("x")) * F.avg("x"),
+                4,
+            ).alias("intercept"),
+            F.round(F.corr("x", "y"), 4).alias("pearson_r"),
+        )
+    )

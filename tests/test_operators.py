@@ -2940,3 +2940,75 @@ def test_kcenter_coreset_trace_properties(spark):
     assert all(a >= b for a, b in zip(radii, radii[1:])), radii
     first3_clusters = {vid // 100 for vid in ids[:3]}
     assert first3_clusters == {0, 1, 2}
+
+
+def test_cluster_silhouette_properties(spark):
+    """Simplified-silhouette invariants: rank-1 assignment means the
+    own-centroid distance is never larger than the runner-up's, so
+    every per-vector s >= 0 and every cell's [min, mean, max] sits in
+    [0, 1]; counts cover the corpus exactly once."""
+    from pvsyst_pdf_parser_spark.training.simsearch import (
+        cluster_silhouette_report,
+    )
+
+    rows = [
+        (i, [((i * 37 + j * 11) % 200) / 100.0 - 1.0 for j in range(64)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cluster_silhouette_report(emb).collect()
+    assert sum(r["n_vectors"] for r in got) == 40
+    for r in got:
+        assert 0.0 <= r["min_sil"] <= r["max_sil"] <= 1.0
+        # mean is rounded to 4 dp (vs 6 for min/max) so it may sit up
+        # to half a 4-dp ulp outside the [min, max] envelope
+        assert r["min_sil"] - 5e-5 <= r["mean_sil"] <= r["max_sil"] + 5e-5
+
+
+def test_hill_tail_index_exact(spark):
+    """Hill alpha on a planted Pareto(alpha=1) size ladder: sizes
+    x_i = 10^6 / i give ln(x_i/x_{k+1}) = ln((k+1)/i), so the estimate
+    must land on k / sum_i ln((k+1)/i) exactly (4 dp)."""
+    import math
+
+    from pvsyst_pdf_parser_spark.training.textstats import hill_tail_index
+
+    rows = [(i, "t", 1_000_000 // i) for i in range(1, 41)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = {r["k"]: r for r in hill_tail_index(docs, ks=(8, 16)).collect()}
+    for k in (8, 16):
+        sizes = sorted((1_000_000 // i for i in range(1, 41)), reverse=True)
+        cut = sizes[k]
+        expected = k / sum(math.log(sizes[i] / cut) for i in range(k))
+        assert got[k]["tail_cut"] == cut
+        assert abs(got[k]["hill_alpha"] - round(expected, 4)) < 5e-4, (
+            k, got[k]["hill_alpha"], expected,
+        )
+
+
+def test_stopword_drift_regression_exact(spark):
+    """Planted linear drift: y = stop_ratio falls with length in
+    source 'drift' and is flat in source 'flat'; the closed-form
+    moments must recover the signs and the flat source's ~zero slope."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        stopword_drift_regression,
+    )
+
+    rows = []
+    # drift: doc i has 10*i tokens, exactly 5 of them 'the' -> y ~ 1/x
+    for i in range(1, 6):
+        n = 10 * i
+        words = ["the"] * 5 + ["tok"] * (n - 5)
+        rows.append((i, " ".join(words), "drift"))
+    # flat: every doc is 20% 'the' regardless of length
+    for i in range(1, 6):
+        n = 10 * i
+        words = (["the"] + ["tok"] * 4) * (n // 5)
+        rows.append((100 + i, " ".join(words), "flat"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in stopword_drift_regression(docs).collect()}
+    assert got["drift"]["n_docs"] == 5 and got["flat"]["n_docs"] == 5
+    assert got["drift"]["slope_per_1k"] < 0
+    assert got["drift"]["pearson_r"] < -0.8
+    assert abs(got["flat"]["slope_per_1k"]) < 1e-6
+    assert got["flat"]["intercept"] == 0.2
