@@ -226,6 +226,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_drift": lambda s, d: X.stopword_drift_regression(
             _docs(s, d)
         ),
+        # quality-gate calibration to a retention budget (keep best
+        # 60% per source) with the tie-overshoot audit
+        "quality_threshold_budget": lambda s, d: X.quality_threshold_budget(
+            _docs(s, d)
+        ),
         # web-scale url canonicalization over synthesized messy urls
         "url_canonicalize": lambda s, d: U.canonical_url_stats(_docs(s, d)),
         # bitext mining: URL-pattern candidates + embedding-margin
@@ -3120,6 +3125,51 @@ FROM m
 """
 
 
+def _quality_threshold_budget_sql(keep_num: int = 3, keep_den: int = 5) -> str:
+    """Mirror of textstats.quality_threshold_budget: the v1 composite
+    score (same replace-count stop_hits as text_quality_score, no
+    sample filter), per-source rank window, integer-exact budget."""
+    return f"""
+WITH s AS (
+  SELECT source, doc_id, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         ' ' || lower(text) || ' ' AS t
+  FROM documents),
+h AS (
+  SELECT source, doc_id,
+         round(0.4 * least(1.0, n_chars / 500.0)
+               + 0.3 * least(1.0,
+                   (((length(t) - length(replace(t, ' the ', ''))) / 5)::bigint
+                    + ((length(t) - length(replace(t, ' and ', ''))) / 5)::bigint
+                    + ((length(t) - length(replace(t, ' a ', ''))) / 3)::bigint)
+                   * 10.0 / n_tokens)
+               + 0.3 * least(1.0, (n_chars / n_tokens) / 8.0), 4) AS q
+  FROM s),
+r AS (
+  SELECT source, doc_id, q,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY q DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n_docs
+  FROM h),
+th AS (
+  SELECT source, max(n_docs) AS n_docs,
+         ({keep_num} * max(n_docs) + {keep_den} - 1) // {keep_den}
+             AS keep_budget,
+         min(CASE WHEN rn <= ({keep_num} * n_docs + {keep_den} - 1)
+                            // {keep_den}
+                  THEN q END) AS threshold_q
+  FROM r GROUP BY source),
+k AS (
+  SELECT r.source, count(*) AS n_kept_by_threshold
+  FROM r JOIN th USING (source)
+  WHERE r.q >= th.threshold_q GROUP BY r.source)
+SELECT th.source, th.n_docs, th.keep_budget, th.threshold_q,
+       k.n_kept_by_threshold,
+       (k.n_kept_by_threshold - th.keep_budget) AS overshoot
+FROM th JOIN k USING (source)
+"""
+
+
 def _ivf_topk_sql(n_queries: int = 5, k: int = 3, n_probe: int = 2) -> str:
     return f"""
 WITH {_ivf_rank_cte()},
@@ -4189,6 +4239,7 @@ FROM r WHERE rk = 1 GROUP BY cell
         "cluster_silhouette": _silhouette_sql(),
         "hill_tail_index": _hill_sql(),
         "stopword_drift": _stopword_drift_sql(),
+        "quality_threshold_budget": _quality_threshold_budget_sql(),
         "ann_recall": _ann_recall_sql(),
         "dedup_embedding_cosine": f"""
 WITH bb AS ({_multiband_bucket_sql()}),

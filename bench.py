@@ -177,6 +177,7 @@ HEADLINE = [
     "cluster_silhouette",
     "hill_tail_index",
     "stopword_drift",
+    "quality_threshold_budget",
 ]
 
 

@@ -1420,3 +1420,82 @@ def stopword_drift_regression(docs: DataFrame) -> DataFrame:
             F.round(F.corr("x", "y"), 4).alias("pearson_r"),
         )
     )
+
+
+def quality_threshold_budget(
+    docs: DataFrame, keep_num: int = 3, keep_den: int = 5
+) -> DataFrame:
+    """Calibrate a quality gate to a RETENTION BUDGET: per source, the
+    v1 composite-quality threshold that keeps ceil(keep_num/keep_den ·
+    n) documents, plus how many docs a >=-threshold filter actually
+    keeps.  Budgets, not thresholds, are what a corpus plan fixes
+    ("keep the best 60% of each source"); because scores are rounded
+    to 4 dp, TIES at the cut make a threshold filter overshoot the
+    budget — `overshoot` is that audit, and a large value says the
+    score needs more resolution before the gate is trustworthy.
+
+    (source, n_docs, keep_budget, threshold_q, n_kept_by_threshold,
+    overshoot).  keep_budget = ceil(keep_num·n/keep_den) via pure
+    integer arithmetic — no float ceil to disagree across engines.
+
+    Shape at 10^12 docs: one projection, one per-source rank window,
+    one broadcast of the per-source thresholds (|sources| rows) back
+    over the scored frame.  The documented scale swap for the window:
+    histogram the 4-dp score space (10^4 buckets per source, one agg),
+    take the threshold from cumulative bucket counts, exact because
+    the score grid is finite."""
+    from .cache import persist_tracked
+    from pyspark.sql import Window
+
+    text = F.col("text")
+    n_chars = F.length(text)
+    tokens = F.size(F.split(text, r" ", -1))
+    spaced = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop_hits = sum(_count_occurrences(spaced, m) for m in EN_MARKERS)
+    q = F.round(
+        F.lit(0.4) * F.least(F.lit(1.0), n_chars / F.lit(500.0))
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_hits * F.lit(10.0) / tokens)
+        + F.lit(0.3) * F.least(F.lit(1.0), (n_chars / tokens) / F.lit(8.0)),
+        4,
+    )
+    scored = persist_tracked(docs.select("source", "doc_id", q.alias("q")))
+    w = Window.partitionBy("source").orderBy(F.col("q").desc(), "doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    th = (
+        scored.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "keep_budget",
+            F.expr(f"div({keep_num} * n_docs + {keep_den} - 1, {keep_den})"),
+        )
+    )
+    th = (
+        ranked.join(F.broadcast(th), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("keep_budget").alias("keep_budget"),
+            F.min(
+                F.when(F.col("rn") <= F.col("keep_budget"), F.col("q"))
+            ).alias("threshold_q"),
+        )
+    )
+    kept = (
+        scored.join(F.broadcast(th.select("source", "threshold_q")), "source")
+        .filter(F.col("q") >= F.col("threshold_q"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept_by_threshold"))
+    )
+    return (
+        th.join(kept, "source")
+        .select(
+            "source",
+            "n_docs",
+            "keep_budget",
+            "threshold_q",
+            "n_kept_by_threshold",
+            (F.col("n_kept_by_threshold") - F.col("keep_budget")).alias(
+                "overshoot"
+            ),
+        )
+    )

@@ -3012,3 +3012,26 @@ def test_stopword_drift_regression_exact(spark):
     assert got["drift"]["pearson_r"] < -0.8
     assert abs(got["flat"]["slope_per_1k"]) < 1e-6
     assert got["flat"]["intercept"] == 0.2
+
+
+def test_quality_threshold_budget_exact(spark):
+    """Rank-based gate calibration: on 10 docs with distinct scores the
+    60% budget keeps exactly ceil(6) = 6 and overshoot is 0; on a
+    corpus where every doc ties, the threshold keeps EVERYTHING and
+    overshoot = n - budget (the audit the operator exists for)."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        quality_threshold_budget,
+    )
+
+    # distinct lengths -> distinct len_score component -> distinct q
+    rows = [(i, "w " * (10 * (i + 1)) + "end", "varied") for i in range(10)]
+    # identical docs -> all q tie at one value
+    rows += [(100 + i, "the and a word word", "tied") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in quality_threshold_budget(docs).collect()}
+    v = got["varied"]
+    assert v["n_docs"] == 10 and v["keep_budget"] == 6
+    assert v["n_kept_by_threshold"] == 6 and v["overshoot"] == 0
+    t = got["tied"]
+    assert t["keep_budget"] == 6
+    assert t["n_kept_by_threshold"] == 10 and t["overshoot"] == 4
