@@ -231,6 +231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_threshold_budget": lambda s, d: X.quality_threshold_budget(
             _docs(s, d)
         ),
+        # MinHash-vs-SimHash pair-set agreement on one universe — the
+        # detectors-interchangeable? audit completing the sketch-QA set
+        "detector_agreement": lambda s, d: D.detector_agreement(
+            _docs(s, d)
+        ),
         # web-scale url canonicalization over synthesized messy urls
         "url_canonicalize": lambda s, d: U.canonical_url_stats(_docs(s, d)),
         # bitext mining: URL-pattern candidates + embedding-margin
@@ -667,7 +672,7 @@ _CAP_CTES = """,
 
 
 def _minhash_sql(max_df: int | None = None, n_perms: int = 8,
-                 n_bands: int = 4) -> str:
+                 n_bands: int = 4, sample_mod: int = 5) -> str:
     params = perm_params(n_perms)
     rpb = n_perms // n_bands
     h = _H56.format(expr="shingle")
@@ -690,7 +695,7 @@ def _minhash_sql(max_df: int | None = None, n_perms: int = 8,
     vsh = "shc" if max_df else "sh"
     vsizes = "sizesc" if max_df else "sizes"
     return f"""
-WITH {_shingle_cte(5)}{cap},
+WITH {_shingle_cte(sample_mod)}{cap},
   h AS (SELECT doc_id, ({h} % {MERSENNE_P}) AS hm FROM sh),
   sig AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id),
   banded AS ({band_rows}),
@@ -3170,6 +3175,28 @@ FROM th JOIN k USING (source)
 """
 
 
+def _detector_agreement_sql(sample_mod: int = 10) -> str:
+    """Mirror of dedup.detector_agreement: the two existing detector
+    oracles composed as scoped subqueries (each keeps its own WITH
+    namespace) over the SAME sample universe, full-joined on the pair
+    key."""
+    mh = _minhash_sql(sample_mod=sample_mod)
+    sp = _simhash_pairs_sql(sample_mod=sample_mod)
+    return f"""
+WITH mh AS (SELECT doc_a, doc_b FROM ({mh})),
+sp AS (SELECT doc_a, doc_b FROM ({sp})),
+j AS (
+  SELECT (mh.doc_a IS NOT NULL)::int AS in_mh,
+         (sp.doc_a IS NOT NULL)::int AS in_sp
+  FROM mh FULL JOIN sp ON mh.doc_a = sp.doc_a AND mh.doc_b = sp.doc_b)
+SELECT sum(in_mh)::bigint AS n_minhash_pairs,
+       sum(in_sp)::bigint AS n_simhash_pairs,
+       sum(in_mh * in_sp)::bigint AS n_both,
+       round(sum(in_mh * in_sp) / count(*), 4) AS pair_jaccard
+FROM j
+"""
+
+
 def _ivf_topk_sql(n_queries: int = 5, k: int = 3, n_probe: int = 2) -> str:
     return f"""
 WITH {_ivf_rank_cte()},
@@ -4240,6 +4267,7 @@ FROM r WHERE rk = 1 GROUP BY cell
         "hill_tail_index": _hill_sql(),
         "stopword_drift": _stopword_drift_sql(),
         "quality_threshold_budget": _quality_threshold_budget_sql(),
+        "detector_agreement": _detector_agreement_sql(),
         "ann_recall": _ann_recall_sql(),
         "dedup_embedding_cosine": f"""
 WITH bb AS ({_multiband_bucket_sql()}),

@@ -178,6 +178,7 @@ HEADLINE = [
     "hill_tail_index",
     "stopword_drift",
     "quality_threshold_budget",
+    "detector_agreement",
 ]
 
 

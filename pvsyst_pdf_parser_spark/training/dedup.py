@@ -1537,3 +1537,53 @@ def edit_similarity_pairs(docs: DataFrame, threshold: float = 0.25,
         .filter(F.col("edit_sim") >= threshold)
         .select("doc_a", "doc_b", "jaccard", "lev", "edit_sim")
     )
+
+
+def detector_agreement(docs: DataFrame, sample_mod: int = 10) -> DataFrame:
+    """Pair-set agreement between the two near-duplicate detectors —
+    MinHash-LSH (Jaccard-verified banded candidates) and SimHash
+    pigeonhole (Hamming-verified chunk candidates) — over the SAME
+    document universe.  The sketch-QA row that completes the two
+    per-detector calibration reports: calibration says each estimator
+    tracks its own exact metric; agreement says whether the two
+    metrics find the SAME duplicates.  Jaccard and cosine diverge on
+    length-skewed near-dups (containment) and on reordered text, so a
+    low pair_jaccard on a corpus is a property of the corpus — it
+    tells a pipeline owner the two dedups are NOT interchangeable and
+    which docs to sample for review (the exclusive sides).
+
+    One row: (n_minhash_pairs, n_simhash_pairs, n_both, pair_jaccard).
+
+    Shape at 10^12 docs: both detectors are the existing bounded
+    bucket-join plans; the comparison is ONE full outer join on the
+    (doc_a, doc_b) key — pair sets are orders of magnitude smaller
+    than the corpus — and a single-row aggregate."""
+    mh = (
+        minhash_lsh_verified(docs, sample_mod=sample_mod)
+        .select("doc_a", "doc_b")
+        .withColumn("in_mh", F.lit(1))
+    )
+    sp = (
+        simhash_neardup_pairs(docs, sample_mod=sample_mod)
+        .select("doc_a", "doc_b")
+        .withColumn("in_sp", F.lit(1))
+    )
+    j = mh.join(sp, ["doc_a", "doc_b"], "full")
+    return j.agg(
+        F.count("in_mh").alias("n_minhash_pairs"),
+        F.count("in_sp").alias("n_simhash_pairs"),
+        F.sum(
+            (F.col("in_mh").isNotNull() & F.col("in_sp").isNotNull()).cast(
+                "int"
+            )
+        ).cast("bigint").alias("n_both"),
+        F.round(
+            F.sum(
+                (
+                    F.col("in_mh").isNotNull() & F.col("in_sp").isNotNull()
+                ).cast("int")
+            )
+            / F.count("*"),
+            4,
+        ).alias("pair_jaccard"),
+    )

@@ -3035,3 +3035,27 @@ def test_quality_threshold_budget_exact(spark):
     t = got["tied"]
     assert t["keep_budget"] == 6
     assert t["n_kept_by_threshold"] == 10 and t["overshoot"] == 4
+
+
+def test_detector_agreement_counts(spark):
+    """Exact-duplicate docs are caught by BOTH detectors (Jaccard 1,
+    Hamming 0), so n_both >= 1 and the counts bound the union: on a
+    tiny corpus of two exact dups + unrelated docs the agreement row
+    must show both detectors finding the planted pair."""
+    from pvsyst_pdf_parser_spark.training.dedup import detector_agreement
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base, "s"),
+        (10, base, "s"),  # exact dup of doc 0 (same sample bucket mod 10)
+        (20, "one two three four five six seven eight nine ten", "s"),
+        (30, "red green blue cyan magenta yellow black white gray pink", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = detector_agreement(docs, sample_mod=10).collect()[0]
+    assert got["n_both"] >= 1
+    assert got["n_minhash_pairs"] >= 1 and got["n_simhash_pairs"] >= 1
+    union = (
+        got["n_minhash_pairs"] + got["n_simhash_pairs"] - got["n_both"]
+    )
+    assert abs(got["pair_jaccard"] - round(got["n_both"] / union, 4)) < 1e-9
