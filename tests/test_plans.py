@@ -916,3 +916,71 @@ def test_simhash_calibration_bounded_joins_no_cartesian(spark):
     # the token-count frame is persisted and feeds norms + both dot
     # sides from the cache
     assert p.count("InMemoryTableScan") >= 3
+
+
+def test_cluster_silhouette_broadcasts_centroids_no_cartesian(spark):
+    """Silhouette audit: the n_cells-row centroid table must enter as
+    broadcast joins (never shuffled against the corpus) and the
+    assignment matmul is the only Python stage."""
+    from pvsyst_pdf_parser_spark.training.simsearch import (
+        cluster_silhouette_report,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(cluster_silhouette_report(emb))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_hill_tail_index_bounded_topk(spark):
+    """Hill estimator: the corpus-wide stage is ONE TakeOrdered top-65
+    (never a global sort); the k-grid joins against the bounded frame
+    via broadcast nested loop (range condition, 65x3 rows)."""
+    from pvsyst_pdf_parser_spark.training.textstats import hill_tail_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(hill_tail_index(docs))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_stopword_drift_single_agg_no_join(spark):
+    """Drift regression is one projection + one map-side-combined
+    groupBy(source): no joins, no Python, at most the agg exchange plus
+    a presentation exchange."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        stopword_drift_regression,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(stopword_drift_regression(docs))
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange") <= 2, p
+
+
+def test_quality_threshold_budget_broadcasts_thresholds(spark):
+    """Gate calibration: the per-source threshold table (|sources|
+    rows) must broadcast back over the scored frame — a SortMergeJoin
+    there would re-shuffle the whole corpus twice."""
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        quality_threshold_budget,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(quality_threshold_budget(docs))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_detector_agreement_no_cartesian_bounded_buckets(spark):
+    """Agreement audit: both detector sides keep their bounded
+    bucket-join shapes and the pair-key comparison never degenerates
+    to a cartesian product."""
+    from pvsyst_pdf_parser_spark.training.dedup import detector_agreement
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(detector_agreement(docs))
+    assert "CartesianProduct" not in p
