@@ -236,6 +236,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detector_agreement": lambda s, d: D.detector_agreement(
             _docs(s, d)
         ),
+        # Muennighoff 2023 repeat-epoch decay pricing — what the R-th
+        # epoch over a source is worth (fourth mixing lens beside
+        # temperature / UNIMAX / DoReMi)
+        "repeat_decay_value": lambda s, d: SA.repeat_decay_value(
+            _docs(s, d)
+        ),
         # web-scale url canonicalization over synthesized messy urls
         "url_canonicalize": lambda s, d: U.canonical_url_stats(_docs(s, d)),
         # bitext mining: URL-pattern candidates + embedding-margin
@@ -3175,6 +3181,31 @@ FROM th JOIN k USING (source)
 """
 
 
+def _repeat_decay_sql(
+    repeats: tuple = (0, 1, 3, 7, 15, 31), r_star: float = 15.4
+) -> str:
+    """Mirror of sampling.repeat_decay_value: exact per-source token
+    counts crossed with the bounded epoch grid; the decay multiplier
+    is rounded to 4 dp before scaling so both engines multiply
+    identical operands."""
+    rlist = ", ".join(str(r) for r in repeats)
+    return f"""
+WITH per AS (
+  SELECT source, sum(len(string_split(text, ' ')))::bigint AS unique_tokens
+  FROM documents GROUP BY source),
+grid AS (SELECT unnest([{rlist}]) AS repeats),
+m AS (
+  SELECT source, unique_tokens, (repeats + 1)::int AS epochs,
+         round(1.0 + {r_star!r} * (1.0 - exp(-repeats / {r_star!r})), 4)
+             AS mult
+  FROM per CROSS JOIN grid)
+SELECT source, epochs, unique_tokens,
+       round(unique_tokens * mult, 2) AS effective_tokens,
+       round(mult / epochs, 4) AS utility
+FROM m
+"""
+
+
 def _detector_agreement_sql(sample_mod: int = 10) -> str:
     """Mirror of dedup.detector_agreement: the two existing detector
     oracles composed as scoped subqueries (each keeps its own WITH
@@ -4268,6 +4299,7 @@ FROM r WHERE rk = 1 GROUP BY cell
         "stopword_drift": _stopword_drift_sql(),
         "quality_threshold_budget": _quality_threshold_budget_sql(),
         "detector_agreement": _detector_agreement_sql(),
+        "repeat_decay_value": _repeat_decay_sql(),
         "ann_recall": _ann_recall_sql(),
         "dedup_embedding_cosine": f"""
 WITH bb AS ({_multiband_bucket_sql()}),

@@ -179,6 +179,7 @@ HEADLINE = [
     "stopword_drift",
     "quality_threshold_budget",
     "detector_agreement",
+    "repeat_decay_value",
 ]
 
 

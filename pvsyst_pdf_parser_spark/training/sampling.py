@@ -871,3 +871,57 @@ def span_corruption_stats(
         .cast("bigint")
         .alias("masked_ppm"),
     )
+
+
+def repeat_decay_value(
+    docs: DataFrame, repeats: tuple = (0, 1, 3, 7, 15, 31),
+    r_star: float = 15.4,
+) -> DataFrame:
+    """Data-constrained repeat-epoch value (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): repeated epochs over
+    the same tokens decay in value — the paper's fit gives effective
+    data D' = U · (1 + R*·(1 − exp(−R/R*))) for U unique tokens read
+    1+R times, with R* ≈ 15.4.  This is the planning row that answers
+    "is epoch 8 over source X worth the compute, or should the budget
+    buy more crawl?" — the decision UNIMAX makes with a hard epoch cap
+    and DoReMi with a loss signal, here priced by the published decay
+    law itself.
+
+    Per (source, epochs = 1+R): (source, epochs, unique_tokens,
+    effective_tokens, utility) where utility = effective / (epochs·U),
+    the fraction of naively-counted tokens that still teach anything.
+
+    Determinism: U is an exact integer count; the decay multiplier is
+    rounded to 4 dp BEFORE scaling by U, so both engines multiply
+    identical operands.  Shape at 10^12 docs: one map-side-combined
+    groupBy(source) + a broadcast cross join against the bounded
+    epoch grid."""
+    toks = F.size(F.split(F.col("text"), " ", -1))
+    per = docs.groupBy("source").agg(
+        F.sum(toks).cast("bigint").alias("unique_tokens")
+    )
+    grid = docs.sparkSession.createDataFrame(
+        [(r,) for r in repeats], "repeats int"
+    )
+    mult = F.round(
+        F.lit(1.0)
+        + F.lit(r_star)
+        * (F.lit(1.0) - F.exp(-F.col("repeats") / F.lit(r_star))),
+        4,
+    )
+    return (
+        per.crossJoin(F.broadcast(grid))
+        .withColumn("epochs", (F.col("repeats") + 1).cast("int"))
+        .withColumn("mult", mult)
+        .select(
+            "source",
+            "epochs",
+            "unique_tokens",
+            F.round(F.col("unique_tokens") * F.col("mult"), 2).alias(
+                "effective_tokens"
+            ),
+            F.round(
+                F.col("mult") / F.col("epochs"), 4
+            ).alias("utility"),
+        )
+    )

@@ -3059,3 +3059,30 @@ def test_detector_agreement_counts(spark):
         got["n_minhash_pairs"] + got["n_simhash_pairs"] - got["n_both"]
     )
     assert abs(got["pair_jaccard"] - round(got["n_both"] / union, 4)) < 1e-9
+
+
+def test_repeat_decay_value_closed_form(spark):
+    """Muennighoff decay law replay: epoch 1 has utility 1.0 and
+    effective = unique exactly; utility strictly decreases with
+    epochs; the R->inf asymptote bounds effective at U*(1+R*)."""
+    import math
+
+    from pvsyst_pdf_parser_spark.training.sampling import repeat_decay_value
+
+    rows = [(i, "w " * 99 + "w", "s0") for i in range(3)]  # 100 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = sorted(
+        repeat_decay_value(docs).collect(), key=lambda r: r["epochs"]
+    )
+    assert got[0]["epochs"] == 1
+    assert got[0]["unique_tokens"] == 300
+    assert got[0]["effective_tokens"] == 300.0 and got[0]["utility"] == 1.0
+    utils = [r["utility"] for r in got]
+    assert all(a > b for a, b in zip(utils, utils[1:])), utils
+    r_star = 15.4
+    for r in got:
+        expect = 300 * round(
+            1.0 + r_star * (1.0 - math.exp(-(r["epochs"] - 1) / r_star)), 4
+        )
+        assert abs(r["effective_tokens"] - round(expect, 2)) < 1e-6
+        assert r["effective_tokens"] <= 300 * (1 + r_star)
