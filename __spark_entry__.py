@@ -242,6 +242,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_decay_value": lambda s, d: SA.repeat_decay_value(
             _docs(s, d)
         ),
+        # banded-LSH candidate recall vs exact Jaccard ground truth —
+        # where the S-curve actually sits on this corpus
+        "minhash_band_recall": lambda s, d: D.minhash_band_recall(
+            _docs(s, d)
+        ),
         # web-scale url canonicalization over synthesized messy urls
         "url_canonicalize": lambda s, d: U.canonical_url_stats(_docs(s, d)),
         # bitext mining: URL-pattern candidates + embedding-margin
@@ -3206,6 +3211,56 @@ FROM m
 """
 
 
+def _minhash_band_recall_sql(threshold: float = 0.02, sample_mod: int = 5,
+                             n_perms: int = 8, n_bands: int = 4) -> str:
+    """Mirror of dedup.minhash_band_recall: exact-Jaccard true pairs
+    and banded candidates from the SAME shingle CTE (signature/banding
+    SQL generated from the same perm_params the Spark side uses)."""
+    params = perm_params(n_perms)
+    rpb = n_perms // n_bands
+    h = _H56.format(expr="shingle")
+    mh_cols = ", ".join(
+        f"min(({a} * hm + {b}) % {MERSENNE_P}) AS mh{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        + " || '_' || ".join(
+            f"mh{b * rpb + r}::varchar" for r in range(rpb)
+        )
+        + " AS band_sig FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_shingle_cte(sample_mod)},
+tp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2) p
+  JOIN sizes za ON za.doc_id = p.doc_a
+  JOIN sizes zb ON zb.doc_id = p.doc_b
+  WHERE round(n_common / (za.n + zb.n - n_common), 4) >= {threshold}),
+hh AS (SELECT doc_id, ({h} % {MERSENNE_P}) AS hm FROM sh),
+sig AS (SELECT doc_id, {mh_cols} FROM hh GROUP BY doc_id),
+banded AS ({band_rows}),
+cd AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band_idx, band_sig)
+  WHERE a.doc_id < b.doc_id),
+j AS (
+  SELECT (tp.doc_a IS NOT NULL)::int AS is_true,
+         (cd.doc_a IS NOT NULL)::int AS is_cand
+  FROM tp FULL JOIN cd ON tp.doc_a = cd.doc_a AND tp.doc_b = cd.doc_b)
+SELECT sum(is_true)::bigint AS n_true_pairs,
+       sum(is_cand)::bigint AS n_candidates,
+       sum(is_true * is_cand)::bigint AS n_caught,
+       round(sum(is_true * is_cand) / sum(is_true), 4) AS recall,
+       round(sum(is_true * is_cand) / sum(is_cand), 4) AS precision
+FROM j
+"""
+
+
 def _detector_agreement_sql(sample_mod: int = 10) -> str:
     """Mirror of dedup.detector_agreement: the two existing detector
     oracles composed as scoped subqueries (each keeps its own WITH
@@ -4300,6 +4355,7 @@ FROM r WHERE rk = 1 GROUP BY cell
         "quality_threshold_budget": _quality_threshold_budget_sql(),
         "detector_agreement": _detector_agreement_sql(),
         "repeat_decay_value": _repeat_decay_sql(),
+        "minhash_band_recall": _minhash_band_recall_sql(),
         "ann_recall": _ann_recall_sql(),
         "dedup_embedding_cosine": f"""
 WITH bb AS ({_multiband_bucket_sql()}),

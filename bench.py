@@ -180,6 +180,7 @@ HEADLINE = [
     "quality_threshold_budget",
     "detector_agreement",
     "repeat_decay_value",
+    "minhash_band_recall",
 ]
 
 

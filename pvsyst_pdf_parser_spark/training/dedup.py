@@ -1587,3 +1587,56 @@ def detector_agreement(docs: DataFrame, sample_mod: int = 10) -> DataFrame:
             4,
         ).alias("pair_jaccard"),
     )
+
+
+def minhash_band_recall(docs: DataFrame, threshold: float = 0.02,
+                        sample_mod: int = 5,
+                        n_perms: int = N_PERMS,
+                        n_bands: int = N_BANDS) -> DataFrame:
+    """Candidate RECALL of the banded MinHash-LSH stage against exact
+    shingle-Jaccard ground truth — the text-side twin of the embedding
+    path's :func:`~.simsearch.ann_recall_report`: the calibration
+    reports say the ESTIMATOR tracks its metric; this row says the
+    BANDING found the pairs at all.  The S-curve P(collide) =
+    1−(1−j^r)^b only promises high recall above its inflection — this
+    measures where this corpus actually sits, the number that decides
+    (n_perms, n_bands) before a 10^12-doc dedup run is trusted.
+
+    One row: (n_true_pairs, n_candidates, n_caught, recall,
+    precision) — recall = caught/true (missed dups stay in the
+    corpus), precision = caught/candidates (the verify stage's wasted
+    work).
+
+    Shape at scale: ground truth comes from the capped shingle
+    self-join (bounded), candidates from the banded bucket join
+    (bounded); the comparison is one full outer join on the pair key —
+    both pair sets are tiny next to the corpus."""
+    sampled = docs.filter(F.col("doc_id") % sample_mod == 0)
+    true_pairs = (
+        ngram_jaccard_pairs(docs, threshold=threshold,
+                            sample_mod=sample_mod)
+        .select("doc_a", "doc_b")
+        .withColumn("is_true", F.lit(1))
+    )
+    cands = (
+        _band_candidates(
+            _signatures_from_shingles(
+                persist_tracked(doc_shingles(sampled)), n_perms=n_perms
+            ),
+            n_perms=n_perms, n_bands=n_bands,
+        )
+        .withColumn("is_cand", F.lit(1))
+    )
+    j = true_pairs.join(cands, ["doc_a", "doc_b"], "full")
+    caught = F.sum(
+        (F.col("is_true").isNotNull() & F.col("is_cand").isNotNull()).cast(
+            "int"
+        )
+    )
+    return j.agg(
+        F.count("is_true").alias("n_true_pairs"),
+        F.count("is_cand").alias("n_candidates"),
+        caught.cast("bigint").alias("n_caught"),
+        F.round(caught / F.count("is_true"), 4).alias("recall"),
+        F.round(caught / F.count("is_cand"), 4).alias("precision"),
+    )

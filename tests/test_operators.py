@@ -3086,3 +3086,26 @@ def test_repeat_decay_value_closed_form(spark):
         )
         assert abs(r["effective_tokens"] - round(expect, 2)) < 1e-6
         assert r["effective_tokens"] <= 300 * (1 + r_star)
+
+
+def test_minhash_band_recall_exact_dup_caught(spark):
+    """An exact duplicate has Jaccard 1.0 AND identical signatures in
+    every band, so it must appear in true pairs, candidates, and the
+    caught intersection; recall and precision obey their ratio
+    identities on the planted corpus."""
+    from pvsyst_pdf_parser_spark.training.dedup import minhash_band_recall
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base, "s"),
+        (5, base, "s"),  # exact dup, same mod-5 bucket
+        (10, "one two three four five six seven eight nine ten", "s"),
+        (15, "red green blue cyan magenta yellow black white gray pink", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = minhash_band_recall(docs).collect()[0]
+    assert got["n_true_pairs"] >= 1 and got["n_caught"] >= 1
+    assert got["recall"] == round(got["n_caught"] / got["n_true_pairs"], 4)
+    assert got["precision"] == round(
+        got["n_caught"] / got["n_candidates"], 4
+    )
