@@ -247,6 +247,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_recall": lambda s, d: D.minhash_band_recall(
             _docs(s, d)
         ),
+        # pairwise JS divergence between per-source unigram
+        # distributions — the distributional twin of source_overlap
+        "source_js_divergence": lambda s, d: X.source_js_divergence(
+            _docs(s, d)
+        ),
         # web-scale url canonicalization over synthesized messy urls
         "url_canonicalize": lambda s, d: U.canonical_url_stats(_docs(s, d)),
         # bitext mining: URL-pattern candidates + embedding-margin
@@ -3211,6 +3216,30 @@ FROM m
 """
 
 
+def _source_js_sql() -> str:
+    """Mirror of textstats.source_js_divergence: intersection join over
+    per-source unigram distributions + the closed-form one-sided
+    correction (½·ln2 per missing-mass unit)."""
+    return """
+WITH tk AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents),
+c AS (SELECT source, tok, count(*) AS c FROM tk WHERE tok <> ''
+      GROUP BY source, tok),
+t AS (SELECT source, sum(c) AS t FROM c GROUP BY source),
+d AS (SELECT c.source, c.tok, c.c / t.t AS p FROM c JOIN t USING (source)),
+j AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.p AS p, b.p AS q
+  FROM d a JOIN d b ON a.tok = b.tok AND a.source < b.source)
+SELECT source_a, source_b, count(*) AS n_common_tokens,
+       round(sum(0.5 * p * ln(2.0 * p / (p + q))
+                 + 0.5 * q * ln(2.0 * q / (p + q)))
+             + 0.5 * ln(2.0) * ((1.0 - sum(p)) + (1.0 - sum(q))), 4)
+           AS js_nats
+FROM j GROUP BY source_a, source_b
+"""
+
+
 def _minhash_band_recall_sql(threshold: float = 0.02, sample_mod: int = 5,
                              n_perms: int = 8, n_bands: int = 4) -> str:
     """Mirror of dedup.minhash_band_recall: exact-Jaccard true pairs
@@ -4356,6 +4385,7 @@ FROM r WHERE rk = 1 GROUP BY cell
         "detector_agreement": _detector_agreement_sql(),
         "repeat_decay_value": _repeat_decay_sql(),
         "minhash_band_recall": _minhash_band_recall_sql(),
+        "source_js_divergence": _source_js_sql(),
         "ann_recall": _ann_recall_sql(),
         "dedup_embedding_cosine": f"""
 WITH bb AS ({_multiband_bucket_sql()}),

@@ -181,6 +181,7 @@ HEADLINE = [
     "detector_agreement",
     "repeat_decay_value",
     "minhash_band_recall",
+    "source_js_divergence",
 ]
 
 

@@ -1499,3 +1499,64 @@ def quality_threshold_budget(
             ),
         )
     )
+
+
+def source_js_divergence(docs: DataFrame) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source UNIGRAM
+    DISTRIBUTIONS — the distributional twin of the shingle-overlap
+    matrix: overlap asks "do these sources share content", JS asks "do
+    they share a language model".  Two sources can share few exact
+    shingles yet be distributionally identical (same template family,
+    different entities) — the mixer should treat them as one domain
+    for weighting even though dedup has nothing to collapse.
+
+    (source_a, source_b, n_common_tokens, js_nats) with js in
+    [0, ln 2]; identical distributions score 0.  Computed from the
+    vocabulary INTERSECTION join plus the closed-form correction for
+    one-sided tokens: for q=0, the pointwise term is p·ln 2, so
+    js = Σ_∩ [½p·ln(2p/(p+q)) + ½q·ln(2q/(p+q))]
+         + ½·ln 2 · [(1−Σ_∩ p) + (1−Σ_∩ q)].
+    Pairs sharing NO vocabulary are omitted (their JS is exactly ln 2).
+
+    Shape at 10^12 docs: one map-side-combined (source, token) count,
+    a token-keyed self-join bounded by sources-per-token ≤ n_sources,
+    one pair-keyed aggregate.  The token count frame is the same
+    posting statistic the TF-IDF and vocab-coverage paths build."""
+    from .cache import persist_tracked
+    import math
+
+    toks = F.explode(
+        F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
+    ).alias("tok")
+    counts = docs.select("source", toks).groupBy("source", "tok").agg(
+        F.count("*").alias("c")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    dist = persist_tracked(
+        counts.join(F.broadcast(totals), "source").select(
+            "source", "tok", (F.col("c") / F.col("t")).alias("p")
+        )
+    )
+    a, b = dist.alias("a"), dist.alias("b")
+    p, q = F.col("a.p"), F.col("b.p")
+    term = F.lit(0.5) * p * F.log(F.lit(2.0) * p / (p + q)) + F.lit(
+        0.5
+    ) * q * F.log(F.lit(2.0) * q / (p + q))
+    ln2 = math.log(2.0)
+    return (
+        a.join(b, "tok")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_common_tokens"),
+            F.round(
+                F.sum(term)
+                + F.lit(0.5 * ln2)
+                * ((F.lit(1.0) - F.sum(p)) + (F.lit(1.0) - F.sum(q))),
+                4,
+            ).alias("js_nats"),
+        )
+    )

@@ -3109,3 +3109,33 @@ def test_minhash_band_recall_exact_dup_caught(spark):
     assert got["precision"] == round(
         got["n_caught"] / got["n_candidates"], 4
     )
+
+
+def test_source_js_divergence_closed_form(spark):
+    """JS identities: identical distributions score exactly 0; fully
+    disjoint vocabularies would be ln2 (pair omitted by design); a
+    hand-computable half-overlap case matches the closed form."""
+    import math
+
+    from pvsyst_pdf_parser_spark.training.textstats import (
+        source_js_divergence,
+    )
+
+    rows = [
+        (0, "x y x y", "same1"),
+        (1, "x y x y", "same2"),
+        # half overlap vs same1: p = {x:.5, y:.5}, q = {x:.5, z:.5}
+        (2, "x z x z", "half"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_js_divergence(docs).collect()
+    }
+    assert got[("same1", "same2")]["js_nats"] == 0.0
+    # closed form: shared x term 0 (p=q), one-sided y and z each carry
+    # 0.5 * ln2 * 0.5 mass
+    expect = round(0.5 * math.log(2.0), 4)
+    h = got[("half", "same1")]
+    assert h["n_common_tokens"] == 1
+    assert abs(h["js_nats"] - expect) < 1e-9, (h["js_nats"], expect)
