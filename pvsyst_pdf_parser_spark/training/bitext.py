@@ -43,7 +43,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from .simsearch import cosine
+from .simsearch import cosine_static
 
 # cosine floor for a verified pair — below this the aligned-URL pair is
 # structural coincidence, not translation (probe: candidate cosines at
@@ -80,7 +80,9 @@ def bitext_mine(
     )
     e_src = emb.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("src_emb"))
     e_tgt = emb.select(F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("tgt_emb"))
-    cos_milli = F.round(cosine(F.col("src_emb"), F.col("tgt_emb")) * 1000, 0).cast(
+    cos_milli = F.round(
+        cosine_static(F.col("src_emb"), F.col("tgt_emb"), 64) * 1000, 0
+    ).cast(
         "bigint"
     )
     cand = (

@@ -50,21 +50,80 @@ def _dot(a, b):
     )
 
 
+def _dot_static(a, b, dim: int):
+    """Bit-identical twin of :func:`_dot` for KNOWN-width arrays, as a
+    flat expression instead of a higher-order-function fold.
+
+    Catalyst does not whole-stage-codegen ``zip_with``/``aggregate``
+    lambdas — every element is an interpreted, boxed evaluation, which
+    made the fold the hot spot of every pairwise-scored operator (guide
+    §4.1: prefer codegen-able built-ins).  The unrolled chain evaluates
+    the IDENTICAL IEEE float sequence — left-associated adds seeded at
+    0.0 (``aggregate``'s init), each term ``cast(double) * cast(double)``
+    — so every produced double matches the fold bit-for-bit (pinned by
+    tests/test_training_props.py::test_dot_static_bitwise)."""
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + (
+            F.element_at(a, i).cast("double")
+            * F.element_at(b, i).cast("double")
+        )
+    return acc
+
+
 def cosine(a, b):
     return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
 
 
-def brute_force_topk(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
-    """Top-k cosine neighbors for vec_id < n_queries (broadcast join)."""
+def cosine_static(a, b, dim: int, n2a=None, n2b=None):
+    """``cosine`` with the unrolled dot and (optionally) PRE-COMPUTED
+    squared norms: the norm of a vector does not change per candidate
+    pair, so scored operators compute it once per row before the
+    pair join instead of twice per pair (3 folds/pair → 1 dot/pair).
+    Same expression tree as ``cosine`` — dot / sqrt(n2a * n2b) — over
+    bit-identical inputs, hence bit-identical output."""
+    if n2a is None:
+        n2a = _dot_static(a, a, dim)
+    if n2b is None:
+        n2b = _dot_static(b, b, dim)
+    return _dot_static(a, b, dim) / F.sqrt(n2a * n2b)
+
+
+def _py_norm2(vec) -> float:
+    """Driver-side ‖v‖² by the SAME left-associated IEEE chain as
+    ``_dot(v, v)`` (Python floats are IEEE doubles; same order → same
+    bits), for center/centroid literals collected to the driver."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return acc
+
+
+def brute_force_topk(emb: DataFrame, n_queries: int = 5, k: int = 5,
+                     dim: int = 64) -> DataFrame:
+    """Top-k cosine neighbors for vec_id < n_queries (broadcast join).
+
+    Norms are computed ONCE per side before the cross join (a pair only
+    needs its cross dot), and every dot is the unrolled codegen form —
+    bit-identical to the fold (see :func:`_dot_static`)."""
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        _dot_static(F.col("embedding"), F.col("embedding"), dim).alias("q_n2"),
     )
-    cands = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"), "embedding",
+        _dot_static(F.col("embedding"), F.col("embedding"), dim).alias("c_n2"),
+    )
     scored = (
         F.broadcast(queries)
         .crossJoin(cands)
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("q_emb"), F.col("embedding")), 3))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_static(F.col("q_emb"), F.col("embedding"), dim,
+                              F.col("q_n2"), F.col("c_n2")), 3),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
@@ -113,7 +172,7 @@ def lsh_bucket_ids(emb: DataFrame, dim: int = 64) -> DataFrame:
     out = emb
     bits = []
     for j in range(N_PLANES):
-        dot = _dot(F.col("embedding"), plane_expr(dim, j))
+        dot = _dot_static(F.col("embedding"), plane_expr(dim, j), dim)
         bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << j))
     bucket = bits[0]
     for b in bits[1:]:
@@ -185,6 +244,34 @@ def multiband_bucket_ids(
     )
 
 
+def _exact_rescored(cands: DataFrame, emb: DataFrame, n_queries: int,
+                    dim: int) -> DataFrame:
+    """The shared exact-cosine re-score stage of the bucketed ANN
+    queries: ``cands(query_id, cand_id)`` joined to the broadcast query
+    embeddings and the candidate embeddings, scored with the unrolled
+    dot over norms precomputed ONCE per row (not per pair) — the same
+    join order and bit-identical ``cos_sim`` as the old per-pair
+    ``cosine()`` fold."""
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        _dot_static(F.col("embedding"), F.col("embedding"), dim).alias("q_n2"),
+    )
+    cside = emb.select(
+        F.col("vec_id").alias("cand_id"), "embedding",
+        _dot_static(F.col("embedding"), F.col("embedding"), dim).alias("c_n2"),
+    )
+    return (
+        cands.join(F.broadcast(queries), "query_id")
+        .join(cside, "cand_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_static(F.col("q_emb"), F.col("embedding"), dim,
+                              F.col("q_n2"), F.col("c_n2")), 3),
+        )
+    )
+
+
 def multiband_topk(
     emb: DataFrame,
     n_queries: int = 5,
@@ -212,16 +299,7 @@ def multiband_topk(
         .select("query_id", "cand_id")
         .distinct()
     )
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    scored = (
-        cands.join(F.broadcast(queries), "query_id")
-        .join(
-            emb.select(F.col("vec_id").alias("cand_id"), "embedding"), "cand_id"
-        )
-        .withColumn("cos_sim", F.round(cosine(F.col("q_emb"), F.col("embedding")), 3))
-    )
+    scored = _exact_rescored(cands, emb, n_queries, dim)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
     )
@@ -265,14 +343,8 @@ def hard_negatives(
         .select("query_id", "cand_id")
         .distinct()
     )
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    scored = (
-        cands.join(F.broadcast(queries), "query_id")
-        .join(emb.select(F.col("vec_id").alias("cand_id"), "embedding"), "cand_id")
-        .withColumn("cos_sim", F.round(cosine(F.col("q_emb"), F.col("embedding")), 3))
-        .filter(F.col("cos_sim") < dup_threshold)
+    scored = _exact_rescored(cands, emb, n_queries, dim).filter(
+        F.col("cos_sim") < dup_threshold
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
@@ -399,17 +471,7 @@ def tune_bands(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n_cands = cands.count()
-        scored = (
-            cands.join(F.broadcast(queries), "query_id")
-            .join(
-                emb.select(F.col("vec_id").alias("cand_id"), "embedding"),
-                "cand_id",
-            )
-            .withColumn(
-                "cos_sim",
-                F.round(cosine(F.col("q_emb"), F.col("embedding")), 3),
-            )
-        )
+        scored = _exact_rescored(cands, emb, n_queries, dim)
         w = Window.partitionBy("query_id").orderBy(
             F.col("cos_sim").desc(), F.col("cand_id")
         )
@@ -469,12 +531,19 @@ def embedding_neardup_pairs(
         )
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    n2 = _dot_static(F.col("embedding"), F.col("embedding"), dim)
+    ea = emb.select(F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("emb_a"), n2.alias("n2_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"),
+                    F.col("embedding").alias("emb_b"), n2.alias("n2_b"))
     return (
         cands.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("cos_sim", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 3))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_static(F.col("emb_a"), F.col("emb_b"), dim,
+                                  F.col("n2_a"), F.col("n2_b")), 3),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -642,14 +711,7 @@ def ivf_topk(
         .select("query_id", "cand_id")
         .distinct()
     )
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    scored = (
-        cands.join(F.broadcast(queries), "query_id")
-        .join(emb.select(F.col("vec_id").alias("cand_id"), "embedding"), "cand_id")
-        .withColumn("cos_sim", F.round(cosine(F.col("q_emb"), F.col("embedding")), 3))
-    )
+    scored = _exact_rescored(cands, emb, n_queries, dim)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -750,17 +812,7 @@ def tune_nprobe(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n_cands = cands.count()
-        scored = (
-            cands.join(F.broadcast(queries), "query_id")
-            .join(
-                emb.select(F.col("vec_id").alias("cand_id"), "embedding"),
-                "cand_id",
-            )
-            .withColumn(
-                "cos_sim",
-                F.round(cosine(F.col("q_emb"), F.col("embedding")), 3),
-            )
-        )
+        scored = _exact_rescored(cands, emb, n_queries, dim)
         w = Window.partitionBy("query_id").orderBy(
             F.col("cos_sim").desc(), F.col("cand_id")
         )
@@ -920,25 +972,48 @@ def semdedup_keepers(
     else:
         cents, n_cells = centroids, len(centroids)
     cells = spark.createDataFrame(
-        [(c, cents[c]) for c in range(n_cells)],
-        "cell int, centroid array<double>",
+        [(c, cents[c], _py_norm2(cents[c])) for c in range(n_cells)],
+        "cell int, centroid array<double>, c_n2 double",
     )
 
     assign = ivf_assign(emb, dim, n_cells, n_probe=1, centroids=centroids)
-    # (vec_id, cell, embedding): joined once, persisted — feeds the
-    # within-cell self-join AND the centroid-similarity projection
+    # (vec_id, cell, embedding, n2): joined once, persisted — feeds the
+    # within-cell self-join AND the centroid-similarity projection; the
+    # squared norm rides along so the pair stage pays ONE dot per pair
+    # instead of three folds (cosine_static contract)
     members = persist_tracked(
         assign.select("vec_id", "cell").join(
-            emb.select("vec_id", "embedding"), "vec_id"
+            emb.select(
+                "vec_id", "embedding",
+                _dot_static(F.col("embedding"), F.col("embedding"), dim)
+                .alias("n2"),
+            ),
+            "vec_id",
         )
     )
+    # Guide §2.5: at demo scale n_cells (8) < cores (32), so a plain
+    # equi-join on `cell` funnels ALL pairwise work through n_cells
+    # shuffle partitions.  Salt the x side deterministically and explode
+    # the y side n_salt ways so the join key space is n_cells × n_salt;
+    # at production n_cells (≥ cores) n_salt = 1 and this is exactly the
+    # old single-key join — scale-adaptive, not a local-only constant.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    n_salt = max(1, par // max(n_cells, 1))
+    x = members.withColumn(
+        "salt", F.pmod("vec_id", F.lit(n_salt)).cast("int")
+    )
+    y = members.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
     pairs = (
-        members.alias("x")
-        .join(members.alias("y"), "cell")
+        x.alias("x")
+        .join(y.alias("y"), ["cell", "salt"])
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .withColumn(
             "cos_sim",
-            F.round(cosine(F.col("x.embedding"), F.col("y.embedding")), 3),
+            F.round(
+                cosine_static(F.col("x.embedding"), F.col("y.embedding"),
+                              dim, F.col("x.n2"), F.col("y.n2")), 3),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select(
@@ -955,7 +1030,8 @@ def semdedup_keepers(
         members.join(F.broadcast(cells), "cell")
         .withColumn(
             "cos_centroid",
-            F.round(cosine(F.col("embedding"), F.col("centroid")), 6),
+            F.round(cosine_static(F.col("embedding"), F.col("centroid"),
+                                  dim, F.col("n2"), F.col("c_n2")), 6),
         )
         .join(clusters, "vec_id", "left")
         .withColumn(
@@ -978,19 +1054,27 @@ def semdedup_keepers(
 def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 3, dim: int = 64) -> DataFrame:
     """ANN top-k restricted to same-bucket candidates (the scale path)."""
     buckets = lsh_bucket_ids(emb, dim)
-    with_bucket = emb.join(buckets, "vec_id")
+    n2 = _dot_static(F.col("embedding"), F.col("embedding"), dim)
+    with_bucket = emb.select("vec_id", "embedding", n2.alias("n2")).join(
+        buckets, "vec_id"
+    )
     queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
         "bucket",
     )
     cands = with_bucket.select(
-        F.col("vec_id").alias("cand_id"), "embedding", "bucket"
+        F.col("vec_id").alias("cand_id"), "embedding", "n2", "bucket"
     )
     scored = (
         queries.join(cands, "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("q_emb"), F.col("embedding")), 3))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_static(F.col("q_emb"), F.col("embedding"), dim,
+                                  F.col("q_n2"), F.col("n2")), 3),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
@@ -1312,7 +1396,8 @@ def jl_project(emb: DataFrame, dim: int = 64, out_dim: int = 16) -> DataFrame:
     array (constant-folded by Catalyst, codegen'd, zero shuffle): a pure
     map stage whatever the corpus size, exactly like pq_encode."""
     comps = [
-        _dot(F.col("embedding"), jl_sign_expr(dim, j)) for j in range(out_dim)
+        _dot_static(F.col("embedding"), jl_sign_expr(dim, j), dim)
+        for j in range(out_dim)
     ]
     return emb.select("vec_id", F.array(*comps).alias("proj"))
 
@@ -1333,19 +1418,27 @@ def jl_recall_report(
     here is the brute-force demo form; at scale the projected frame
     feeds the same multiband/IVF indexes (the report quantifies the
     recall cost of the compression alone)."""
-    truth = brute_force_topk(emb, n_queries=n_queries, k=k).select(
+    truth = brute_force_topk(emb, n_queries=n_queries, k=k, dim=dim).select(
         "query_id", "cand_id"
     )
     proj = jl_project(emb, dim=dim, out_dim=out_dim)
+    p_n2 = _dot_static(F.col("proj"), F.col("proj"), out_dim)
     queries = proj.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("proj").alias("q_proj")
+        F.col("vec_id").alias("query_id"), F.col("proj").alias("q_proj"),
+        p_n2.alias("q_n2"),
     )
-    cands = proj.select(F.col("vec_id").alias("cand_id"), "proj")
+    cands = proj.select(
+        F.col("vec_id").alias("cand_id"), "proj", p_n2.alias("c_n2")
+    )
     scored = (
         F.broadcast(queries)
         .crossJoin(cands)
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("q_proj"), F.col("proj")), 3))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_static(F.col("q_proj"), F.col("proj"), out_dim,
+                                  F.col("q_n2"), F.col("c_n2")), 3),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
@@ -1432,7 +1525,8 @@ def hashed_doc_embedding(docs: DataFrame, n_dims: int = 8) -> DataFrame:
     )
 
 
-def kcenter_coreset_trace(emb: DataFrame, k: int = 8) -> DataFrame:
+def kcenter_coreset_trace(emb: DataFrame, k: int = 8,
+                          dim: int = 64) -> DataFrame:
     """Greedy k-center coreset selection over the embedding column
     (Gonzalez 1985 farthest-point traversal) — the geometric
     diversity-based data-selection primitive: the k selected vectors
@@ -1464,8 +1558,17 @@ def kcenter_coreset_trace(emb: DataFrame, k: int = 8) -> DataFrame:
 
     # one materialized scan shared by all k rounds (the parquet decode
     # would otherwise re-run per round; the centers change, the data
-    # never does)
-    emb = persist_tracked(emb.select("vec_id", "embedding"))
+    # never does); ‖e‖² rides along so every round pays one dot per
+    # (row, center) instead of three folds (cosine_static contract —
+    # the center's norm is a driver-side literal via the same IEEE
+    # chain, _py_norm2)
+    emb = persist_tracked(
+        emb.select(
+            "vec_id", "embedding",
+            _dot_static(F.col("embedding"), F.col("embedding"), dim)
+            .alias("n2"),
+        )
+    )
     seed = emb.orderBy("vec_id").first()
     centers = [(int(seed["vec_id"]), [float(x) for x in seed["embedding"]])]
     trace = [(1, centers[0][0], 0.0)]
@@ -1473,9 +1576,12 @@ def kcenter_coreset_trace(emb: DataFrame, k: int = 8) -> DataFrame:
         dist_cols = [
             F.round(
                 F.lit(1.0)
-                - cosine(
+                - cosine_static(
                     F.col("embedding"),
                     F.array(*[F.lit(x) for x in vec]),
+                    dim,
+                    F.col("n2"),
+                    F.lit(_py_norm2(vec)),
                 ),
                 4,
             )
@@ -1529,8 +1635,8 @@ def cluster_silhouette_report(
     else:
         cents, n_cells = centroids, len(centroids)
     cells = spark.createDataFrame(
-        [(c, cents[c]) for c in range(n_cells)],
-        "cell int, centroid array<double>",
+        [(c, cents[c], _py_norm2(cents[c])) for c in range(n_cells)],
+        "cell int, centroid array<double>, c_n2 double",
     )
 
     assign = ivf_assign(emb, dim, n_cells, n_probe=2, centroids=centroids)
@@ -1539,17 +1645,24 @@ def cluster_silhouette_report(
         "vec_id", F.col("cell").alias("cell2")
     )
 
-    # squared L2 via the sequential fold (_dot matches DuckDB's
+    # squared L2 via the sequential-order chain (matches DuckDB's
     # list_dot_product association order): ||e - c||^2 =
-    # e.e - 2 e.c + c.c, each term bit-comparable across engines
-    def _sq_l2(c_col):
+    # e.e - 2 e.c + c.c, each term bit-comparable across engines;
+    # e.e is computed once per row (n2 column) and c.c once per
+    # centroid (_py_norm2 literal) instead of per (row, centroid)
+    def _sq_l2(c_col, cn2_col):
         e = F.col("embedding")
         return F.round(
-            _dot(e, e) - F.lit(2.0) * _dot(e, c_col) + _dot(c_col, c_col), 6
+            F.col("n2") - F.lit(2.0) * _dot_static(e, c_col, dim) + cn2_col,
+            6,
         )
 
     m = (
-        emb.select("vec_id", "embedding")
+        emb.select(
+            "vec_id", "embedding",
+            _dot_static(F.col("embedding"), F.col("embedding"), dim)
+            .alias("n2"),
+        )
         .join(own, "vec_id")
         .join(other, "vec_id")
         .join(F.broadcast(cells), "cell")
@@ -1558,6 +1671,7 @@ def cluster_silhouette_report(
                 cells.select(
                     F.col("cell").alias("cell2"),
                     F.col("centroid").alias("centroid2"),
+                    F.col("c_n2").alias("c_n2_2"),
                 )
             ),
             "cell2",
@@ -1565,8 +1679,8 @@ def cluster_silhouette_report(
         .select(
             "vec_id",
             "cell",
-            _sq_l2(F.col("centroid")).alias("a2"),
-            _sq_l2(F.col("centroid2")).alias("b2"),
+            _sq_l2(F.col("centroid"), F.col("c_n2")).alias("a2"),
+            _sq_l2(F.col("centroid2"), F.col("c_n2_2")).alias("b2"),
         )
     )
     sil = m.select(

@@ -1253,3 +1253,35 @@ def test_incremental_cluster_labels_match_batch(spark, docs):
     inc = {(r["doc_id"], r["cluster_rep"])
            for r in incremental_cluster_labels(docs, threshold=0.02).collect()}
     assert inc == batch
+
+
+def test_dot_static_bitwise_matches_fold(spark, emb):
+    """The unrolled codegen dot/cosine (r6 optimization) must be
+    BIT-identical to the aggregate-fold form on real embeddings — the
+    same left-associated IEEE chain, so not approximately equal:
+    exactly equal, doubles compared raw."""
+    from pvsyst_pdf_parser_spark.training.simsearch import (
+        _dot,
+        _dot_static,
+        _py_norm2,
+        cosine,
+        cosine_static,
+    )
+
+    pairs = emb.alias("a").crossJoin(
+        emb.limit(5).select(F.col("embedding").alias("e2"))
+    )
+    cmp = pairs.select(
+        _dot(F.col("embedding"), F.col("e2")).alias("old"),
+        _dot_static(F.col("embedding"), F.col("e2"), 64).alias("new"),
+        cosine(F.col("embedding"), F.col("e2")).alias("oldc"),
+        cosine_static(F.col("embedding"), F.col("e2"), 64).alias("newc"),
+    )
+    assert cmp.filter(
+        (F.col("old") != F.col("new")) | (F.col("oldc") != F.col("newc"))
+    ).count() == 0
+    # driver-side norm literal matches the distributed fold bitwise
+    row = emb.select(
+        "embedding", _dot(F.col("embedding"), F.col("embedding")).alias("n2")
+    ).first()
+    assert _py_norm2(list(row["embedding"])) == row["n2"]
