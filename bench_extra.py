@@ -75,8 +75,9 @@ def main() -> None:
             else:
                 df.collect()
             rep_times.append(round(time.time() - t0, 3))
-        timings[name] = min(rep_times)
-        timings_all[name] = rep_times
+        if rep_times:  # --reps 0 = explain-only capture
+            timings[name] = min(rep_times)
+            timings_all[name] = rep_times
         release_persisted()
         spark.sparkContext.setJobDescription(None)
 

@@ -161,7 +161,15 @@ def bpe_encode_stats(
     word frame; the ONLY shuffle is the final doc_id re-agg.  The merge
     table enters as closure literals — exactly how a production job
     broadcasts a frozen tokenizer."""
-    words = (
+    from .dedup import persist_tracked
+
+    # r6: the encode depends ONLY on the word, so run the K-replace
+    # chain once per DISTINCT word (a vocabulary-sized table — the
+    # standard dictionary-encode at any corpus scale) and join it back,
+    # instead of re-encoding every one of the corpus' word OCCURRENCES
+    # (guide §1.2 step 1: don't compute things you throw away).  The
+    # word frame fans out to the distinct + the join — persist it.
+    words = persist_tracked(
         docs.select(
             "doc_id",
             F.posexplode(
@@ -174,15 +182,17 @@ def bpe_encode_stats(
     enc = F.regexp_replace("word", "(.)", "[$1]")
     for a, b in merges:
         enc = F.replace(enc, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
-    scored = words.select(
-        "doc_id",
-        "pos",
+    enc_tbl = words.select("word").distinct().select(
+        "word",
         enc.alias("enc"),
     ).withColumn(
         "n_tok",
         (F.length("enc") - F.length(F.replace("enc", F.lit("[")))).cast(
             "bigint"
         ),
+    )
+    scored = words.join(enc_tbl, "word").select(
+        "doc_id", "pos", "enc", "n_tok"
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_words"),
@@ -224,7 +234,11 @@ def bpe_fertility_stats(
     shuffle is the final ~100-key lang aggregation, map-side combined.
     Integer sums divide once at the end, so Spark and DuckDB agree
     bit-for-bit after round(·, 4)."""
-    words = (
+    from .dedup import persist_tracked
+
+    # r6: dictionary encode — K-replace chain per DISTINCT word, joined
+    # back to the occurrences (see bpe_encode_stats)
+    words = persist_tracked(
         docs.select(
             "lang",
             F.explode(
@@ -237,13 +251,14 @@ def bpe_fertility_stats(
     enc = F.regexp_replace("word", "(.)", "[$1]")
     for a, b in merges:
         enc = F.replace(enc, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
-    scored = words.select(
-        "lang",
+    enc_tbl = words.select("word").distinct().select(
+        "word",
         F.length("word").cast("bigint").alias("n_char"),
         (
             F.length(enc) - F.length(F.replace(enc, F.lit("[")))
         ).cast("bigint").alias("n_tok"),
     )
+    scored = words.join(enc_tbl, "word").select("lang", "n_char", "n_tok")
     agg = scored.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_words"),
         F.sum("n_tok").alias("n_tokens"),

@@ -58,16 +58,15 @@ def ensure_scan_parallelism(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     return docs
 
 
-def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
-    """(id, shingle) — distinct word n-gram shingles per document."""
+def _shingle_array(n: int, text_col: str = "text"):
+    """Distinct word n-gram shingle array for one document (row-local)."""
     # split on a literal single space — parity with DuckDB string_split
     tokens = F.split(F.lower(F.col(text_col)), " ", -1)
     # Guard docs shorter than n tokens: sequence(1, 0) DESCENDS in Spark
     # ([1, 0] — start > stop steps -1) and element_at(tokens, 0) throws
     # INVALID_INDEX_OF_ZERO, while the oracle's generate_series(1, 0) is
     # empty — same failure class the repetition_stats guard covers.
-    shingles = F.array_distinct(
+    return F.array_distinct(
         F.when(
             F.size(tokens) >= n,
             F.transform(
@@ -78,8 +77,48 @@ def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, shingle) — distinct word n-gram shingles per document."""
     return docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(shingles).alias("shingle"))
+                       F.explode(_shingle_array(n, text_col)).alias("shingle"))
+
+
+def doc_shingles_sized(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, sz, shingle) — :func:`doc_shingles` with the per-doc
+    DISTINCT shingle count attached AT EXPLODE TIME (the set size is the
+    shingle array's length — free).
+
+    r6 optimization root: carrying ``sz`` through the pair self-join and
+    folding it with ``min()`` inside the pair aggregate replaces the r5
+    pattern of joining a per-doc size table onto the PAIR frame twice —
+    on this corpus the co-shingled pair space is ~n²-dense (tiny shared
+    vocabulary), so those two joins each moved millions of pair rows
+    through an exchange to fetch an 8-byte count that was known at
+    explode time (guide §2.3/§2.4: shuffle fewer bytes, remove shuffles
+    outright)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _shingle_array(n, text_col).alias("__sh")
+    ).select(
+        "doc_id",
+        F.size("__sh").alias("sz"),
+        F.explode("__sh").alias("shingle"),
+    )
+
+
+def _resized_capped(sh: DataFrame, max_df: int) -> DataFrame:
+    """Apply the hot-shingle cap to a SIZED shingle frame and recompute
+    ``sz`` on the capped universe with one doc-keyed window — per-doc
+    work, never per-pair."""
+    from pyspark.sql import Window
+
+    capped = capped_shingles(sh, max_df)
+    return capped.withColumn(
+        "sz", F.count("*").over(Window.partitionBy("doc_id"))
+    )
 
 
 def capped_shingles(sh: DataFrame, max_df: int) -> DataFrame:
@@ -122,31 +161,30 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.02,
     capped universe so the Jaccard stays a true set similarity.
     """
     docs = docs.filter(F.col("doc_id") % sample_mod == 0)
-    # The shingle frame fans out to BOTH self-join sides + the sizes agg
-    # (+ the df-cap agg): without materialization Catalyst re-executes
-    # the scan + shingle HOF + explode once per reference (measured 8
-    # scans in this plan — the same recompute-amplification bug class
-    # as the extraction pipeline's fan-out roots).  CacheManager dedupes
+    # The shingle frame fans out to BOTH self-join sides (+ the df-cap
+    # agg): without materialization Catalyst re-executes the scan +
+    # shingle HOF + explode once per reference.  CacheManager dedupes
     # by canonicalized plan, so repeated calls on the same input reuse
     # one cache entry; at 10^12 docs this materialization is the
     # shingle posting table you would write to storage anyway.
-    sh = persist_tracked(doc_shingles(docs, n=n))
+    # Sizes ride the shingle rows (doc_shingles_sized) and fold inside
+    # the pair aggregate — r5's two pair-frame size joins are gone.
+    sh = persist_tracked(doc_shingles_sized(docs, n=n))
     if max_df is not None:
-        sh = persist_tracked(capped_shingles(sh, max_df))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+        sh = persist_tracked(_resized_capped(sh, max_df))
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min(F.col("a.sz")).alias("size_a"),
+            F.min(F.col("b.sz")).alias("size_b"),
+        )
     )
     return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("n_shingles", "size_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_shingles", "size_b"), "doc_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
@@ -175,24 +213,23 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.1,
     differs.  ``relation`` labels which side is contained:
     ``mutual`` / ``a_in_b`` / ``b_in_a``."""
     docs = docs.filter(F.col("doc_id") % sample_mod == 0)
-    sh = persist_tracked(doc_shingles(docs, n=n))
+    sh = persist_tracked(doc_shingles_sized(docs, n=n))
     if max_df is not None:
-        sh = persist_tracked(capped_shingles(sh, max_df))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+        sh = persist_tracked(_resized_capped(sh, max_df))
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min(F.col("a.sz")).alias("size_a"),
+            F.min(F.col("b.sz")).alias("size_b"),
+        )
     )
     t = F.lit(threshold)
     return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("n_shingles", "size_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_shingles", "size_b"), "doc_b")
-        .withColumn("cont_a_in_b",
+        pairs.withColumn("cont_a_in_b",
                     F.round(F.col("n_common") / F.col("size_a"), 4))
         .withColumn("cont_b_in_a",
                     F.round(F.col("n_common") / F.col("size_b"), 4))
@@ -293,31 +330,36 @@ def minhash_lsh_verified(docs: DataFrame, threshold: float = 0.01,
     the verify joins (it fans out to 4-5 plan references; see the
     recompute note in ngram_jaccard_pairs)."""
     docs = docs.filter(F.col("doc_id") % sample_mod == 0)
-    sh_raw = persist_tracked(doc_shingles(docs))
+    sh_raw = persist_tracked(doc_shingles_sized(docs))
     cands = _band_candidates(
         _signatures_from_shingles(sh_raw, n_perms=n_perms),
         n_perms=n_perms, n_bands=n_bands,
     )
     sh = sh_raw
     if max_df is not None:
-        sh = persist_tracked(capped_shingles(sh_raw, max_df))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    # common shingles via join on (pair, shingle)
-    a_sh = cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        sh = persist_tracked(_resized_capped(sh_raw, max_df))
+    # common shingles via join on (pair, shingle); sizes ride the
+    # shingle rows and fold in the pair aggregate (no pair-frame joins)
+    a_sh = cands.join(
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle",
+                  F.col("sz").alias("size_a")),
+        "doc_a",
+    )
     common = (
         a_sh.join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle",
+                      F.col("sz").alias("size_b")),
             ["doc_b", "shingle"],
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min("size_a").alias("size_a"),
+            F.min("size_b").alias("size_b"),
+        )
     )
     return (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                    .withColumnRenamed("n_shingles", "size_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_shingles", "size_b"), "doc_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
@@ -385,92 +427,106 @@ def row_minhash_bands(
 
 
 def simhash(docs: DataFrame, bits: int = 16, sample_mod: int = 10) -> DataFrame:
-    """(doc_id, simhash) — token-hash bit-majority fingerprint."""
+    """(doc_id, simhash) — token-hash bit-majority fingerprint.
+
+    One groupBy(doc_id) with ``bits`` conditional-sum aggregates (all
+    map-side combined) replaces the r5 form's 16× (bit, vote) explode +
+    two shuffles: per-bit vote totals are order-free integer sums, so
+    folding them as agg columns instead of exploded rows is
+    value-identical while shuffling ``bits``× fewer rows (guide §2.3
+    "aggregate before you shuffle")."""
     docs = docs.filter(F.col("doc_id") % sample_mod == 0)
     tokens = docs.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), " ", -1)).alias("token"),
     ).filter(F.col("token") != "")
-    h = md5_56(F.col("token")).alias("h")
-    bits_df = tokens.select("doc_id", h).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bits - 1}), b -> struct("
-                "b as bit, "
-                "CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END as vote))"
-            )
-        ).alias("bv"),
-    )
-    return (
-        bits_df.groupBy("doc_id", F.col("bv.bit").alias("bit"))
-        .agg(F.sum("bv.vote").alias("votes"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    per_doc = (
+        tokens.select("doc_id", md5_56(F.col("token")).alias("h"))
         .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("votes") > 0, F.expr("shiftleft(cast(1 as bigint), bit)"))
-                .otherwise(F.lit(0))
-            ).cast("bigint").alias("simhash")
-        )
+        .agg(*votes)
     )
+    fp = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp + term
+    return per_doc.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
 def simhash_neardup_pairs(
     docs: DataFrame, max_hamming: int = 3, bits: int = 16,
     sample_mod: int = 10,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming
-    via the pigeonhole blocking trick (Manku et al. 2007, public):
-    split the ``bits``-bit fingerprint into ``max_hamming + 1`` chunks —
-    any two fingerprints within Hamming distance max_hamming MUST agree
-    on at least one whole chunk — so candidates come from a chunk-keyed
-    equi-join (bounded by per-chunk bucket occupancy, never all-pairs),
-    then the exact Hamming distance verifies each candidate.
+    """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming —
+    same output contract as Manku et al. 2007's lookup problem, computed
+    by exact Hamming-ball enumeration over the distinct fingerprints
+    (Manku §3's "build tables for every bit-permutation" idea taken to
+    its small-fingerprint limit: probe every mask directly).
 
-    The Hamming popcount is an unrolled per-bit XOR sum (a ``bits``-term
-    integer expression) so the DuckDB oracle reproduces it exactly."""
-    n_chunks = max_hamming + 1
-    if bits % n_chunks:
-        raise ValueError(f"{n_chunks} chunks must divide {bits} bits")
-    width = bits // n_chunks
-    mask = (1 << width) - 1
-    sh = simhash(docs, bits=bits, sample_mod=sample_mod)
-    chunks = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk_idx"),
-                    (
-                        F.shiftright("simhash", c * width)
-                        .bitwiseAND(F.lit(mask))
-                    ).alias("chunk_key"),
-                )
-                for c in range(n_chunks)
-            ])
-        ).alias("ck"),
-    ).select("doc_id", "simhash", "ck.chunk_idx", "ck.chunk_key")
-    cands = (
-        chunks.alias("a")
-        .join(chunks.alias("b"), ["chunk_idx", "chunk_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+    r6 shape: the r5 pigeonhole chunk join was structurally quadratic
+    at 16 bits — 4-bit chunks have only 16 distinct keys, so the
+    chunk-keyed self-join approached a cross join of the sample
+    (measured ~8M candidate rows + a distinct at sf1.0).  With a
+    ``bits``-bit fingerprint the Hamming ball of radius ``max_hamming``
+    is tiny and ENUMERABLE (Σ C(bits, h) = 697 masks at 16/3), so the
+    same pair set falls out of an exact equi-join on the fingerprint
+    VALUE: pair the ≤ 2^bits DISTINCT fingerprints against their
+    XOR-mask neighbors (each unordered fingerprint pair produced
+    exactly once — no distinct pass), then expand back to doc pairs
+    through the (fingerprint → doc) frame.  Work is
+    O(distinct_fps × masks) + output size at ANY corpus scale —
+    distinct_fps saturates at 2^bits — and the per-pair hamming is the
+    mask's popcount, a literal."""
+    from itertools import combinations
+
+    sh = persist_tracked(
+        simhash(docs, bits=bits, sample_mod=sample_mod)
     )
-    x = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    hamming = sum(
-        F.shiftright(x, b).bitwiseAND(F.lit(1)) for b in range(bits)
-    ).cast("int")
+    # (mask, hamming) literals for the Hamming ball, mask 0 included:
+    # fingerprint pairs are (fp, fp ^ mask) with fp ^ mask > fp, plus
+    # the mask-0 diagonal handled by doc-id ordering below
+    masks = [(0, 0)] + [
+        (sum(1 << p for p in pos), h)
+        for h in range(1, max_hamming + 1)
+        for pos in combinations(range(bits), h)
+    ]
+    mask_arr = F.array(*[
+        F.struct(F.lit(m).cast("bigint").alias("m"),
+                 F.lit(h).alias("hamming"))
+        for (m, h) in masks
+    ])
+    fps = sh.select("simhash").distinct()
+    fp_pairs = (
+        fps.select("simhash", F.explode(mask_arr).alias("mk"))
+        .select(
+            F.col("simhash").alias("fp_a"),
+            F.col("simhash").bitwiseXOR(F.col("mk.m")).alias("fp_b"),
+            F.col("mk.hamming").alias("hamming"),
+        )
+        .filter((F.col("hamming") == 0) | (F.col("fp_b") > F.col("fp_a")))
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fp_b"))
     return (
-        cands.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        fp_pairs.join(a, "fp_a")
+        .join(b, "fp_b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        # same-fingerprint (hamming 0) pairs arrive in both orders off
+        # the diagonal join; cross-fingerprint pairs arrive once but
+        # with arbitrary id order — canonicalize to doc_a < doc_b
+        .filter((F.col("hamming") > 0) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
     )
 
 
@@ -1081,18 +1137,17 @@ def minhash_estimate_calibration(
     from operator import add
 
     docs = docs.filter(F.col("doc_id") % sample_mod == 0)
-    sh = persist_tracked(doc_shingles(docs))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh = persist_tracked(doc_shingles_sized(docs))
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-        .join(sizes.withColumnRenamed("doc_id", "doc_a")
-              .withColumnRenamed("n", "size_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n", "size_b"), "doc_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min(F.col("a.sz")).alias("size_a"),
+            F.min(F.col("b.sz")).alias("size_b"),
+        )
         .withColumn(
             "exact_ppm",
             F.expr("n_common * 1000000 DIV (size_a + size_b - n_common)"),
@@ -1176,9 +1231,13 @@ def simhash_estimate_calibration(
     # the 16-votes-per-token fingerprint explode and the token-count
     # build both scan docs — parallelize a degenerate scan once
     docs = ensure_scan_parallelism(docs)
-    pairs = simhash_neardup_pairs(
-        docs, max_hamming=max_hamming, bits=bits, sample_mod=sample_mod
-    ).select("doc_a", "doc_b", "hamming")
+    # the pair frame fans out to the dot join AND the final projection —
+    # persist it so the fingerprint/pair stage runs once
+    pairs = persist_tracked(
+        simhash_neardup_pairs(
+            docs, max_hamming=max_hamming, bits=bits, sample_mod=sample_mod
+        ).select("doc_a", "doc_b", "hamming")
+    )
     tc = persist_tracked(
         docs.filter(F.col("doc_id") % sample_mod == 0)
         .select(
@@ -1263,8 +1322,7 @@ def incremental_near_dup_pairs(
     (doc_id DIV sample_mod) % split_mod == 0 → existing.
     """
     docs = docs.filter(F.col("doc_id") % sample_mod == 0)
-    sh = persist_tracked(doc_shingles(docs))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sh = persist_tracked(doc_shingles_sized(docs))
     is_new = F.expr(f"(doc_id DIV {sample_mod}) % {split_mod} != 0")
     sh_exist = sh.filter(~is_new)
     sh_new = sh.filter(is_new)
@@ -1273,31 +1331,40 @@ def incremental_near_dup_pairs(
         .join(sh_exist.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min(F.col("a.sz")).alias("size_a"),
+            F.min(F.col("b.sz")).alias("size_b"),
+        )
         .withColumn("pair_source", F.lit("stored"))
     )
     # ONE shingle-keyed join, no dedup exchange: a new×new pair would
     # arrive in both orders, so keep only a<b when BOTH sides are new;
     # a new×exist (pair, shingle) row arrives exactly once already.
+    # Sizes fold in the aggregate oriented to the canonical (least,
+    # greatest) keys — sz is constant per doc, so min() is exact.
     b_is_new = F.expr(f"(b.doc_id DIV {sample_mod}) % {split_mod} != 0")
+    a_lt_b = F.col("a.doc_id") < F.col("b.doc_id")
     incr = (
         sh_new.alias("a")
         .join(sh.alias("b"), "shingle")
         .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .filter(~b_is_new | (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(~b_is_new | a_lt_b)
         .groupBy(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
         )
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min(F.when(a_lt_b, F.col("a.sz")).otherwise(F.col("b.sz")))
+            .alias("size_a"),
+            F.min(F.when(a_lt_b, F.col("b.sz")).otherwise(F.col("a.sz")))
+            .alias("size_b"),
+        )
         .withColumn("pair_source", F.lit("increment"))
     )
     return (
         stored.unionByName(incr)
-        .join(sizes.withColumnRenamed("doc_id", "doc_a")
-              .withColumnRenamed("n_shingles", "size_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_shingles", "size_b"), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -1611,18 +1678,37 @@ def minhash_band_recall(docs: DataFrame, threshold: float = 0.02,
     self-join (bounded), candidates from the banded bucket join
     (bounded); the comparison is one full outer join on the pair key —
     both pair sets are tiny next to the corpus."""
+    # ONE sized shingle frame feeds BOTH the exact ground truth and the
+    # banded candidate signatures (r5 built and persisted the same
+    # explode twice — once inside ngram_jaccard_pairs, once here)
     sampled = docs.filter(F.col("doc_id") % sample_mod == 0)
+    sh = persist_tracked(doc_shingles_sized(sampled))
     true_pairs = (
-        ngram_jaccard_pairs(docs, threshold=threshold,
-                            sample_mod=sample_mod)
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min(F.col("a.sz")).alias("size_a"),
+            F.min(F.col("b.sz")).alias("size_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b")
         .withColumn("is_true", F.lit(1))
     )
     cands = (
         _band_candidates(
-            _signatures_from_shingles(
-                persist_tracked(doc_shingles(sampled)), n_perms=n_perms
-            ),
+            _signatures_from_shingles(sh, n_perms=n_perms),
             n_perms=n_perms, n_bands=n_bands,
         )
         .withColumn("is_cand", F.lit(1))

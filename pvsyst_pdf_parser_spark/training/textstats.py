@@ -464,7 +464,12 @@ def unigram_logprob_scores(
     through the doc-keyed aggregation — they are functionally dependent
     on doc_id, so widening the groupBy key costs nothing and saves the
     caller a doc-keyed join back against the corpus."""
-    toks = (
+    from .dedup import persist_tracked
+
+    # fan-out roots (r6): `toks` feeds the vocab count AND the scoring
+    # join; `freq` feeds the corpus total AND the broadcast model —
+    # persist both so the corpus explode runs once
+    toks = persist_tracked(
         docs.filter(F.col("doc_id") % sample_mod == 0)
         .select(
             "doc_id",
@@ -473,7 +478,7 @@ def unigram_logprob_scores(
         )
         .filter(F.col("tok") != "")
     )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    freq = persist_tracked(toks.groupBy("tok").agg(F.count("*").alias("c")))
     total = freq.agg(F.sum("c").alias("total"))
     freq = freq.crossJoin(F.broadcast(total)).withColumn(
         "nll", -F.log(F.col("c") / F.col("total"))
@@ -509,12 +514,16 @@ def vocab_coverage_stats(docs: DataFrame, vocab_size: int = 256) -> DataFrame:
     exploded corpus → per-source agg.  The corpus side shuffles once
     for the count and once for the source report; oov_ppm is exact
     integer arithmetic so both engines agree bit-for-bit."""
-    toks = docs.select(
+    from .dedup import persist_tracked
+
+    # `toks` feeds the vocab selection AND the per-source OOV agg —
+    # persist so the corpus explode runs once, not twice (r6)
+    toks = persist_tracked(docs.select(
         "source",
         F.explode(
             F.filter(F.split("text", " ", -1), lambda x: x != "")
         ).alias("tok"),
-    )
+    ))
     vocab = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("cnt"))
@@ -554,26 +563,34 @@ def bigram_logprob_scores(
     (sequence + element_at), no self-join.  Top-m selection is
     orderBy().limit() — distributed TakeOrdered, deterministic
     (count desc, w1, w2) tie-break."""
+    from .dedup import persist_tracked
+
     toks_arr = F.filter(
         F.split(F.lower("text"), " ", -1), lambda x: x != ""
     )
     base = docs.select("doc_id", toks_arr.alias("t"))
     toku = base.select("doc_id", F.explode("t").alias("tok"))
-    uni = toku.groupBy("tok").agg(F.count("*").alias("c1"))
+    # fan-out roots (r6, same treatment as kneser_ney_scores): `uni`
+    # feeds the vocab-size scalar AND the scoring broadcast; `pairs`
+    # feeds the pruned bigram table AND the scoring join — persist both
+    # so the corpus token/bigram explodes run once, not 2× each
+    uni = persist_tracked(toku.groupBy("tok").agg(F.count("*").alias("c1")))
     vocab_v = uni.agg(F.count("*").alias("v"))
     uni = uni.crossJoin(F.broadcast(vocab_v))
-    pairs = base.filter(F.size("t") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.struct(
-                    F.element_at("t", i).alias("w1"),
-                    F.element_at("t", i + 1).alias("w2"),
-                ),
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
+    pairs = persist_tracked(
+        base.filter(F.size("t") >= 2).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        ).select("doc_id", "bg.w1", "bg.w2")
+    )
     bi = (
         pairs.groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
@@ -952,9 +969,16 @@ def trigram_backoff_scores(
     )
     from .dedup import ensure_scan_parallelism
 
+    from .dedup import persist_tracked
+
     base = ensure_scan_parallelism(docs).select("doc_id", toks_arr.alias("t"))
     toku = base.select("doc_id", F.explode("t").alias("tok"))
-    uni = toku.groupBy("tok").agg(F.count("*").alias("c1"))
+    # fan-out roots (r6): `uni` is referenced 3× (total, w2/w3 lookups),
+    # `bi` 2× (context + backoff tables), `triples` 2× (model count +
+    # scoring join) — unpersisted, each reference re-ran the full
+    # corpus explode (~7 passes in the r5 plan); persisted it is one
+    # explode per n-gram order
+    uni = persist_tracked(toku.groupBy("tok").agg(F.count("*").alias("c1")))
     tot = uni.agg(F.sum("c1").cast("double").alias("n_total"))
     pairs = base.filter(F.size("t") >= 2).select(
         F.explode(
@@ -967,25 +991,27 @@ def trigram_backoff_scores(
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
-    bi = (
+    bi = persist_tracked(
         pairs.groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(top_m2)
     )
-    triples = base.filter(F.size("t") >= 3).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 2),
-                lambda i: F.struct(
-                    F.element_at("t", i).alias("w1"),
-                    F.element_at("t", i + 1).alias("w2"),
-                    F.element_at("t", i + 2).alias("w3"),
-                ),
-            )
-        ).alias("tg"),
-    ).select("doc_id", "tg.w1", "tg.w2", "tg.w3")
+    triples = persist_tracked(
+        base.filter(F.size("t") >= 3).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                        F.element_at("t", i + 2).alias("w3"),
+                    ),
+                )
+            ).alias("tg"),
+        ).select("doc_id", "tg.w1", "tg.w2", "tg.w3")
+    )
     tri = (
         triples.groupBy("w1", "w2", "w3")
         .agg(F.count("*").alias("c123"))
@@ -1128,22 +1154,34 @@ def kneser_ney_scores(
     continuation counts; the scoring join broadcasts all three model
     tables plus the one-row N1+(··) total, so the trillion-pair side
     shuffles only for its own doc-keyed fold."""
+    from .dedup import persist_tracked
+
     toks_arr = F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
     base = docs.select("doc_id", toks_arr.alias("t"))
-    pairs = base.filter(F.size("t") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.struct(
-                    F.element_at("t", i).alias("w1"),
-                    F.element_at("t", i + 1).alias("w2"),
-                ),
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
+    # FAN-OUT ROOTS (r6): `pairs` feeds the model-table aggregations AND
+    # the scoring join, and `bi_full` feeds FOUR derived tables (left,
+    # right, nbt, pruned bi) — unpersisted, Catalyst re-executed the
+    # scan + split + bigram explode once per reference (5 full corpus
+    # passes measured in the r5 plan).  Persisting the two roots makes
+    # it one pass + four reads of a vocab²-bounded table.
+    pairs = persist_tracked(
+        base.filter(F.size("t") >= 2).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        ).select("doc_id", "bg.w1", "bg.w2")
+    )
 
-    bi_full = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bi_full = persist_tracked(
+        pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    )
     # left context table: raw count + distinct continuations of w1
     left = bi_full.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count("*").alias("n1f")
@@ -1216,10 +1254,16 @@ def zipf_heaps_report(docs: DataFrame, top_k: int = 256) -> DataFrame:
     combined).  Values are rounded to 4 places — the regression sums
     are O(top_k) doubles built from identical integer counts on both
     engines, so rounding absorbs association-order noise."""
+    from .dedup import persist_tracked
+
     toks = F.explode(
         F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
     ).alias("tok")
-    counts = docs.select(toks).groupBy("tok").agg(F.count("*").alias("c"))
+    # counts feeds the totals AND the top-k regression — persist the
+    # vocab-sized table so the corpus token explode runs once (r6)
+    counts = persist_tracked(
+        docs.select(toks).groupBy("tok").agg(F.count("*").alias("c"))
+    )
     totals = counts.agg(
         F.sum("c").cast("bigint").alias("n_tokens"),
         F.count("*").cast("bigint").alias("n_types"),
@@ -1278,8 +1322,12 @@ def distinct_ngram_diversity(docs: DataFrame) -> DataFrame:
     one genuinely corpus-sized state here; the documented swap is
     approx_count_distinct (HLL) per (source, n) — one pass, no
     per-gram shuffle — once ±2% is acceptable."""
+    from .dedup import persist_tracked
+
     toks = F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
-    base = docs.select("source", toks.alias("t"))
+    # the tokenized base feeds both n-gram orders — persist it so the
+    # scan + lower + split chain runs once, not once per order (r6)
+    base = persist_tracked(docs.select("source", toks.alias("t")))
     uni = base.select("source", F.lit(1).alias("n"),
                       F.explode("t").alias("gram"))
     bi = base.filter(F.size("t") >= 2).select(

@@ -753,13 +753,15 @@ def test_incremental_pairs_shingle_keyed_no_cartesian(spark):
     """The daily-increment pair plan must keep both the stored
     (exist×exist) and increment (new×all) joins shingle-keyed — never
     cartesian — and run every shingle reference off the ONE persisted
-    shingle frame (5 refs: stored×2, incr×2, sizes)."""
+    shingle frame (4 refs: stored×2, incr×2; sizes ride the shingle
+    rows since r6 — doc_shingles_sized — instead of a 5th reference
+    joined onto the pair frame)."""
     from pvsyst_pdf_parser_spark.training import dedup as D
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = _plan(D.incremental_near_dup_pairs(docs))
     assert "CartesianProduct" not in p
-    assert p.count("InMemoryTableScan") >= 5
+    assert p.count("InMemoryTableScan") >= 4
 
 
 def test_soft_dedup_scalar_frames_broadcast_no_cartesian(spark):
