@@ -133,9 +133,14 @@ def link_pagerank(
     and rounded; the top-k sort runs on the ROUNDED rank in both
     engines so float summation order can never flip boundary
     membership."""
+    from .cache import persist_tracked
+
     n_docs = docs.count()  # one bounded job; the oracle's COUNT(*) twin
     ids = docs.select("doc_id")
-    edges = synthetic_link_edges(docs, n_docs).persist()
+    # persist_tracked (not a manual unpersist before the action): the
+    # r6 lazy checkpoints below materialize at the FINAL action, so the
+    # edge cache must outlive this function's return (harness releases)
+    edges = persist_tracked(synthetic_link_edges(docs, n_docs))
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # nodes with no out-links: their whole rank is dangling mass
     dangling = ids.join(
@@ -175,9 +180,8 @@ def link_pagerank(
                     )
                 ).alias("pr"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-    edges.unpersist()
     scaled = ranks.select(
         "doc_id", F.round(F.col("pr") * n_docs, 8).alias("rank_x_n")
     )
@@ -255,9 +259,19 @@ def bloom_incremental_dedup(docs: DataFrame) -> DataFrame:
     bits = bloom_bit_positions(prior)
     t = F.col("text")
     probes = _bloom_positions(t)
-    maybe = probes[0].isin(bits)
+    # r6: ship the filter as ONE m-slot 0/1 mask-array literal probed
+    # with element_at — O(1) per probe like the InSet hash, but the plan
+    # carries a single 2048-element literal instead of three up-to-2048
+    # literal IN lists (the r5 form's ~6k-literal predicate dominated
+    # analysis/codegen time at this query's size — a constant cost paid
+    # per run).  p ∈ bits ⟺ mask[p] = 1, value-identical.
+    bitset = set(bits)
+    mask = F.array(*[
+        F.lit(1 if i in bitset else 0) for i in range(BLOOM_M)
+    ])
+    maybe = F.element_at(mask, (probes[0] + 1).cast("int")) == 1
     for p in probes[1:]:
-        maybe = maybe & p.isin(bits)
+        maybe = maybe & (F.element_at(mask, (p + 1).cast("int")) == 1)
     prior_hashes = F.broadcast(
         prior.select(md5_56(t).alias("h")).distinct()
     )
@@ -545,9 +559,11 @@ def link_hits(docs: DataFrame, iters: int = 3, top_k: int = 20) -> DataFrame:
     truncates the growing lineage exactly as the PageRank and
     star-contraction loops do.  No collect anywhere; the two one-row
     max frames re-enter as broadcasts."""
+    from .cache import persist_tracked
+
     n_docs = docs.count()  # bounded job; the oracle's COUNT(*) twin
     ids = docs.select("doc_id")
-    edges = synthetic_link_edges(docs, n_docs).persist()
+    edges = persist_tracked(synthetic_link_edges(docs, n_docs))
     hub = ids.select("doc_id", F.lit(1.0).alias("h"))
     auth = None
     for _ in range(iters):
@@ -559,7 +575,7 @@ def link_hits(docs: DataFrame, iters: int = 3, top_k: int = 20) -> DataFrame:
         auth = (
             ids.join(auth, "doc_id", "left")
             .select("doc_id", F.coalesce("a", F.lit(0.0)).alias("a"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         hub = (
             edges.join(auth.withColumnRenamed("doc_id", "dst"), "dst")
@@ -569,9 +585,8 @@ def link_hits(docs: DataFrame, iters: int = 3, top_k: int = 20) -> DataFrame:
         hub = (
             ids.join(hub, "doc_id", "left")
             .select("doc_id", F.coalesce("h", F.lit(0.0)).alias("h"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-    edges.unpersist()
     amax = auth.agg(F.max("a").alias("amax"))
     hmax = hub.agg(F.max("h").alias("hmax"))
     scored = (

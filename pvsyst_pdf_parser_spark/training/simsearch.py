@@ -1494,11 +1494,18 @@ def hashed_doc_embedding(docs: DataFrame, n_dims: int = 8) -> DataFrame:
     L2 norm rounded to 4 decimals (computed from those exact integers,
     so the rounding is deterministic too).
 
-    Distributed shape at 10^12 documents: entirely ROW-LOCAL — one
-    aggregate-HOF fold per dimension inside a single projection, no
-    explode, no shuffle of any kind (plan-gated exchange-free).  The
-    embedding step of a corpus pipeline should cost exactly one map
-    pass; this one does."""
+    Distributed shape at 10^12 documents: entirely ROW-LOCAL — still
+    one map pass, no explode, no shuffle of any kind (plan-gated
+    exchange-free).  r6 execution change only: the JVM still computes
+    ONE md5 per token occurrence, but the n_dims per-dimension
+    ``aggregate`` HOF folds (interpreted, boxed per element — the r5
+    hot spot) are replaced by ONE Arrow-batched numpy stage that
+    extracts all sign bits and sums them with ``np.add.reduceat`` per
+    batch (guide §4.2).  Every d_j is the same exact integer (±1 sums
+    are order-free); the l2 rounding stays in the JVM so the rounding
+    engine is unchanged."""
+    import numpy as np
+
     toks = F.expr("filter(split(lower(text), ' ', -1), t -> t <> '')")
     hashes = F.expr(
         "transform(__toks,"
@@ -1509,10 +1516,45 @@ def hashed_doc_embedding(docs: DataFrame, n_dims: int = 8) -> DataFrame:
         F.size("__toks").cast("bigint").alias("n_tokens"),
         hashes.alias("__hs"),
     )
-    dims = [
-        F.expr(_FH_DIM.format(j=j)).alias(f"d{j}") for j in range(n_dims)
-    ]
-    with_dims = base.select("doc_id", "n_tokens", *dims)
+
+    def fold(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            lens = pdf["__hs"].map(len).to_numpy(dtype="int64")
+            flat = (
+                np.concatenate([np.asarray(h, dtype="int64")
+                                for h in pdf["__hs"]])
+                if lens.sum() else np.empty(0, dtype="int64")
+            )
+            starts = np.zeros(n, dtype="int64")
+            np.cumsum(lens[:-1], out=starts[1:])
+            # reduceat demands indices < len(flat): trailing zero-length
+            # docs would point one past the end — clamp (their sums are
+            # zeroed below anyway)
+            if len(flat):
+                np.minimum(starts, len(flat) - 1, out=starts)
+            out = {"doc_id": pdf["doc_id"].values,
+                   "n_tokens": pdf["n_tokens"].values}
+            for j in range(n_dims):
+                signs = 1 - 2 * ((flat >> j) & 1)
+                sums = (
+                    np.add.reduceat(signs, starts)
+                    if len(flat) else np.zeros(n, dtype="int64")
+                )
+                # reduceat on an empty segment (len 0) returns the NEXT
+                # element's value — zero it explicitly
+                sums = np.where(lens > 0, sums, 0)
+                out[f"d{j}"] = sums.astype("int64")
+            yield pd.DataFrame(out)
+
+    dims_schema = ", ".join(f"d{j} long" for j in range(n_dims))
+    with_dims = base.mapInPandas(
+        fold, f"doc_id long, n_tokens long, {dims_schema}"
+    )
     norm_sq = None
     for j in range(n_dims):
         term = F.col(f"d{j}") * F.col(f"d{j}")

@@ -847,46 +847,63 @@ def winnowing_fingerprints(docs: DataFrame, k: int = WINNOW_K,
         ).cast("bigint"),
     )
     g = base.select("doc_id", grams.alias("h"))
-    n_grams = F.size("h")
-    init = F.struct(
-        F.lit(None).cast("bigint").alias("bh"),
-        F.lit(-1).cast("bigint").alias("bp"),
-        F.lit(0).cast("bigint").alias("cp"),
+
+    # r6: the per-window rightmost-argmin was an interpreted aggregate
+    # fold carrying a struct accumulator — ~(n−w)·w boxed struct
+    # allocations per doc, the operator's hot spot.  The gram hashes
+    # still come from the JVM md5 chain above (no cross-engine hash
+    # parity risk); ONE Arrow stage does the whole sliding-window
+    # selection with numpy (reversed-window argmin ⇒ rightmost minimum,
+    # ties included — `<=` keeps the later position, exactly the fold's
+    # rule), and the fingerprint md5 over the selected hashes stays in
+    # the JVM so string formatting and hashing engines are unchanged.
+    import numpy as np
+
+    def select_mins(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ngs, nsel, sels = [], [], [], []
+            for doc_id, hs in zip(pdf["doc_id"].values, pdf["h"]):
+                h = np.asarray(hs, dtype="int64")
+                n = len(h)
+                if n <= w:
+                    # single window over the whole (possibly short) doc:
+                    # rightmost min = first min of the reversed array
+                    pos = np.array(
+                        [n - 1 - int(np.argmin(h[::-1]))], dtype="int64"
+                    )
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(h, w)
+                    # argmin on the reversed windows returns the FIRST
+                    # minimum of the reversal = the RIGHTMOST in the
+                    # original window
+                    rev_arg = np.argmin(win[:, ::-1], axis=1)
+                    pos = np.unique(
+                        np.arange(n - w + 1, dtype="int64") + (w - 1 - rev_arg)
+                    )
+                ids.append(doc_id)
+                ngs.append(n)
+                nsel.append(len(pos))
+                sels.append(h[pos])
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_grams": ngs, "n_selected": nsel,
+                 "sel": sels}
+            )
+
+    picked = g.mapInPandas(
+        select_mins,
+        "doc_id long, n_grams long, n_selected long, sel array<long>",
     )
-    # selected position for the window starting at s: rightmost argmin
-    # of h[s .. s+w-1] (<= keeps the later position on ties)
-    sel = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_grams - w, F.lit(0))),
-        lambda s: F.aggregate(
-            F.slice("h", s + 1, F.lit(w)),
-            init,
-            lambda acc, x: F.struct(
-                F.when(
-                    acc["bh"].isNull() | (x <= acc["bh"]), x
-                ).otherwise(acc["bh"]).alias("bh"),
-                F.when(
-                    acc["bh"].isNull() | (x <= acc["bh"]), s + acc["cp"]
-                ).otherwise(acc["bp"]).alias("bp"),
-                (acc["cp"] + 1).alias("cp"),
-            ),
-        )["bp"],
-    )
-    picked = F.array_sort(F.array_distinct(sel))
     fp = F.md5(
         F.array_join(
-            F.transform(
-                picked,
-                lambda p: F.element_at("h", (p + 1).cast("int")).cast(
-                    "string"
-                ),
-            ),
-            ",",
+            F.transform("sel", lambda x: x.cast("string")), ","
         )
     )
-    return g.select(
+    return picked.select(
         "doc_id",
-        n_grams.cast("bigint").alias("n_grams"),
-        F.size(picked).cast("bigint").alias("n_selected"),
+        "n_grams",
+        "n_selected",
         fp.alias("fp_hash"),
     ).orderBy("doc_id")
 

@@ -201,18 +201,19 @@ def test_quality_model_score_is_literal_projection(spark):
 
 
 def test_bloom_gate_is_inset_probe_no_probe_side_shuffle(spark):
-    """The Bloom incremental-dedup gate must stay an InSet hash probe
-    (Catalyst's >10-element isin compilation) over the new batch — no
-    Python eval, no sort-merge join, and the only exchanges belong to
-    the PRIOR side (distinct-hash agg + its broadcast): the trillion-row
-    probe side never shuffles."""
+    """The Bloom incremental-dedup gate must stay an O(1) literal-mask
+    probe over the new batch (r6: one m-slot array literal indexed with
+    element_at — replaced the r5 three-IN-list InSet form, which paid
+    ~6k plan literals per run) — no Python eval, no sort-merge join,
+    and the only exchanges belong to the PRIOR side (distinct-hash agg
+    + its broadcast): the trillion-row probe side never shuffles."""
     from pvsyst_pdf_parser_spark.training.crawl import (
         bloom_incremental_dedup,
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = _plan(bloom_incremental_dedup(docs))
-    assert " INSET " in p  # literal bit-set compiled to a hash probe
+    assert "element_at" in p  # literal bit-mask probed O(1) per hash
     assert "BroadcastHashJoin" in p  # exact verification is broadcast
     assert "SortMergeJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
@@ -514,9 +515,13 @@ def test_bm25_query_terms_are_broadcast(spark):
 
 
 def test_bpe_encode_is_jvm_projection_one_agg(spark):
-    """The chained-replace encode is pure JVM codegen over the word
-    explode — no Python in the plan; the only exchange is the final
-    doc_id re-agg."""
+    """The chained-replace encode is pure JVM codegen — no Python in
+    the plan — and since r6 it runs once per DISTINCT word (dictionary
+    encode): the plan is word-explode → distinct-word agg → encode
+    projection → join back → doc_id re-agg.  Exchanges: the distinct
+    agg, the (AQE-broadcastable) join alignment, and the final re-agg;
+    crucially the K-replace chain sits ABOVE the distinct, never on the
+    occurrence stream."""
     from pvsyst_pdf_parser_spark.training.bpe import bpe_encode_stats
 
     import __spark_entry__ as entry
@@ -524,7 +529,8 @@ def test_bpe_encode_is_jvm_projection_one_agg(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = _plan(bpe_encode_stats(docs, entry._bpe_merges()))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    assert p.count("Exchange") <= 2  # partial+final agg exchange pair
+    assert p.count("Exchange") <= 4  # distinct + join align + re-agg
+    assert "InMemoryTableScan" in p  # word frame persisted, not re-run
 
 
 def test_global_ranks_never_single_partition_window(spark):
