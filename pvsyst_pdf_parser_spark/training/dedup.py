@@ -797,7 +797,7 @@ def _unionfind_labels(
     :func:`connected_components_auto`.
 
     Only ever called on graphs the dispatcher has already counted at
-    ≤ ``small_edges`` (default 100k edges ≈ 1.6 MB of id pairs — the
+    ≤ ``small_edges`` (default 500k edges ≈ 8 MB of id pairs — the
     same size class Spark happily ``broadcast()``s as a join side).
     Collecting it is one bounded transfer, not an unbounded
     driver-side loop: the decision to collect is made from a
@@ -843,7 +843,7 @@ def connected_components_auto(
     pairs: DataFrame,
     a: str = "doc_a",
     b: str = "doc_b",
-    small_edges: int = 100_000,
+    small_edges: int = 500_000,
 ) -> DataFrame:
     """Size-dispatched connected components: driver union-find for
     broadcast-class pair sets, star contraction for everything bigger.
@@ -862,7 +862,7 @@ def connected_components_auto(
     The dispatch probe is a BOUNDED count — ``limit(small_edges+1)``
     — so deciding never scans a trillion-edge set; at 100 TB the probe
     reads just enough partitions to know the graph is big, and only a
-    graph PROVEN ≤ small_edges (1.6 MB of ids — broadcast-join size)
+    graph PROVEN ≤ small_edges (8 MB of ids — broadcast-join size)
     is ever collected.
 
     The pair frame is persisted (tracked) before the probe: candidate

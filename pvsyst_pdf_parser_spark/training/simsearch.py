@@ -50,43 +50,33 @@ def _dot(a, b):
     )
 
 
-def _dot_static(a, b, dim: int):
-    """Bit-identical twin of :func:`_dot` for KNOWN-width arrays, as a
-    flat expression instead of a higher-order-function fold.
-
-    Catalyst does not whole-stage-codegen ``zip_with``/``aggregate``
-    lambdas — every element is an interpreted, boxed evaluation, which
-    made the fold the hot spot of every pairwise-scored operator (guide
-    §4.1: prefer codegen-able built-ins).  The unrolled chain evaluates
-    the IDENTICAL IEEE float sequence — left-associated adds seeded at
-    0.0 (``aggregate``'s init), each term ``cast(double) * cast(double)``
-    — so every produced double matches the fold bit-for-bit (pinned by
-    tests/test_training_props.py::test_dot_static_bitwise)."""
-    acc = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + (
-            F.element_at(a, i).cast("double")
-            * F.element_at(b, i).cast("double")
-        )
-    return acc
-
-
 def cosine(a, b):
     return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
 
 
-def cosine_static(a, b, dim: int, n2a=None, n2b=None):
-    """``cosine`` with the unrolled dot and (optionally) PRE-COMPUTED
-    squared norms: the norm of a vector does not change per candidate
-    pair, so scored operators compute it once per row before the
-    pair join instead of twice per pair (3 folds/pair → 1 dot/pair).
-    Same expression tree as ``cosine`` — dot / sqrt(n2a * n2b) — over
-    bit-identical inputs, hence bit-identical output."""
+def cosine_static(a, b, dim: int = 64, n2a=None, n2b=None):
+    """``cosine`` with PRE-COMPUTED squared norms: the norm of a vector
+    does not change per candidate pair, so scored operators compute it
+    once per row before the pair join instead of twice per pair
+    (3 folds/pair → 1 fold/pair; measured 35.6 s → 7.8 s on the sf1.0
+    semdedup pair stage).  Same expression tree as ``cosine`` —
+    dot / sqrt(n2a * n2b) — over bit-identical inputs, hence
+    bit-identical output.
+
+    The cross dot stays the ``aggregate`` HOF fold DELIBERATELY: an
+    unrolled 64-term chain was tried in r6 and is execution-fast in a
+    plain projection, but Catalyst clones pair-filter expressions into
+    join conditions and collapses projections through them — three
+    inlined 64-term chains per condition ballooned the optimizer's tree
+    walk to ~100 s of pure DRIVER planning time on the semdedup pair
+    plan (no task ran at all).  A ~10-node fold keeps every clone cheap
+    to plan and costs one interpreted pass per pair at execution.
+    ``dim`` is kept for call-site documentation only."""
     if n2a is None:
-        n2a = _dot_static(a, a, dim)
+        n2a = _dot(a, a)
     if n2b is None:
-        n2b = _dot_static(b, b, dim)
-    return _dot_static(a, b, dim) / F.sqrt(n2a * n2b)
+        n2b = _dot(b, b)
+    return _dot(a, b) / F.sqrt(n2a * n2b)
 
 
 def _py_norm2(vec) -> float:
@@ -104,15 +94,20 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 5, k: int = 5,
     """Top-k cosine neighbors for vec_id < n_queries (broadcast join).
 
     Norms are computed ONCE per side before the cross join (a pair only
-    needs its cross dot), and every dot is the unrolled codegen form —
-    bit-identical to the fold (see :func:`_dot_static`)."""
+    needs its cross dot — see :func:`cosine_static`).  The candidate
+    side gets scan parallelism up front: a small SF's parquet is one
+    row group, and the broadcast cross join adds no exchange, so the
+    whole n_queries×corpus score would otherwise run on ONE core."""
+    from .dedup import ensure_scan_parallelism
+
+    emb = ensure_scan_parallelism(emb, key="vec_id")
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
-        _dot_static(F.col("embedding"), F.col("embedding"), dim).alias("q_n2"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("q_n2"),
     )
     cands = emb.select(
         F.col("vec_id").alias("cand_id"), "embedding",
-        _dot_static(F.col("embedding"), F.col("embedding"), dim).alias("c_n2"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("c_n2"),
     )
     scored = (
         F.broadcast(queries)
@@ -172,7 +167,7 @@ def lsh_bucket_ids(emb: DataFrame, dim: int = 64) -> DataFrame:
     out = emb
     bits = []
     for j in range(N_PLANES):
-        dot = _dot_static(F.col("embedding"), plane_expr(dim, j), dim)
+        dot = _dot(F.col("embedding"), plane_expr(dim, j))
         bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << j))
     bucket = bits[0]
     for b in bits[1:]:
@@ -254,11 +249,11 @@ def _exact_rescored(cands: DataFrame, emb: DataFrame, n_queries: int,
     ``cosine()`` fold."""
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
-        _dot_static(F.col("embedding"), F.col("embedding"), dim).alias("q_n2"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("q_n2"),
     )
     cside = emb.select(
         F.col("vec_id").alias("cand_id"), "embedding",
-        _dot_static(F.col("embedding"), F.col("embedding"), dim).alias("c_n2"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("c_n2"),
     )
     return (
         cands.join(F.broadcast(queries), "query_id")
@@ -517,7 +512,9 @@ def embedding_neardup_pairs(
     bounded by per-bucket occupancy × bands; raise ``planes_per_band``
     with corpus size to keep buckets small (see module docstring)."""
     from .cache import persist_tracked
+    from .dedup import ensure_scan_parallelism
 
+    emb = ensure_scan_parallelism(emb, key="vec_id")
     # the bucket frame self-joins: persist so the matmul projection runs
     # once, not once per join side (mapInPandas output is not reused by
     # the optimizer otherwise); tracked for cache.release_persisted()
@@ -531,7 +528,7 @@ def embedding_neardup_pairs(
         )
         .distinct()
     )
-    n2 = _dot_static(F.col("embedding"), F.col("embedding"), dim)
+    n2 = _dot(F.col("embedding"), F.col("embedding"))
     ea = emb.select(F.col("vec_id").alias("id_a"),
                     F.col("embedding").alias("emb_a"), n2.alias("n2_a"))
     eb = emb.select(F.col("vec_id").alias("id_b"),
@@ -964,8 +961,14 @@ def semdedup_keepers(
     candidates, min-id keeper) in both candidate topology and keeper
     rule — this is the published centroid-partitioned variant."""
     from .cache import persist_tracked
-    from .dedup import connected_components_auto
+    from .dedup import connected_components_auto, ensure_scan_parallelism
 
+    # one cheap exchange buys full parallelism for the whole chain: the
+    # assign map stage, the persisted members cache, and the pair join
+    # (which plans as a BROADCAST hash join here — no exchange of its
+    # own — so it inherits whatever partitioning members has; on a
+    # one-row-group scan that was ONE core doing every pairwise cosine)
+    emb = ensure_scan_parallelism(emb, key="vec_id")
     spark = emb.sparkSession
     if centroids is None:
         cents = [centroid_values(dim, c) for c in range(n_cells)]
@@ -985,7 +988,7 @@ def semdedup_keepers(
         assign.select("vec_id", "cell").join(
             emb.select(
                 "vec_id", "embedding",
-                _dot_static(F.col("embedding"), F.col("embedding"), dim)
+                _dot(F.col("embedding"), F.col("embedding"))
                 .alias("n2"),
             ),
             "vec_id",
@@ -1054,7 +1057,7 @@ def semdedup_keepers(
 def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 3, dim: int = 64) -> DataFrame:
     """ANN top-k restricted to same-bucket candidates (the scale path)."""
     buckets = lsh_bucket_ids(emb, dim)
-    n2 = _dot_static(F.col("embedding"), F.col("embedding"), dim)
+    n2 = _dot(F.col("embedding"), F.col("embedding"))
     with_bucket = emb.select("vec_id", "embedding", n2.alias("n2")).join(
         buckets, "vec_id"
     )
@@ -1396,7 +1399,7 @@ def jl_project(emb: DataFrame, dim: int = 64, out_dim: int = 16) -> DataFrame:
     array (constant-folded by Catalyst, codegen'd, zero shuffle): a pure
     map stage whatever the corpus size, exactly like pq_encode."""
     comps = [
-        _dot_static(F.col("embedding"), jl_sign_expr(dim, j), dim)
+        _dot(F.col("embedding"), jl_sign_expr(dim, j))
         for j in range(out_dim)
     ]
     return emb.select("vec_id", F.array(*comps).alias("proj"))
@@ -1418,11 +1421,14 @@ def jl_recall_report(
     here is the brute-force demo form; at scale the projected frame
     feeds the same multiband/IVF indexes (the report quantifies the
     recall cost of the compression alone)."""
+    from .dedup import ensure_scan_parallelism
+
+    emb = ensure_scan_parallelism(emb, key="vec_id")
     truth = brute_force_topk(emb, n_queries=n_queries, k=k, dim=dim).select(
         "query_id", "cand_id"
     )
     proj = jl_project(emb, dim=dim, out_dim=out_dim)
-    p_n2 = _dot_static(F.col("proj"), F.col("proj"), out_dim)
+    p_n2 = _dot(F.col("proj"), F.col("proj"))
     queries = proj.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("proj").alias("q_proj"),
         p_n2.alias("q_n2"),
@@ -1597,7 +1603,11 @@ def kcenter_coreset_trace(emb: DataFrame, k: int = 8,
     O(nk²)); at demo scale the recompute is cheaper than the cache
     churn."""
     from .cache import persist_tracked
+    from .dedup import ensure_scan_parallelism
 
+    # one cheap exchange → the per-round distance scans use every core
+    # (the raw scan is one row group at small SFs)
+    emb = ensure_scan_parallelism(emb, key="vec_id")
     # one materialized scan shared by all k rounds (the parquet decode
     # would otherwise re-run per round; the centers change, the data
     # never does); ‖e‖² rides along so every round pays one dot per
@@ -1607,7 +1617,7 @@ def kcenter_coreset_trace(emb: DataFrame, k: int = 8,
     emb = persist_tracked(
         emb.select(
             "vec_id", "embedding",
-            _dot_static(F.col("embedding"), F.col("embedding"), dim)
+            _dot(F.col("embedding"), F.col("embedding"))
             .alias("n2"),
         )
     )
@@ -1695,14 +1705,14 @@ def cluster_silhouette_report(
     def _sq_l2(c_col, cn2_col):
         e = F.col("embedding")
         return F.round(
-            F.col("n2") - F.lit(2.0) * _dot_static(e, c_col, dim) + cn2_col,
+            F.col("n2") - F.lit(2.0) * _dot(e, c_col) + cn2_col,
             6,
         )
 
     m = (
         emb.select(
             "vec_id", "embedding",
-            _dot_static(F.col("embedding"), F.col("embedding"), dim)
+            _dot(F.col("embedding"), F.col("embedding"))
             .alias("n2"),
         )
         .join(own, "vec_id")

@@ -1255,14 +1255,14 @@ def test_incremental_cluster_labels_match_batch(spark, docs):
     assert inc == batch
 
 
-def test_dot_static_bitwise_matches_fold(spark, emb):
-    """The unrolled codegen dot/cosine (r6 optimization) must be
-    BIT-identical to the aggregate-fold form on real embeddings — the
-    same left-associated IEEE chain, so not approximately equal:
-    exactly equal, doubles compared raw."""
+def test_cosine_static_bitwise_matches_cosine(spark, emb):
+    """The precomputed-norm cosine (r6 optimization) must be
+    BIT-identical to the inline-norm form on real embeddings — the same
+    IEEE expression over the same operands, so not approximately equal:
+    exactly equal, doubles compared raw — including when the norms come
+    in as already-computed columns (the pair-join call shape)."""
     from pvsyst_pdf_parser_spark.training.simsearch import (
         _dot,
-        _dot_static,
         _py_norm2,
         cosine,
         cosine_static,
@@ -1270,15 +1270,17 @@ def test_dot_static_bitwise_matches_fold(spark, emb):
 
     pairs = emb.alias("a").crossJoin(
         emb.limit(5).select(F.col("embedding").alias("e2"))
-    )
+    ).withColumn("n2a", _dot(F.col("embedding"), F.col("embedding"))) \
+     .withColumn("n2b", _dot(F.col("e2"), F.col("e2")))
     cmp = pairs.select(
-        _dot(F.col("embedding"), F.col("e2")).alias("old"),
-        _dot_static(F.col("embedding"), F.col("e2"), 64).alias("new"),
         cosine(F.col("embedding"), F.col("e2")).alias("oldc"),
         cosine_static(F.col("embedding"), F.col("e2"), 64).alias("newc"),
+        cosine_static(F.col("embedding"), F.col("e2"), 64,
+                      F.col("n2a"), F.col("n2b")).alias("newc_cols"),
     )
     assert cmp.filter(
-        (F.col("old") != F.col("new")) | (F.col("oldc") != F.col("newc"))
+        (F.col("oldc") != F.col("newc"))
+        | (F.col("oldc") != F.col("newc_cols"))
     ).count() == 0
     # driver-side norm literal matches the distributed fold bitwise
     row = emb.select(
