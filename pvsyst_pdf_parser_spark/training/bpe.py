@@ -45,7 +45,9 @@ BPE_MAX_WORD_LEN = 32
 def _word_table(docs: DataFrame, max_word_len: int) -> DataFrame:
     """(word, cnt) over lowercase [a-z]+ tokens — the ONE corpus-wide
     shuffle of the whole training run."""
-    toks = docs.select(
+    from .dedup import ensure_scan_parallelism
+
+    toks = ensure_scan_parallelism(docs).select(
         F.explode(
             F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
         ).alias("word")
@@ -169,8 +171,10 @@ def bpe_encode_stats(
     # instead of re-encoding every one of the corpus' word OCCURRENCES
     # (guide §1.2 step 1: don't compute things you throw away).  The
     # word frame fans out to the distinct + the join — persist it.
+    from .dedup import ensure_scan_parallelism
+
     words = persist_tracked(
-        docs.select(
+        ensure_scan_parallelism(docs).select(
             "doc_id",
             F.posexplode(
                 F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
@@ -238,8 +242,10 @@ def bpe_fertility_stats(
 
     # r6: dictionary encode — K-replace chain per DISTINCT word, joined
     # back to the occurrences (see bpe_encode_stats)
+    from .dedup import ensure_scan_parallelism
+
     words = persist_tracked(
-        docs.select(
+        ensure_scan_parallelism(docs).select(
             "lang",
             F.explode(
                 F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")

@@ -87,6 +87,9 @@ def mojibake_repair_stats(docs: DataFrame) -> DataFrame:
     which the oracle replays exactly."""
     dirty = F.concat(F.col("text"), inject_mojibake(F.col("doc_id")))
     clean = fix_mojibake(dirty)
+    from .dedup import ensure_scan_parallelism
+
+    docs = ensure_scan_parallelism(docs)
     return docs.select(
         "doc_id",
         F.regexp_count(dirty, F.lit(ARTIFACT_PAT)).cast("bigint")

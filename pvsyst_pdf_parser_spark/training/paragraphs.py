@@ -31,6 +31,11 @@ def doc_paragraphs(
     """(doc_id, pos, para): consecutive ``para_tokens``-word chunks of
     the lowercased text, pos 0-based.  The final chunk keeps its
     natural (shorter) length."""
+    from .dedup import ensure_scan_parallelism
+
+    # chunk strings are built row-locally over the whole corpus — buy
+    # full parallelism on a degenerate scan (no-op at real split counts)
+    docs = ensure_scan_parallelism(docs)
     tokens = F.split(F.lower(F.col(text_col)), " ", -1)
     n_chunks = F.ceil(F.size(tokens) / F.lit(para_tokens)).cast("int")
     chunks = F.transform(
@@ -207,7 +212,9 @@ def intradoc_line_dedup_report(
     first in real pipelines.
 
     Returns (doc_id, n_sents, n_removed, clean_text)."""
-    base = docs.select(
+    from .dedup import ensure_scan_parallelism
+
+    base = ensure_scan_parallelism(docs).select(
         "doc_id", _doc_sentences_col("text", sent_tokens).alias("sents")
     )
     kept = F.array_distinct("sents")

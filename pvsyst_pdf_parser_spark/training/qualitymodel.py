@@ -164,6 +164,10 @@ def quality_model_report(
     n_agree, agree_rate) — model score vs the rule-gate weak label it
     was trained against.  The pos/neg score split makes a degenerate
     constant predictor visible (the two means collapse)."""
+    from .dedup import ensure_scan_parallelism
+
+    # per-token md5 fold over a 2-row-group scan would run on 2 cores
+    docs = ensure_scan_parallelism(docs)
     labeled = weak_quality_label(docs)
     score = hashed_bow_score(F.col("text"), weights, bias)
     scored = labeled.select(
@@ -219,6 +223,9 @@ def quality_reliability_report(
     projection (token fold over frozen broadcast-literal weights — the
     same expression the model gate itself runs) and ONE aggregation
     with ``n_bins`` groups, map-side combined.  No join, no window."""
+    from .dedup import ensure_scan_parallelism
+
+    docs = ensure_scan_parallelism(docs)
     labeled = weak_quality_label(docs)
     score_ppm = F.round(
         hashed_bow_score(F.col("text"), weights, bias) * 1_000_000.0, 0

@@ -832,8 +832,11 @@ def span_corruption_stats(
     Distributed shape at 10^12 documents: entirely ROW-LOCAL (split +
     nested HOFs over the token index — no UDF, no shuffle of any
     kind); the output is a pure projection of the corpus."""
+    from .dedup import ensure_scan_parallelism
+
     toks = F.expr("filter(split(text, ' ', -1), t -> t <> '')")
-    base = docs.select("doc_id", toks.alias("__toks"))
+    # per-position md5 HOFs over a 2-row-group scan would run on 2 cores
+    base = ensure_scan_parallelism(docs).select("doc_id", toks.alias("__toks"))
     with_starts = base.select(
         "doc_id",
         F.size("__toks").cast("bigint").alias("n_tokens"),

@@ -37,7 +37,9 @@ CMS_TOP = 10              # tracked heavy hitters
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
-    return docs.select(
+    from .dedup import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(docs).select(
         "source",
         F.explode(
             F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")

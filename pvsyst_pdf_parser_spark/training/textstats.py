@@ -178,6 +178,12 @@ def quality_scores_v2(docs: DataFrame, sample_mod: int = 10) -> DataFrame:
     ``quality2_score`` is the fraction of rules passed.  Everything is
     split/replace/distinct arithmetic with exact DuckDB equivalents;
     one projection, no shuffle — at 100 TB this is a pure map stage."""
+    from .dedup import ensure_scan_parallelism
+
+    # heavy row-local regex/split work over a 2-row-group scan would
+    # run on 2 cores — one cheap exchange buys full parallelism (r6;
+    # no-op at real split counts)
+    docs = ensure_scan_parallelism(docs)
     text = F.col("text")
     toks = F.split(text, r" ", -1)
     n_tokens = F.size(toks)
@@ -227,7 +233,11 @@ def repetition_stats(docs: DataFrame, n: int = 5, sample_mod: int = 10) -> DataF
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = docs.filter(F.col("doc_id") % sample_mod == 0).select(
+    from .dedup import ensure_scan_parallelism
+
+    g = ensure_scan_parallelism(
+        docs.filter(F.col("doc_id") % sample_mod == 0)
+    ).select(
         "doc_id", F.explode(grams).alias("gram")
     )
     per = g.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
@@ -296,8 +306,12 @@ def cleaning_gate_exprs():
 def gate_flags(docs: DataFrame) -> DataFrame:
     """(doc_id, source, text, n_tokens, pass_lang, pass_quality) — the
     stateless gates of :func:`cleaning_gate_exprs` as one projection."""
+    from .dedup import ensure_scan_parallelism
+
     pass_lang, pass_quality = cleaning_gate_exprs()
-    return docs.select(
+    # the gate expressions are heavy row-local split/replace chains —
+    # parallelize a degenerate scan once for every funnel consumer
+    return ensure_scan_parallelism(docs).select(
         "doc_id", "source", "text",
         F.size(F.split(F.col("text"), r" ", -1)).alias("n_tokens"),
         pass_lang.alias("pass_lang"),
@@ -464,13 +478,13 @@ def unigram_logprob_scores(
     through the doc-keyed aggregation — they are functionally dependent
     on doc_id, so widening the groupBy key costs nothing and saves the
     caller a doc-keyed join back against the corpus."""
-    from .dedup import persist_tracked
+    from .dedup import ensure_scan_parallelism, persist_tracked
 
     # fan-out roots (r6): `toks` feeds the vocab count AND the scoring
     # join; `freq` feeds the corpus total AND the broadcast model —
     # persist both so the corpus explode runs once
     toks = persist_tracked(
-        docs.filter(F.col("doc_id") % sample_mod == 0)
+        ensure_scan_parallelism(docs.filter(F.col("doc_id") % sample_mod == 0))
         .select(
             "doc_id",
             *carry,
@@ -514,11 +528,11 @@ def vocab_coverage_stats(docs: DataFrame, vocab_size: int = 256) -> DataFrame:
     exploded corpus → per-source agg.  The corpus side shuffles once
     for the count and once for the source report; oov_ppm is exact
     integer arithmetic so both engines agree bit-for-bit."""
-    from .dedup import persist_tracked
+    from .dedup import ensure_scan_parallelism, persist_tracked
 
     # `toks` feeds the vocab selection AND the per-source OOV agg —
     # persist so the corpus explode runs once, not twice (r6)
-    toks = persist_tracked(docs.select(
+    toks = persist_tracked(ensure_scan_parallelism(docs, key="source").select(
         "source",
         F.explode(
             F.filter(F.split("text", " ", -1), lambda x: x != "")
@@ -568,7 +582,9 @@ def bigram_logprob_scores(
     toks_arr = F.filter(
         F.split(F.lower("text"), " ", -1), lambda x: x != ""
     )
-    base = docs.select("doc_id", toks_arr.alias("t"))
+    from .dedup import ensure_scan_parallelism
+
+    base = ensure_scan_parallelism(docs).select("doc_id", toks_arr.alias("t"))
     toku = base.select("doc_id", F.explode("t").alias("tok"))
     # fan-out roots (r6, same treatment as kneser_ney_scores): `uni`
     # feeds the vocab-size scalar AND the scoring broadcast; `pairs`
@@ -630,7 +646,9 @@ def char_entropy_stats(docs: DataFrame) -> DataFrame:
     agg + one doc agg: two map-side-combining shuffles at any corpus
     size.  Rounded to 4 decimals so float summation order can never
     flip the hash (same policy as the LM scores)."""
-    chars = docs.select(
+    from .dedup import ensure_scan_parallelism
+
+    chars = ensure_scan_parallelism(docs).select(
         "doc_id",
         F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("ch"),
     )
@@ -658,7 +676,9 @@ def type_token_ratio_stats(docs: DataFrame) -> DataFrame:
     Same two-level agg shape as the entropy stat: per-(doc, token)
     count then per-doc fold — never a countDistinct over the raw token
     stream, so both shuffles partial-aggregate map-side."""
-    toks = docs.select(
+    from .dedup import ensure_scan_parallelism
+
+    toks = ensure_scan_parallelism(docs).select(
         "doc_id",
         F.explode(
             F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
@@ -747,7 +767,9 @@ def script_mix_report(docs: DataFrame) -> DataFrame:
     Scale shape: one pure projection (five regexp_replace + length
     per row, zero shuffle at any corpus size) + the presentation sort.
     All arithmetic is integer DIV — bit-equal to the DuckDB oracle."""
-    synth = synth_script_text(docs)
+    from .dedup import ensure_scan_parallelism
+
+    synth = synth_script_text(ensure_scan_parallelism(docs))
     n_chars = F.length(F.regexp_replace("text", r"\s", ""))
     counts = [
         F.length(
@@ -1113,9 +1135,11 @@ def corpus_datasheet(docs: DataFrame) -> DataFrame:
     funnel's: one text-keyed exchange + one tiny-key agg."""
     from pyspark.sql import Window
 
+    from .dedup import ensure_scan_parallelism
+
     pass_lang, pass_quality = cleaning_gate_exprs()
     w = Window.partitionBy("text").orderBy("doc_id")
-    per = docs.select(
+    per = ensure_scan_parallelism(docs).select(
         "source",
         "lang",
         F.size(F.split(F.col("text"), r" ", -1)).alias("n_tokens"),
@@ -1174,7 +1198,9 @@ def kneser_ney_scores(
     from .dedup import persist_tracked
 
     toks_arr = F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
-    base = docs.select("doc_id", toks_arr.alias("t"))
+    from .dedup import ensure_scan_parallelism
+
+    base = ensure_scan_parallelism(docs).select("doc_id", toks_arr.alias("t"))
     # FAN-OUT ROOTS (r6): `pairs` feeds the model-table aggregations AND
     # the scoring join, and `bi_full` feeds FOUR derived tables (left,
     # right, nbt, pruned bi) — unpersisted, Catalyst re-executed the
@@ -1271,7 +1297,7 @@ def zipf_heaps_report(docs: DataFrame, top_k: int = 256) -> DataFrame:
     combined).  Values are rounded to 4 places — the regression sums
     are O(top_k) doubles built from identical integer counts on both
     engines, so rounding absorbs association-order noise."""
-    from .dedup import persist_tracked
+    from .dedup import ensure_scan_parallelism, persist_tracked
 
     toks = F.explode(
         F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
@@ -1279,7 +1305,8 @@ def zipf_heaps_report(docs: DataFrame, top_k: int = 256) -> DataFrame:
     # counts feeds the totals AND the top-k regression — persist the
     # vocab-sized table so the corpus token explode runs once (r6)
     counts = persist_tracked(
-        docs.select(toks).groupBy("tok").agg(F.count("*").alias("c"))
+        ensure_scan_parallelism(docs).select(toks)
+        .groupBy("tok").agg(F.count("*").alias("c"))
     )
     totals = counts.agg(
         F.sum("c").cast("bigint").alias("n_tokens"),
@@ -1339,12 +1366,17 @@ def distinct_ngram_diversity(docs: DataFrame) -> DataFrame:
     one genuinely corpus-sized state here; the documented swap is
     approx_count_distinct (HLL) per (source, n) — one pass, no
     per-gram shuffle — once ±2% is acceptable."""
-    from .dedup import persist_tracked
+    from .dedup import ensure_scan_parallelism, persist_tracked
 
     toks = F.filter(F.split(F.lower("text"), " ", -1), lambda x: x != "")
     # the tokenized base feeds both n-gram orders — persist it so the
-    # scan + lower + split chain runs once, not once per order (r6)
-    base = persist_tracked(docs.select("source", toks.alias("t")))
+    # scan + lower + split chain runs once, not once per order (r6),
+    # and repartition the degenerate scan first
+    base = persist_tracked(
+        ensure_scan_parallelism(docs, key="source").select(
+            "source", toks.alias("t")
+        )
+    )
     uni = base.select("source", F.lit(1).alias("n"),
                       F.explode("t").alias("gram"))
     bi = base.filter(F.size("t") >= 2).select(

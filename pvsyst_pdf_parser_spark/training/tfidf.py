@@ -36,8 +36,10 @@ from .rankutil import topk_with_rank
 
 def doc_term_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, term, tf): whitespace tokens of the lowercased text."""
+    from .dedup import ensure_scan_parallelism
+
     return (
-        docs.select(
+        ensure_scan_parallelism(docs).select(
             "doc_id",
             F.explode(F.split(F.lower(F.col(text_col)), " ", -1)).alias("term"),
         )

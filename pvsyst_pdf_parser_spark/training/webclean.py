@@ -71,7 +71,11 @@ def pii_scrub_stats(docs: DataFrame) -> DataFrame:
             d % 4 == 0, F.format_string(" call 555-01%d-%04d", d % 10, d % 10000)
         ).otherwise(F.lit("")),
     )
-    return docs.select(
+    from .dedup import ensure_scan_parallelism
+
+    # four corpus-wide regex passes per row — parallelize a degenerate
+    # 2-row-group scan (no-op at real split counts)
+    return ensure_scan_parallelism(docs).select(
         "doc_id",
         F.regexp_count(dirty, F.lit(EMAIL_PAT)).cast("bigint").alias("n_emails"),
         F.regexp_count(dirty, F.lit(IPV4_PAT)).cast("bigint").alias("n_ips"),
@@ -197,9 +201,11 @@ def c4_line_filter_report(
     kept_digest) — the C4 line filters plus the page verdict, with the
     retained text md5-digested so both engines verify every surviving
     byte, not just the counts."""
+    from .dedup import ensure_scan_parallelism
+
     kept = _C4_LINE_KEPT.format(mw=min_words)
     lines = (
-        docs.select(
+        ensure_scan_parallelism(docs).select(
             "doc_id",
             F.expr("filter(split(text, ' ', -1), t -> t <> '')").alias(
                 "__toks"
@@ -359,11 +365,14 @@ def badwords_filter_report(
     per-(source, flagged) — bounded by the flag rate, and at real
     scale the digest column is dropped or replaced by the xxhash64
     bit_xor running checksum."""
+    from .dedup import ensure_scan_parallelism
+
     toks = F.split(F.lower("text"), "[^a-z0-9]+", -1)
     hit = F.arrays_overlap(
         toks, F.array(*[F.lit(w) for w in blockwords])
     ).cast("int")
-    per = docs.select("source", "doc_id", hit.alias("flagged"))
+    per = ensure_scan_parallelism(docs).select(
+        "source", "doc_id", hit.alias("flagged"))
     return (
         per.groupBy("source")
         .agg(
