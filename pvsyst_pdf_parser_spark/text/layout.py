@@ -66,7 +66,12 @@ def synth_word_boxes(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     positions are integral doubles, so Spark and the DuckDB oracle
     agree bit-exactly.
     """
-    toks = docs.select(
+    from ..training.dedup import ensure_scan_parallelism
+
+    # the explode + downstream doc-keyed windows inherit the scan's
+    # split count; a degenerate two-split scan would run the whole box
+    # synthesis on two cores (r6 dispatch — no-op at real split counts)
+    toks = ensure_scan_parallelism(docs, key=key).select(
         key, F.posexplode(F.split("text", " ", -1)).alias("pos", "tok")
     ).filter(F.col("tok") != "")
     w = Window.partitionBy(key).orderBy("pos")

@@ -81,7 +81,19 @@ def _shingle_array(n: int, text_col: str = "text"):
 
 def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
-    """(id, shingle) — distinct word n-gram shingles per document."""
+    """(id, shingle) — distinct word n-gram shingles per document.
+
+    Routed through the small-input parallelism dispatch (r6): the
+    shingle HOF + explode is the CPU of every pair operator, and on a
+    degenerate two-split scan it ran on two cores (measured 21 s of a
+    ~30 s query at sf1.0); the dispatch is a no-op at real split
+    counts."""
+    # dispatch on doc_id when present: a low-cardinality id_col (e.g.
+    # source_overlap's per-source shingles) would collapse the
+    # repartition to a handful of slots
+    docs = ensure_scan_parallelism(
+        docs, key="doc_id" if "doc_id" in docs.columns else id_col
+    )
     return docs.select(F.col(id_col).alias("doc_id"),
                        F.explode(_shingle_array(n, text_col)).alias("shingle"))
 
@@ -100,6 +112,9 @@ def doc_shingles_sized(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     through an exchange to fetch an 8-byte count that was known at
     explode time (guide §2.3/§2.4: shuffle fewer bytes, remove shuffles
     outright)."""
+    docs = ensure_scan_parallelism(
+        docs, key="doc_id" if "doc_id" in docs.columns else id_col
+    )
     return docs.select(
         F.col(id_col).alias("doc_id"), _shingle_array(n, text_col).alias("__sh")
     ).select(
@@ -435,7 +450,9 @@ def simhash(docs: DataFrame, bits: int = 16, sample_mod: int = 10) -> DataFrame:
     folding them as agg columns instead of exploded rows is
     value-identical while shuffling ``bits``× fewer rows (guide §2.3
     "aggregate before you shuffle")."""
-    docs = docs.filter(F.col("doc_id") % sample_mod == 0)
+    docs = ensure_scan_parallelism(
+        docs.filter(F.col("doc_id") % sample_mod == 0)
+    )
     tokens = docs.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), " ", -1)).alias("token"),
@@ -1625,34 +1642,42 @@ def detector_agreement(docs: DataFrame, sample_mod: int = 10) -> DataFrame:
     bucket-join plans; the comparison is ONE full outer join on the
     (doc_a, doc_b) key — pair sets are orders of magnitude smaller
     than the corpus — and a single-row aggregate."""
-    mh = (
+    # r6: the r5 form FULL-OUTER-joined the two pair sets (the simhash
+    # side is millions of rows at sf1.0) only to count rows.  The same
+    # four numbers fall out of three bounded aggregates over the
+    # persisted pair frames — n_union = n_mh + n_sp − n_both, which is
+    # exactly the full join's count(*) — so the output row is
+    # arithmetic-identical (same operands into the same round/divide)
+    # without a pair-set-sized outer-join exchange.
+    mh = persist_tracked(
         minhash_lsh_verified(docs, sample_mod=sample_mod)
         .select("doc_a", "doc_b")
-        .withColumn("in_mh", F.lit(1))
     )
-    sp = (
+    sp = persist_tracked(
         simhash_neardup_pairs(docs, sample_mod=sample_mod)
         .select("doc_a", "doc_b")
-        .withColumn("in_sp", F.lit(1))
     )
-    j = mh.join(sp, ["doc_a", "doc_b"], "full")
-    return j.agg(
-        F.count("in_mh").alias("n_minhash_pairs"),
-        F.count("in_sp").alias("n_simhash_pairs"),
-        F.sum(
-            (F.col("in_mh").isNotNull() & F.col("in_sp").isNotNull()).cast(
-                "int"
-            )
-        ).cast("bigint").alias("n_both"),
-        F.round(
-            F.sum(
-                (
-                    F.col("in_mh").isNotNull() & F.col("in_sp").isNotNull()
-                ).cast("int")
-            )
-            / F.count("*"),
-            4,
-        ).alias("pair_jaccard"),
+    n_mh = mh.agg(F.count("*").alias("n_minhash_pairs"))
+    n_sp = sp.agg(F.count("*").alias("n_simhash_pairs"))
+    n_both = sp.join(mh, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_both")
+    )
+    return (
+        n_mh.crossJoin(F.broadcast(n_sp))
+        .crossJoin(F.broadcast(n_both))
+        .select(
+            "n_minhash_pairs",
+            "n_simhash_pairs",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (
+                    F.col("n_minhash_pairs") + F.col("n_simhash_pairs")
+                    - F.col("n_both")
+                ),
+                4,
+            ).alias("pair_jaccard"),
+        )
     )
 
 

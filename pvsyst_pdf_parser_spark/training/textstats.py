@@ -532,7 +532,7 @@ def vocab_coverage_stats(docs: DataFrame, vocab_size: int = 256) -> DataFrame:
 
     # `toks` feeds the vocab selection AND the per-source OOV agg —
     # persist so the corpus explode runs once, not twice (r6)
-    toks = persist_tracked(ensure_scan_parallelism(docs, key="source").select(
+    toks = persist_tracked(ensure_scan_parallelism(docs).select(
         "source",
         F.explode(
             F.filter(F.split("text", " ", -1), lambda x: x != "")
@@ -1373,9 +1373,9 @@ def distinct_ngram_diversity(docs: DataFrame) -> DataFrame:
     # scan + lower + split chain runs once, not once per order (r6),
     # and repartition the degenerate scan first
     base = persist_tracked(
-        ensure_scan_parallelism(docs, key="source").select(
-            "source", toks.alias("t")
-        )
+        # dispatch keyed by doc_id: `source` has a handful of distinct
+        # values, which would collapse the repartition to as few slots
+        ensure_scan_parallelism(docs).select("source", toks.alias("t"))
     )
     uni = base.select("source", F.lit(1).alias("n"),
                       F.explode("t").alias("gram"))
