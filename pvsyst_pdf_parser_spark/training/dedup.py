@@ -1241,10 +1241,18 @@ def simhash_estimate_calibration(
     thresholds at a trillion documents — the ±√(θ(π−θ)/bits)/π
     binomial error is visible directly in err_ppm.
 
-    Shape at scale: candidate pairs come from the bounded pigeonhole
-    equi-join (never all-pairs); the dot products touch only candidate
-    pairs via two token-keyed joins of the persisted per-doc token
-    counts; the norms are one map-side-combined agg."""
+    Shape at scale (r6): candidate pairs come from the Hamming-ball
+    enumeration (never all-pairs).  For the exact side the vocabulary
+    is probed with a BOUNDED count first: when it fits the dense-model
+    budget (the same broadcast-model-table class as the unigram/bigram
+    LM scorers), each doc's token counts become ONE dense bigint vector
+    over the collected vocab and every pair pays a V-term exact-integer
+    dot inside a projection over two broadcast joins — no token-keyed
+    expansion at all.  Integer sums are order-free, so the dot is
+    bit-identical to the r5 token-join aggregation (which remains the
+    fallback for vocabularies too large to collect: two token-keyed
+    joins of the persisted count frame).  The norms stay one
+    map-side-combined agg either way."""
     # the 16-votes-per-token fingerprint explode and the token-count
     # build both scan docs — parallelize a degenerate scan once
     docs = ensure_scan_parallelism(docs)
@@ -1268,24 +1276,56 @@ def simhash_estimate_calibration(
     norms = tc.groupBy("doc_id").agg(
         F.sum(F.col("c") * F.col("c")).alias("n2")
     )
-    dots = (
-        pairs.join(
-            tc.select(
-                F.col("doc_id").alias("doc_a"), "token",
-                F.col("c").alias("ca"),
-            ),
-            "doc_a",
-        )
-        .join(
-            tc.select(
-                F.col("doc_id").alias("doc_b"), "token",
-                F.col("c").alias("cb"),
-            ),
-            ["doc_b", "token"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+
+    # dense-vocab dispatch: a bounded limit-probe, never a full count
+    max_dense_vocab = 4096
+    vocab_rows = (
+        tc.select("token").distinct().limit(max_dense_vocab + 1).collect()
     )
+    if len(vocab_rows) <= max_dense_vocab:
+        vocab = sorted(r["token"] for r in vocab_rows)
+        vlit = F.array(*[F.lit(t) for t in vocab])
+        vec = F.transform(
+            vlit, lambda t: F.coalesce(F.element_at("m", t), F.lit(0).cast("bigint"))
+        )
+        tvec = (
+            tc.groupBy("doc_id")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("token", "c"))).alias("m"))
+            .select("doc_id", vec.alias("v"))
+        )
+        va = tvec.select(F.col("doc_id").alias("doc_a"), F.col("v").alias("va"))
+        vb = tvec.select(F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"))
+        dot_expr = None
+        for i in range(1, len(vocab) + 1):
+            term = F.element_at("va", i) * F.element_at("vb", i)
+            dot_expr = term if dot_expr is None else dot_expr + term
+        # hamming rides the projection — no pair-keyed re-join needed
+        base = (
+            pairs.join(va, "doc_a")
+            .join(vb, "doc_b")
+            .select("doc_a", "doc_b", "hamming", dot_expr.alias("dot"))
+        )
+    else:
+        dots = (
+            pairs.join(
+                tc.select(
+                    F.col("doc_id").alias("doc_a"), "token",
+                    F.col("c").alias("ca"),
+                ),
+                "doc_a",
+            )
+            .join(
+                tc.select(
+                    F.col("doc_id").alias("doc_b"), "token",
+                    F.col("c").alias("cb"),
+                ),
+                ["doc_b", "token"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        )
+        base = pairs.join(dots, ["doc_a", "doc_b"], "left")
     lookup = F.array(
         *[F.lit(v) for v in simhash_cos_lookup_ppm(bits)]
     )
@@ -1298,7 +1338,7 @@ def simhash_estimate_calibration(
         0,
     ).cast("bigint")
     return (
-        pairs.join(dots, ["doc_a", "doc_b"], "left")
+        base
         .join(norms.select(F.col("doc_id").alias("doc_a"),
                            F.col("n2").alias("n2_a")), "doc_a")
         .join(norms.select(F.col("doc_id").alias("doc_b"),
