@@ -266,9 +266,9 @@ def bloom_incremental_dedup(docs: DataFrame) -> DataFrame:
     # analysis/codegen time at this query's size — a constant cost paid
     # per run).  p ∈ bits ⟺ mask[p] = 1, value-identical.
     bitset = set(bits)
-    mask = F.array(*[
-        F.lit(1 if i in bitset else 0) for i in range(BLOOM_M)
-    ])
+    # one Py4J call for the whole mask literal (BLOOM_M F.lit calls
+    # cost ~1 s of driver time per build)
+    mask = F.lit([1 if i in bitset else 0 for i in range(BLOOM_M)])
     maybe = F.element_at(mask, (probes[0] + 1).cast("int")) == 1
     for p in probes[1:]:
         maybe = maybe & (F.element_at(mask, (p + 1).cast("int")) == 1)

@@ -514,11 +514,16 @@ def simhash_neardup_pairs(
         for h in range(1, max_hamming + 1)
         for pos in combinations(range(bits), h)
     ]
-    mask_arr = F.array(*[
-        F.struct(F.lit(m).cast("bigint").alias("m"),
-                 F.lit(h).alias("hamming"))
-        for (m, h) in masks
-    ])
+    # built as ONE parsed SQL expression: the F.array(*[F.struct(...)])
+    # form costs ~2000 Py4J round trips (~3.5 s of driver time PER
+    # BUILD, measured) for the 697-mask ball; one expr string is a
+    # single JVM call producing the identical literal array
+    mask_arr = F.expr(
+        "array(" + ",".join(
+            f"struct(cast({m} as bigint) as m, {h} as hamming)"
+            for (m, h) in masks
+        ) + ")"
+    )
     fps = sh.select("simhash").distinct()
     fp_pairs = (
         fps.select("simhash", F.explode(mask_arr).alias("mk"))
@@ -1284,7 +1289,9 @@ def simhash_estimate_calibration(
     )
     if len(vocab_rows) <= max_dense_vocab:
         vocab = sorted(r["token"] for r in vocab_rows)
-        vlit = F.array(*[F.lit(t) for t in vocab])
+        # one Py4J call for the whole vocab literal (an F.lit per token
+        # is a round trip each — seconds of driver time at V≈4096)
+        vlit = F.lit(vocab)
         vec = F.transform(
             vlit, lambda t: F.coalesce(F.element_at("m", t), F.lit(0).cast("bigint"))
         )
@@ -1296,10 +1303,15 @@ def simhash_estimate_calibration(
         )
         va = tvec.select(F.col("doc_id").alias("doc_a"), F.col("v").alias("va"))
         vb = tvec.select(F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"))
-        dot_expr = None
-        for i in range(1, len(vocab) + 1):
-            term = F.element_at("va", i) * F.element_at("vb", i)
-            dot_expr = term if dot_expr is None else dot_expr + term
+        # same left-deep chained-add tree as the Python loop form
+        # (bigint sums — order-free anyway), parsed in ONE JVM call
+        # instead of ~3·V Py4J round trips
+        dot_expr = F.expr(
+            " + ".join(
+                f"element_at(va, {i}) * element_at(vb, {i})"
+                for i in range(1, len(vocab) + 1)
+            )
+        )
         # hamming rides the projection — no pair-keyed re-join needed
         base = (
             pairs.join(va, "doc_a")

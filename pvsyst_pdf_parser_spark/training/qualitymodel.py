@@ -48,7 +48,7 @@ def hashed_bow_score(
     """sigmoid(bias + mean over tokens of weights[bucket(token)]) as a
     pure HOF projection; ``weights`` enters as an array literal."""
     nb = n_buckets or len(weights)
-    w = F.array(*[F.lit(float(x)) for x in weights])
+    w = F.lit([float(x) for x in weights])
     toks = F.split(F.lower(text), " ", -1)
     total = F.aggregate(
         toks,
@@ -118,7 +118,7 @@ def train_quality_model(
     w = [0.0] * n_buckets
     b = 0.0
     for _ in range(iters):
-        warr = F.array(*[F.lit(x) for x in w])
+        warr = F.lit(list(w))
         total = F.aggregate(
             F.col("toks"),
             F.lit(0.0),

@@ -159,7 +159,9 @@ def plane_expr(dim: int, j: int):
     bench query purely from this).  An array of foldable literals IS
     constant-folded by Catalyst, so each plane is built once at plan
     time and the per-row work is only the zip_with dot product."""
-    return F.array(*[F.lit(v) for v in plane_values(dim, j)])
+    # F.lit(list) — one Py4J call; a per-component F.lit is dim round
+    # trips per plane, seconds of driver build time across the bands
+    return F.lit(plane_values(dim, j))
 
 
 def lsh_bucket_ids(emb: DataFrame, dim: int = 64) -> DataFrame:
@@ -1389,7 +1391,8 @@ def jl_sign_values(dim: int, j: int) -> list:
 
 
 def jl_sign_expr(dim: int, j: int):
-    return F.array(*[F.lit(v) for v in jl_sign_values(dim, j)])
+    # one Py4J call per plane (see plane_expr)
+    return F.lit(jl_sign_values(dim, j))
 
 
 def jl_project(emb: DataFrame, dim: int = 64, out_dim: int = 16) -> DataFrame:
@@ -1630,7 +1633,7 @@ def kcenter_coreset_trace(emb: DataFrame, k: int = 8,
                 F.lit(1.0)
                 - cosine_static(
                     F.col("embedding"),
-                    F.array(*[F.lit(x) for x in vec]),
+                    F.lit(vec),
                     dim,
                     F.col("n2"),
                     F.lit(_py_norm2(vec)),
