@@ -138,8 +138,8 @@ def link_pagerank(
     n_docs = docs.count()  # one bounded job; the oracle's COUNT(*) twin
     ids = docs.select("doc_id")
     # persist_tracked (not a manual unpersist before the action): the
-    # r6 lazy checkpoints below materialize at the FINAL action, so the
-    # edge cache must outlive this function's return (harness releases)
+    # whole loop materializes at the FINAL action, so the edge cache
+    # must outlive this function's return (harness releases)
     edges = persist_tracked(synthetic_link_edges(docs, n_docs))
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # nodes with no out-links: their whole rank is dangling mass
@@ -180,8 +180,16 @@ def link_pagerank(
                     )
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=False)
         )
+        # ranks is referenced TWICE next round (dmass + contribs): a
+        # per-round persist stops the 2x recompute per reference while
+        # costing one lazy Py4J call — localCheckpoint (even lazy)
+        # pays a full synchronous analyze/optimize/physical-plan round
+        # trip PER ROUND at build time (~1.4 s each, measured).  With
+        # fixed iters=3 the un-truncated logical plan is 2^3 bounded;
+        # a fixpoint-probe production run (large iters) would add a
+        # checkpoint every ~5 rounds to re-truncate lineage.
+        ranks = persist_tracked(ranks)
     scaled = ranks.select(
         "doc_id", F.round(F.col("pr") * n_docs, 8).alias("rank_x_n")
     )
@@ -555,10 +563,8 @@ def link_hits(docs: DataFrame, iters: int = 3, top_k: int = 20) -> DataFrame:
 
     Distributed shape per round: two edge-keyed join+groupBy passes
     (the Pregel cost shape, partial aggregation map-side); the edge
-    frame is computed once and persisted; per-round localCheckpoint
-    truncates the growing lineage exactly as the PageRank and
-    star-contraction loops do.  No collect anywhere; the two one-row
-    max frames re-enter as broadcasts."""
+    frame is computed once and persisted.  No collect anywhere; the two
+    one-row max frames re-enter as broadcasts."""
     from .cache import persist_tracked
 
     n_docs = docs.count()  # bounded job; the oracle's COUNT(*) twin
@@ -575,7 +581,6 @@ def link_hits(docs: DataFrame, iters: int = 3, top_k: int = 20) -> DataFrame:
         auth = (
             ids.join(auth, "doc_id", "left")
             .select("doc_id", F.coalesce("a", F.lit(0.0)).alias("a"))
-            .localCheckpoint(eager=False)
         )
         hub = (
             edges.join(auth.withColumnRenamed("doc_id", "dst"), "dst")
@@ -585,8 +590,18 @@ def link_hits(docs: DataFrame, iters: int = 3, top_k: int = 20) -> DataFrame:
         hub = (
             ids.join(hub, "doc_id", "left")
             .select("doc_id", F.coalesce("h", F.lit(0.0)).alias("h"))
-            .localCheckpoint(eager=False)
         )
+    # the mutual-reinforcement chain is LINEAR (each round's auth feeds
+    # hub once, each hub feeds next auth once), so intermediate rounds
+    # need no truncation or caching at fixed iters=3 — only the FINAL
+    # frames fan out (amax/hmax broadcasts + the scored join), and one
+    # persist each stops that recompute.  The r5/early-r6 per-round
+    # localCheckpoints paid a synchronous plan-compile round trip per
+    # call (~1.4 s each at build, measured) for lineage that a 3-round
+    # fixed loop never grows; large-iters production runs would add a
+    # checkpoint every ~5 rounds.
+    auth = persist_tracked(auth)
+    hub = persist_tracked(hub)
     amax = auth.agg(F.max("a").alias("amax"))
     hmax = hub.agg(F.max("h").alias("hmax"))
     scored = (

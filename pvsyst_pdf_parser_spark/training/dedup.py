@@ -264,8 +264,11 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.1,
 def _signatures_from_shingles(sh: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
     h = (md5_56(F.col("shingle")) % F.lit(MERSENNE_P)).alias("h")
     hashed = sh.select("doc_id", h)
+    # one parsed expr per permutation (the Column-operator form costs
+    # ~6 Py4J round trips per perm — ~0.5 s of driver build time at 64
+    # perms); literals < 2^31 parse as int exactly like F.lit
     aggs = [
-        F.min(minhash_value(F.col("h"), a, b)).alias(f"mh{j}")
+        F.expr(f"min(({a} * h + {b}) % {MERSENNE_P})").alias(f"mh{j}")
         for j, (a, b) in enumerate(perm_params(n_perms))
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
@@ -288,14 +291,15 @@ def banded_signatures(
     if n_perms % n_bands:
         raise ValueError(f"n_bands {n_bands} must divide n_perms {n_perms}")
     rows_per_band = n_perms // n_bands
-    bands = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
+    # one parsed expr for the whole band array (vs n_perms+n_bands Py4J
+    # round trips) — identical concat_ws tree
+    bands = F.expr(
+        "array(" + ",".join(
+            "concat_ws('_', " + ", ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ) + ")"
             for b in range(n_bands)
-        ]
+        ) + ")"
     )
     return sig.select(
         "doc_id", F.posexplode(bands).alias("band_idx", "band_sig")

@@ -1599,12 +1599,12 @@ def kcenter_coreset_trace(emb: DataFrame, k: int = 8,
 
     Distributed shape: k-1 bounded jobs, each ONE full scan + a
     1-row argmax collect (TakeOrdered); the selected centers re-enter
-    as closure literals, exactly like the trained IVF centroids.  At
-    10^9 points the documented refinement is the standard incremental
-    form — persist a running min-dist column and fold in only the
-    NEWEST center each round (O(nk) total distance evals instead of
-    O(nk²)); at demo scale the recompute is cheaper than the cache
-    churn."""
+    as closure literals, exactly like the trained IVF centroids.  Uses
+    the standard incremental form: a persisted running min-dist column
+    folds in only the NEWEST center each round — O(nk) total distance
+    evals instead of the naive O(nk²) all-centers recompute, the same
+    trajectory bit-for-bit because each per-center distance is rounded
+    BEFORE the min and min is associative."""
     from .cache import persist_tracked
     from .dedup import ensure_scan_parallelism
 
@@ -1627,32 +1627,50 @@ def kcenter_coreset_trace(emb: DataFrame, k: int = 8,
     seed = emb.orderBy("vec_id").first()
     centers = [(int(seed["vec_id"]), [float(x) for x in seed["embedding"]])]
     trace = [(1, centers[0][0], 0.0)]
+
+    def _dist_to(vec: list) -> Column:
+        return F.round(
+            F.lit(1.0)
+            - cosine_static(
+                F.col("embedding"),
+                F.lit(vec),
+                dim,
+                F.col("n2"),
+                F.lit(_py_norm2(vec)),
+            ),
+            4,
+        )
+
+    # running min distance to the selected set; each round folds in
+    # ONLY the newest center (per-center distances are rounded before
+    # the min, so the nested least() is the naive form's least(*all)
+    # value-for-value) and persists the small (vec_id, embedding, n2,
+    # mind) frame it hands the argmax and the next fold
+    cur = persist_tracked(
+        emb.select(
+            "vec_id", "embedding", "n2",
+            _dist_to(centers[0][1]).alias("mind"),
+        )
+    )
     for step in range(2, k + 1):
-        dist_cols = [
-            F.round(
-                F.lit(1.0)
-                - cosine_static(
-                    F.col("embedding"),
-                    F.lit(vec),
-                    dim,
-                    F.col("n2"),
-                    F.lit(_py_norm2(vec)),
-                ),
-                4,
-            )
-            for (_vid, vec) in centers
-        ]
-        d = F.least(*dist_cols) if len(dist_cols) > 1 else dist_cols[0]
         chosen = (
-            emb.filter(~F.col("vec_id").isin([vid for vid, _ in centers]))
-            .select("vec_id", "embedding", d.alias("d"))
-            .orderBy(F.col("d").desc(), "vec_id")
+            cur.filter(~F.col("vec_id").isin([vid for vid, _ in centers]))
+            .orderBy(F.col("mind").desc(), "vec_id")
             .first()
         )
         centers.append(
             (int(chosen["vec_id"]), [float(x) for x in chosen["embedding"]])
         )
-        trace.append((step, int(chosen["vec_id"]), float(chosen["d"])))
+        trace.append((step, int(chosen["vec_id"]), float(chosen["mind"])))
+        if step < k:
+            cur = persist_tracked(
+                cur.select(
+                    "vec_id", "embedding", "n2",
+                    F.least(
+                        F.col("mind"), _dist_to(centers[-1][1])
+                    ).alias("mind"),
+                )
+            )
     return emb.sparkSession.createDataFrame(
         trace, "step int, vec_id bigint, radius double"
     )

@@ -817,17 +817,18 @@ def test_length_bucket_batches_single_agg_no_window(spark):
     assert p.count("HashAggregate") <= 4  # partial+final, nothing more
 
 
-def test_link_hits_checkpointed_rounds_no_cartesian(spark):
-    """HITS: the per-round localCheckpoints truncate lineage, so the
-    FINAL plan must join two ExistingRDD round results (not a
-    re-execution of the whole iteration tree), and the only
-    nested-loop joins are the two one-row max broadcasts."""
+def test_link_hits_cached_final_frames_no_cartesian(spark):
+    """HITS: the final auth and hub frames fan out (max broadcasts +
+    the scored join), so the FINAL plan must read them from cache
+    (InMemoryTableScan — not a re-execution of the iteration chain per
+    reference), and the only nested-loop joins are the two one-row max
+    broadcasts."""
     from pvsyst_pdf_parser_spark.training import crawl as CR
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = _plan(CR.link_hits(docs, iters=2))
     assert "CartesianProduct" not in p
-    assert p.count("ExistingRDD") >= 2  # checkpointed auth + hub
+    assert p.count("InMemoryTableScan") >= 2  # cached auth + hub
     assert "BroadcastNestedLoopJoin" in p  # the one-row max frames
 
 
