@@ -265,8 +265,15 @@ def table_grid(
 ) -> DataFrame:
     """x-interval alignment: cluster distinct x0 starts into table
     columns (same gap-segmentation idiom as :func:`cluster_lines`, on
-    the x axis) and emit ``(key, line_id, col_id, x0, cell)``."""
-    xs = words_lines.select(key, "x0").distinct()
+    the x axis) and emit ``(key, line_id, col_id, x0, cell)``.
+
+    The break-sum window runs directly over the WORD rows (not a
+    distinct-x0 frame joined back): rows tied on x0 have zero gap, so
+    each distinct x0 group fires its break exactly once whatever the
+    tie order, and the running sum assigns every member of the group
+    the same col_id the distinct+join form produced — while staying on
+    the key partitioning the line stage already established (no
+    distinct exchange, no (key, x0) join exchange)."""
     run = Window.partitionBy(key).orderBy("x0").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -275,8 +282,9 @@ def table_grid(
         > x_tol,
         1,
     ).otherwise(0)
-    cols = xs.withColumn("col_id", F.sum(brk).over(run).cast("int"))
-    return words_lines.join(cols, [key, "x0"]).select(
+    return words_lines.withColumn(
+        "col_id", F.sum(brk).over(run).cast("int")
+    ).select(
         key, "line_id", "col_id", "x0", F.col("word").alias("cell")
     )
 
