@@ -63,6 +63,10 @@ def _word_table(docs: DataFrame, max_word_len: int) -> DataFrame:
 def _pair_counts(words: DataFrame) -> DataFrame:
     """Weighted adjacent-pair counts from the symbol column — a
     row-local explode of the bounded word table."""
+    # r6b note: an ml.feature.NGram + post-explode split form was TRIED
+    # for the sibling corpus bigram builders and measured 2.2x SLOWER
+    # (ABAB, sf1x) — the per-row split() after the explode undoes the
+    # compiled window win; the struct HOF stays.
     pairs = words.filter(F.size("syms") >= 2).select(
         "cnt",
         F.explode(

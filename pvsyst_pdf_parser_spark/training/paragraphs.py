@@ -151,7 +151,13 @@ def dedup_sentence_spans_report(
         "doc_id", _doc_sentences_col("text", sent_tokens).alias("sents")
     )
     # span index list 0..n-span_sents (empty when the doc is shorter —
-    # sequence(0, negative) would count DOWN, so gate explicitly)
+    # sequence(0, negative) would count DOWN, so gate explicitly).
+    # r6b note: the ml.feature.NGram form was TRIED here and measured
+    # 8x SLOWER (0.55 s → 4.24 s at sf1x): the Scala-UDF boundary pays
+    # CatalystTypeConverters string decode/encode over the whole
+    # sentence array, which dwarfs this HOF's O(spans·3) element_at
+    # work — the opposite trade from the word-shingle sites, whose HOF
+    # cost is O(tokens·n) interpreted concat chains.
     span_idx = F.when(
         F.size("sents") >= span_sents,
         F.sequence(F.lit(0), F.size("sents") - span_sents),

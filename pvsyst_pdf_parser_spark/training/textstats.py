@@ -219,27 +219,21 @@ def repetition_stats(docs: DataFrame, n: int = 5, sample_mod: int = 10) -> DataF
     5/6/...-gram character fraction; this is the token-occurrence
     variant with exact DuckDB parity).  Two aggregations, both keyed by
     doc — no joins, scales as a pure shuffle-light pipeline."""
-    tokens = F.split(F.lower("text"), " ", -1)
-    # Docs shorter than n tokens yield NO grams.  The guard is load-bearing:
-    # sequence(1, 0) in Spark steps DOWN to [1, 0] (start > stop), and
-    # element_at(tokens, 0) then throws INVALID_INDEX_OF_ZERO — while the
-    # DuckDB oracle's generate_series(1, 0) is simply empty.
-    grams = F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, i + k) for k in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # r6b: ml.feature.NGram builds the same space-joined grams as the
+    # old interpreted transform HOF (compiled sliding mkString; empty
+    # below n tokens — the old sequence-guard semantics).
+    from pyspark.ml.feature import NGram
+
     from .dedup import ensure_scan_parallelism
 
-    g = ensure_scan_parallelism(
-        docs.filter(F.col("doc_id") % sample_mod == 0)
-    ).select(
-        "doc_id", F.explode(grams).alias("gram")
-    )
+    ng = NGram(n=n, inputCol="__toks", outputCol="__grams")
+    g = ng.transform(
+        ensure_scan_parallelism(
+            docs.filter(F.col("doc_id") % sample_mod == 0)
+        ).select(
+            "doc_id", F.split(F.lower("text"), " ", -1).alias("__toks")
+        )
+    ).select("doc_id", F.explode("__grams").alias("gram"))
     per = g.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
     return per.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_grams"),
@@ -593,6 +587,9 @@ def bigram_logprob_scores(
     uni = persist_tracked(toku.groupBy("tok").agg(F.count("*").alias("c1")))
     vocab_v = uni.agg(F.count("*").alias("v"))
     uni = uni.crossJoin(F.broadcast(vocab_v))
+    # r6b note: an ml.feature.NGram + post-explode split form was TRIED
+    # and measured 2.2x SLOWER (ABAB, sf1x) — the per-exploded-row
+    # split() undoes the compiled window win.  Struct HOF stays.
     pairs = persist_tracked(
         base.filter(F.size("t") >= 2).select(
             "doc_id",
@@ -858,17 +855,18 @@ def winnowing_fingerprints(docs: DataFrame, k: int = WINNOW_K,
     base = ensure_scan_parallelism(docs).select(
         "doc_id", toks.alias("toks")
     ).filter(F.size("toks") >= k)
+    # r6b: gram TEXT via ml.feature.NGram (compiled sliding mkString —
+    # the interpreted transform+slice+array_join was the heavy part of
+    # the hash chain); md5/conv stay JVM-side on the identical strings,
+    # so hashes are bit-identical.
+    from pyspark.ml.feature import NGram
+
+    ng = NGram(n=k, inputCol="toks", outputCol="__grams")
     grams = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - k),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(F.array_join(F.slice("toks", i + 1, F.lit(k)), " ")),
-                1, 14,
-            ),
-            16, 10,
-        ).cast("bigint"),
+        "__grams",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("bigint"),
     )
-    g = base.select("doc_id", grams.alias("h"))
+    g = ng.transform(base).select("doc_id", grams.alias("h"))
 
     # r6: the per-window rightmost-argmin was an interpreted aggregate
     # fold carrying a struct accumulator — ~(n−w)·w boxed struct
@@ -1019,6 +1017,10 @@ def trigram_backoff_scores(
     # explode per n-gram order
     uni = persist_tracked(toku.groupBy("tok").agg(F.count("*").alias("c1")))
     tot = uni.agg(F.sum("c1").cast("double").alias("n_total"))
+    # r6b note: ml.feature.NGram + post-explode split forms were TRIED
+    # here and measured 2.2-2.4x SLOWER (ABAB, sf1x) — the per-row
+    # split() after the explode undoes the compiled window win.  The
+    # struct HOFs stay.
     pairs = base.filter(F.size("t") >= 2).select(
         F.explode(
             F.transform(
@@ -1207,6 +1209,8 @@ def kneser_ney_scores(
     # scan + split + bigram explode once per reference (5 full corpus
     # passes measured in the r5 plan).  Persisting the two roots makes
     # it one pass + four reads of a vocab²-bounded table.
+    # r6b note: an ml.feature.NGram + post-explode split form was TRIED
+    # and measured 2.2x SLOWER (ABAB, sf1x) — struct HOF stays.
     pairs = persist_tracked(
         base.filter(F.size("t") >= 2).select(
             "doc_id",
@@ -1379,6 +1383,10 @@ def distinct_ngram_diversity(docs: DataFrame) -> DataFrame:
     )
     uni = base.select("source", F.lit(1).alias("n"),
                       F.explode("t").alias("gram"))
+    # r6b note: an ml.feature.NGram form was TRIED and measured 2x
+    # SLOWER here (ABAB, sf1x): at n=2 this HOF is two element_at +
+    # one concat_ws — cheaper than the Scala-UDF string conversion.
+    # NGram only wins for n >= 3 word-grams (see doc_shingles).
     bi = base.filter(F.size("t") >= 2).select(
         "source",
         F.lit(2).alias("n"),
