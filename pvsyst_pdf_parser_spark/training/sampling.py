@@ -649,9 +649,17 @@ def doremi_weights(
     token-keyed (two vocab-sized sides, corpus-row-independent), and
     the per-domain table is O(#sources) rows where single-partition
     math is correct by design."""
+    from .dedup import ensure_scan_parallelism, persist_tracked
+
     toks = F.expr("filter(split(lower(text), ' ', -1), t -> t <> '')")
-    st = (
-        docs.select(F.col("source"), F.explode(toks).alias("token"))
+    # r6b: `st` fans out to THREE references (token marginal, source
+    # totals, KL contributions) — unpersisted, Catalyst re-ran the
+    # corpus explode+aggregate once per reference; persisted it is one
+    # pass over a vocab×sources-bounded table.  The dispatch keys the
+    # degenerate-scan repartition by doc_id (source is low-cardinality).
+    st = persist_tracked(
+        ensure_scan_parallelism(docs)
+        .select(F.col("source"), F.explode(toks).alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").alias("cnt"))
     )
