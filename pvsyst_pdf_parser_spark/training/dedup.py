@@ -102,7 +102,13 @@ def _shingled(docs: DataFrame, n: int, id_col: str,
     )
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.col(text_col)), " ", -1).alias("__sg_toks"),
+        # NULL text → empty token array: the old HOF's when()-guard
+        # yielded no shingles for NULL; NGram's Scala UDF would NPE on
+        # a null Seq, so coalesce before the boundary.
+        F.coalesce(
+            F.split(F.lower(F.col(text_col)), " ", -1),
+            F.array().cast("array<string>"),
+        ).alias("__sg_toks"),
     )
     ng = NGram(n=n, inputCol="__sg_toks", outputCol="__sg_grams")
     return ng.transform(base).select(
@@ -1639,7 +1645,11 @@ def normalized_exact_dedup(docs: DataFrame) -> DataFrame:
             " ",
         )
     )
-    keyed = docs.select("doc_id", F.md5(norm).alias("norm_key"))
+    # two regexp passes + md5 over the full text per doc — heavy
+    # row-local work that ran on the degenerate scan's 2 splits (r6b)
+    keyed = ensure_scan_parallelism(docs).select(
+        "doc_id", F.md5(norm).alias("norm_key")
+    )
     w = Window.partitionBy("norm_key").orderBy("doc_id")
     wall = Window.partitionBy("norm_key")
     return keyed.select(

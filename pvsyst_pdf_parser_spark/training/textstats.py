@@ -107,9 +107,14 @@ def lang_id_multi(docs: DataFrame) -> DataFrame:
     tiebreak) and clears the 0.05 floor; otherwise 'und'.  At 100 TB
     this is one projection + one tiny groupBy — no shuffle beyond the
     (lang, guess) aggregation."""
+    from .dedup import ensure_scan_parallelism
+
     text = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
     tokens = F.size(F.split(F.col("text"), r" ", -1))
-    scored = docs.select(
+    # ~25 marker replace-scans of the full text per doc — heavy
+    # row-local work that ran on the degenerate scan's 2 splits (r6b;
+    # dispatch is a no-op at real split counts)
+    scored = ensure_scan_parallelism(docs).select(
         "doc_id",
         "lang",
         tokens.alias("n_tokens"),
@@ -231,7 +236,13 @@ def repetition_stats(docs: DataFrame, n: int = 5, sample_mod: int = 10) -> DataF
         ensure_scan_parallelism(
             docs.filter(F.col("doc_id") % sample_mod == 0)
         ).select(
-            "doc_id", F.split(F.lower("text"), " ", -1).alias("__toks")
+            "doc_id",
+            # NULL text → empty array (NGram's Scala UDF would NPE on
+            # a null Seq; the old HOF guard yielded no grams)
+            F.coalesce(
+                F.split(F.lower("text"), " ", -1),
+                F.array().cast("array<string>"),
+            ).alias("__toks"),
         )
     ).select("doc_id", F.explode("__grams").alias("gram"))
     per = g.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))

@@ -892,7 +892,9 @@ def test_normalized_dedup_one_shuffle_window(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = _plan(D.normalized_exact_dedup(docs))
     assert "Join" not in p
-    assert p.count("Exchange") == 1
+    # operator-owned exchanges only (the degenerate-scan dispatch
+    # repartition is excluded by convention — no-op at real splits)
+    assert _op_exchanges(p) == 1
 
 
 def test_zipf_heaps_bounded_topk_no_sortmerge(spark):
