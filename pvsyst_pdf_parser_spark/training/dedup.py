@@ -83,6 +83,19 @@ def _shingle_array(n: int, text_col: str = "text"):
     )
 
 
+# Plan memo for the NGram shingle root (r6b).  ml.feature.NGram builds
+# a FRESH Scala closure per transform() call, and ScalaUDF canonical
+# equality is closure-identity — so two doc_shingles(docs) calls no
+# longer satisfy sameResult(), which silently broke the CacheManager
+# dedup the shingle operators (and bench reps, which rebuild the query
+# per rep) rely on for their persisted frames.  Returning the SAME
+# DataFrame object for a structurally-identical request restores the
+# exact r5 sharing semantics: this memoizes PLANS, never results —
+# materialization still flows through persist_tracked /
+# release_persisted, and a released plan simply recomputes.
+_SHINGLE_MEMO: dict = {}
+
+
 def _shingled(docs: DataFrame, n: int, id_col: str,
               text_col: str) -> DataFrame:
     """(doc_id, __sh) — the distinct word n-gram shingle ARRAY per doc.
@@ -97,10 +110,20 @@ def _shingled(docs: DataFrame, n: int, id_col: str,
     explode, count+xxhash-sum verified equal)."""
     from pyspark.ml.feature import NGram
 
-    docs = ensure_scan_parallelism(
+    sc = docs.sparkSession.sparkContext
+    plan = docs._jdf.queryExecution().analyzed()
+    # semanticHash buckets candidates; sameResult() is the exact test
+    # (a canonicalized toString would MERGE LocalRelations that differ
+    # only in data — measured as a real wrong-plan hit in the decontam
+    # unit test)
+    key = (sc.applicationId, plan.semanticHash(), n, id_col, text_col)
+    for cand_plan, cand_df in _SHINGLE_MEMO.get(key, ()):
+        if cand_plan.sameResult(plan):
+            return cand_df
+    dispatched = ensure_scan_parallelism(
         docs, key="doc_id" if "doc_id" in docs.columns else id_col
     )
-    base = docs.select(
+    base = dispatched.select(
         F.col(id_col).alias("doc_id"),
         # NULL text → empty token array: the old HOF's when()-guard
         # yielded no shingles for NULL; NGram's Scala UDF would NPE on
@@ -111,9 +134,13 @@ def _shingled(docs: DataFrame, n: int, id_col: str,
         ).alias("__sg_toks"),
     )
     ng = NGram(n=n, inputCol="__sg_toks", outputCol="__sg_grams")
-    return ng.transform(base).select(
+    out = ng.transform(base).select(
         "doc_id", F.array_distinct("__sg_grams").alias("__sh")
     )
+    if len(_SHINGLE_MEMO) >= 256:  # bounded: plans only, but don't grow
+        _SHINGLE_MEMO.clear()
+    _SHINGLE_MEMO.setdefault(key, []).append((plan, out))
+    return out
 
 
 def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
