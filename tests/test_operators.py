@@ -3139,3 +3139,94 @@ def test_source_js_divergence_closed_form(spark):
     h = got[("half", "same1")]
     assert h["n_common_tokens"] == 1
     assert abs(h["js_nats"] - expect) < 1e-9, (h["js_nats"], expect)
+
+
+def test_ngram_shingles_match_reference_hof(spark):
+    """r6b: doc_shingles builds n-grams via ml.feature.NGram (compiled
+    Scala) — must stay bit-identical to the pure-Column reference form
+    (_shingle_array) on edge cases: NULL text, empty text, fewer than n
+    tokens, repeated shingles (distinct), consecutive spaces (empty
+    tokens kept, as concat_ws keeps empty strings)."""
+    from pyspark.sql import functions as F
+
+    from pvsyst_pdf_parser_spark.training.dedup import (
+        _shingle_array,
+        doc_shingles,
+        doc_shingles_sized,
+    )
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "one two"),
+        (3, "a b c a b c a b c"),
+        (4, "x  y  z  w"),          # double spaces -> empty tokens
+        (5, "Mixed CASE Tokens HERE again"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (3, 4):
+        ref = sorted(
+            (r["doc_id"], r["shingle"])
+            for r in docs.select(
+                "doc_id", F.explode(_shingle_array(n)).alias("shingle")
+            ).collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["shingle"])
+            for r in doc_shingles(docs, n=n).collect()
+        )
+        assert got == ref, n
+        sized = doc_shingles_sized(docs, n=n).collect()
+        per_doc = {}
+        for r in sized:
+            per_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+            assert r["sz"] == len(
+                [x for x in ref if x[0] == r["doc_id"]]
+            ), r
+        assert sorted(
+            (d, s) for d, ss in per_doc.items() for s in ss
+        ) == ref
+
+
+def test_shingle_plan_memo_preserves_cache_dedup(spark):
+    """r6b: NGram creates a fresh Scala closure per transform() call,
+    which would break canonicalized-plan cache dedup (ScalaUDF equality
+    is closure identity).  The plan memo must make structurally
+    identical doc_shingles calls satisfy sameResult() — the contract
+    CacheManager dedup and bench rep-sharing rely on — while LocalRelations
+    that differ ONLY in data must NOT collide."""
+    from pvsyst_pdf_parser_spark.training.dedup import doc_shingles
+
+    d1 = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h")], "doc_id long, text string"
+    )
+    d2 = spark.createDataFrame(
+        [(9, "completely different corpus rows")],
+        "doc_id long, text string",
+    )
+    a = doc_shingles(d1)
+    b = doc_shingles(d1)
+    c = doc_shingles(d2)
+    pa = a._jdf.queryExecution().analyzed()
+    pb = b._jdf.queryExecution().analyzed()
+    pc = c._jdf.queryExecution().analyzed()
+    assert pa.sameResult(pb)
+    assert not pa.sameResult(pc)
+    # and the data actually differs (the canonicalized-toString trap
+    # merged these and returned d1's shingles for d2)
+    assert {r["doc_id"] for r in c.collect()} == {9}
+
+
+def test_edit_similarity_equal_text_short_circuit(spark):
+    """r6b: the lev(x,x)=0 equality short-circuit must report the same
+    row an unconditional levenshtein would (lev 0, edit_sim 1.0)."""
+    from pvsyst_pdf_parser_spark.training.dedup import edit_similarity_pairs
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(0, t), (5, t)], "doc_id long, text string"
+    )
+    rows = edit_similarity_pairs(docs, sample_mod=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"], r["lev"], r["edit_sim"]) == (0, 5, 0, 1.0)
